@@ -1,0 +1,64 @@
+"""raydedup — a Ray-Data-native near-duplicate detection & clustering engine.
+
+Rebuilds the query/data-processing capabilities of ekzhu/datasketch
+(reference at /root/reference, v1.10.0) from scratch on top of
+``ray.data.Dataset``: vectorized 128-perm MinHash over shingles, 64-bit
+SimHash over phash/pixel features, banded LSH as a groupby shuffle,
+union-find connected components, a suffix-array exact-substring pass,
+HyperLogLog aggregates — plus the large-scale training-data operators
+(exact/near dedup, ANN search, text quality/langid/token stats,
+multimodal plumbing).
+
+Design notes (vs the reference):
+- the reference is a library of in-memory sketch objects + mutable KV
+  indexes (``datasketch/lsh.py:191-200``); here every index is a table
+  (an Arrow-backed ``Dataset``) and every insert/query is a batch
+  transform or a shuffle. No Redis/Cassandra tier — the object store,
+  shuffles and persisted Parquet/Lance files replace ``storage.py``.
+- signature math is bit-exact with the reference (same seed-derived
+  permutations, same SHA1-based token hash, same band-key byte layout)
+  so candidate sets and clusters match at identical config.
+"""
+
+from raydedup.hashing import (
+    sha1_hash32,
+    sha1_hash64,
+    hash_tokens32,
+    generate_permutations,
+    char_shingles,
+    word_ngram_shingles,
+)
+from raydedup.minhash import (
+    MAX_HASH,
+    MERSENNE_PRIME,
+    minhash_batch,
+    minhash_single,
+    jaccard_estimate,
+    band_keys,
+    merge_signatures,
+)
+from raydedup.params import optimal_param
+from raydedup.simhash import simhash_from_phash, simhash_from_tokens, hamming_distance64
+from raydedup.hll import HllSketch, hll_aggregate_fn
+
+__all__ = [
+    "sha1_hash32",
+    "sha1_hash64",
+    "hash_tokens32",
+    "generate_permutations",
+    "char_shingles",
+    "word_ngram_shingles",
+    "MAX_HASH",
+    "MERSENNE_PRIME",
+    "minhash_batch",
+    "minhash_single",
+    "jaccard_estimate",
+    "band_keys",
+    "merge_signatures",
+    "optimal_param",
+    "simhash_from_phash",
+    "simhash_from_tokens",
+    "hamming_distance64",
+    "HllSketch",
+    "hll_aggregate_fn",
+]

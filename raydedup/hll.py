@@ -1,0 +1,110 @@
+"""HyperLogLog as a mergeable, vectorized aggregate.
+
+Same register semantics as the reference (``datasketch/hyperloglog.py``):
+32-bit SHA1 hash, index = low ``p`` bits, rank = ``(32 - p) -
+bit_length(hv >> p) + 1``, register = int8 max; estimate =
+``alpha * m^2 / sum(2^-reg)`` with the small-range linear-counting and
+large-range corrections (``hyperloglog.py:144-168``, ``248-252``).
+Merge = elementwise register max (``hyperloglog.py:170-183``) — the
+textbook distributed sketch, mapped to a ``ray.data`` ``AggregateFn``
+whose partial state is one register file per block.
+
+Unlike the reference's per-item ``update`` loop, the per-batch path
+hashes/updates whole numpy arrays at once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+
+def _alpha(p: int) -> float:
+    if p == 4:
+        return 0.673
+    if p == 5:
+        return 0.697
+    if p == 6:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / (1 << p))
+
+
+class HllSketch:
+    """Register-file HLL with vectorized batch updates."""
+
+    def __init__(self, p: int = 8, reg: np.ndarray | None = None):
+        if not 4 <= p <= 16:
+            raise ValueError("p must be in [4, 16]")
+        self.p = p
+        self.m = 1 << p
+        self.reg = np.zeros(self.m, dtype=np.int8) if reg is None else np.asarray(reg, dtype=np.int8)
+        self.max_rank = 32 - p
+        self.alpha = _alpha(p)
+
+    def update_hashes(self, hv: np.ndarray) -> None:
+        """Vectorized update from precomputed 32-bit hash values."""
+        hv = np.asarray(hv, dtype=np.uint64)
+        idx = (hv & np.uint64(self.m - 1)).astype(np.int64)
+        bits = (hv >> np.uint64(self.p)).astype(np.uint64)
+        # bit_length via log2-free trick: 64 - clz; numpy lacks clz, use
+        # float log2 on bits+0 guarded for zeros (values < 2^32 → exact)
+        bl = np.zeros(len(bits), dtype=np.int64)
+        nz = bits > 0
+        bl[nz] = np.floor(np.log2(bits[nz].astype(np.float64))).astype(np.int64) + 1
+        rank = (self.max_rank - bl + 1).astype(np.int8)
+        np.maximum.at(self.reg, idx, rank)
+
+    def update_tokens(self, tokens) -> None:
+        hv = np.fromiter(
+            (struct.unpack("<I", hashlib.sha1(t).digest()[:4])[0] for t in tokens),
+            dtype=np.uint64,
+            count=len(tokens),
+        )
+        if len(hv):
+            self.update_hashes(hv)
+
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        if other.p != self.p:
+            raise ValueError("precision mismatch")
+        np.maximum(self.reg, other.reg, out=self.reg)
+        return self
+
+    def count(self) -> float:
+        e = self.alpha * float(self.m**2) / np.sum(2.0 ** (-self.reg.astype(np.float64)))
+        if e <= 2.5 * self.m:
+            num_zero = self.m - np.count_nonzero(self.reg)
+            if num_zero > 0:
+                return float(self.m * np.log(self.m / float(num_zero)))
+            return float(e)
+        if e <= (1.0 / 30.0) * (1 << 32):
+            return float(e)
+        return float(-(1 << 32) * np.log(1.0 - e / (1 << 32)))
+
+
+def hll_aggregate_fn(column: str, p: int = 8, alias_name: str | None = None):
+    """A ``ray.data.aggregate.AggregateFn`` computing an approximate
+    distinct count of ``column`` — partial register files per block,
+    elementwise-max merge, estimate at finalize. Works for global and
+    grouped aggregation.
+    """
+    from ray.data.aggregate import AggregateFn
+    from ray.data.block import BlockAccessor
+
+    name = alias_name or f"hll_ndv({column})"
+
+    def accumulate_block(state: np.ndarray, block) -> np.ndarray:
+        col = BlockAccessor.for_block(block).to_arrow().column(column)
+        vals = col.to_pylist()
+        sk = HllSketch(p, reg=state.copy())
+        sk.update_tokens([str(v).encode("utf-8") for v in vals if v is not None])
+        return sk.reg
+
+    return AggregateFn(
+        init=lambda k: np.zeros(1 << p, dtype=np.int8),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b: np.maximum(a, b),
+        finalize=lambda reg: float(HllSketch(p, reg=reg).count()),
+        name=name,
+    )

@@ -1,0 +1,131 @@
+"""Batched MinHash signature kernel.
+
+The reference computes one signature object at a time
+(``datasketch/minhash.py:226-297``, ``update_batch``): hash every token,
+apply ``(a*h + b) mod p & max_hash`` and take the elementwise min.  Here
+the same math runs over a whole Arrow batch of documents at once:
+
+    all tokens of all rows → one uint64 hash vector → one
+    ``(total_tokens, num_perm)`` permuted matrix → segment-min by row
+    → ``(rows, num_perm)`` signature matrix.
+
+Bit-exactness notes (validated in tests/test_kernels.py against the
+reference's hard-coded anchor ``test/test_minhash.py:109-115``):
+
+- multiplication happens in uint64 with wrap-around *before* the
+  ``mod p`` — replicating the reference's numpy arithmetic exactly.
+- empty documents keep the init value ``MAX_HASH`` in every slot
+  (reference ``_init_hashvalues``, ``datasketch/minhash.py:168``).
+- band keys are the big-endian byte concatenation of each r-slice:
+  ``bytes(hv[s:e].byteswap().data)`` (reference ``datasketch/lsh.py:537``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raydedup.hashing import MAX_HASH, MERSENNE_PRIME, generate_permutations, hash_tokens32
+
+
+def minhash_batch(
+    token_lists: list,
+    a: np.ndarray,
+    b: np.ndarray,
+    memo: dict | None = None,
+    chunk_tokens: int = 262_144,
+) -> np.ndarray:
+    """Compute MinHash signatures for a batch of documents.
+
+    Args:
+        token_lists: list (len N) of iterables of token ``bytes``.
+        a, b: permutation params from :func:`generate_permutations`.
+        memo: optional persistent SHA1 memo dict (see ``hash_tokens32``).
+        chunk_tokens: cap on tokens permuted per matrix op, bounding the
+            ``(chunk, num_perm)`` temporary to ~256 MiB at 128 perms.
+
+    Returns:
+        ``(N, num_perm) uint64`` signature matrix; empty docs = MAX_HASH.
+    """
+    num_perm = len(a)
+    n = len(token_lists)
+    sig = np.full((n, num_perm), MAX_HASH, dtype=np.uint64)
+
+    flat: list[bytes] = []
+    row_of: list[int] = []
+    for i, toks in enumerate(token_lists):
+        for t in toks:
+            flat.append(t)
+            row_of.append(i)
+    if not flat:
+        return sig
+
+    hv = hash_tokens32(flat, memo)
+    rows = np.asarray(row_of, dtype=np.int64)
+
+    # Permute+segment-min in chunks to bound peak memory.
+    for s in range(0, len(hv), chunk_tokens):
+        e = min(s + chunk_tokens, len(hv))
+        phv = (hv[s:e, None] * a + b) % MERSENNE_PRIME
+        np.bitwise_and(phv, MAX_HASH, out=phv)
+        # segment min: np.minimum.at is the vectorized scatter-min
+        np.minimum.at(sig, rows[s:e], phv)
+    return sig
+
+
+def minhash_single(tokens, num_perm: int = 128, seed: int = 1) -> np.ndarray:
+    """Convenience: one signature (used by tests and driver-side probes)."""
+    a, b = generate_permutations(num_perm, seed)
+    return minhash_batch([list(tokens)], a, b)[0]
+
+
+def jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Estimated Jaccard = fraction of equal slots (reference
+    ``datasketch/minhash.py:299-324``). Broadcasts: ``(N,P) vs (N,P)``
+    row-wise, or ``(N,P) vs (P,)``."""
+    return np.mean(sig_a == sig_b, axis=-1)
+
+
+def merge_signatures(sigs: np.ndarray) -> np.ndarray:
+    """Union of MinHash sketches = elementwise min (reference
+    ``datasketch/minhash.py:337-359``). ``(K, P) -> (P,)``."""
+    return sigs.min(axis=0)
+
+
+def band_keys(sig: np.ndarray, b: int, r: int) -> list[list[bytes]]:
+    """Split each signature row into ``b`` bands of ``r`` values and render
+    each band as the reference's byte key: big-endian concatenation of the
+    r uint64 values (``datasketch/lsh.py:537-538``). Tail perm values
+    beyond ``b*r`` are ignored for candidate generation (reference keeps
+    them only for jaccard estimates, ``lsh.py:106-111``).
+
+    Returns: per input row, a list of ``b`` bytes keys.
+    """
+    sig = np.ascontiguousarray(sig, dtype=np.uint64)
+    if sig.ndim == 1:
+        sig = sig[None, :]
+    n = sig.shape[0]
+    used = sig[:, : b * r]  # (n, b*r)
+    swapped = used.byteswap()  # big-endian words
+    raw = swapped.reshape(n, b, r)
+    out = []
+    for i in range(n):
+        out.append([raw[i, j].tobytes() for j in range(b)])
+    return out
+
+
+def band_keys_columns(sig: np.ndarray, b: int, r: int):
+    """Vectorized band-key rendering for the band-explode stage.
+
+    Returns ``(band_idx, key_bytes_list)`` where ``band_idx`` is
+    ``int32[n*b]`` (row-major: row0 bands 0..b-1, row1 ...) and
+    ``key_bytes_list`` is a list of ``n*b`` bytes objects of length
+    ``8*r`` each — ready to zip with a repeated id column.
+    """
+    sig = np.ascontiguousarray(sig, dtype=np.uint64)
+    n = sig.shape[0]
+    used = sig[:, : b * r].byteswap().reshape(n * b, r)
+    buf = used.tobytes()
+    w = 8 * r
+    keys = [buf[i * w : (i + 1) * w] for i in range(n * b)]
+    band_idx = np.tile(np.arange(b, dtype=np.int32), n)
+    return band_idx, keys

