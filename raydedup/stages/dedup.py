@@ -1,0 +1,300 @@
+"""Deduplication operators over ray.data Datasets.
+
+- exact dedup: content-hash groupby, keep min-id row (also the
+  pre-collapse pass that defuses LSH bucket skew — SURVEY.md §4.2)
+- substring dedup: anchor-window groupby + per-group suffix-array /
+  direct containment (raydedup.suffix)
+- the MinHash/SimHash near-dup paths live in stages/bands.py and are
+  composed by pipeline.py; this module adds the n-gram-Jaccard
+  brute-verify and embedding-cosine near-dup operators used by the
+  training-data query surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------- exact dedup
+def add_content_hash(batch: pa.Table, cols: list[str], out_col: str = "content_hash") -> pa.Table:
+    """Vectorized-ish content hash (SHA1 hex of the concatenated column
+    reprs). SHA1 must run per row; columns are pre-rendered with Arrow
+    kernels so the loop touches plain bytes only."""
+    rendered = [pc.cast(batch.column(c), pa.string()).to_pylist() for c in cols]
+    hashes = [
+        hashlib.sha1("\x1f".join("" if v is None else v for v in row).encode("utf-8")).hexdigest()
+        for row in zip(*rendered)
+    ]
+    return batch.append_column(out_col, pa.array(hashes, pa.string()))
+
+
+def exact_dedup(ds, key_cols: list[str], id_col: str, keep_payload: bool = True):
+    """Keep one representative (min id) per identical content.
+
+    hash in map_batches (cheap, parallel) → groupby(content_hash) →
+    min-id per group. Only the hash + id transit the shuffle unless
+    ``keep_payload`` (then whole rows minus any pre-dropped blobs)."""
+    hashed = ds.map_batches(
+        lambda t: add_content_hash(t, key_cols), batch_format="pyarrow"
+    )
+    if not keep_payload:
+        hashed = hashed.select_columns(["content_hash", id_col])
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        idx = pc.index(group.column(id_col), pc.min(group.column(id_col)))
+        return group.slice(int(idx.as_py()), 1)
+
+    return hashed.groupby("content_hash").map_groups(keep_min, batch_format="pyarrow")
+
+
+def exact_dup_pairs(ds, key_cols: list[str], id_col: str):
+    """(id_a < id_b) pairs of rows with identical content — each group
+    emits a star from its min id (component-equivalent)."""
+    hashed = ds.map_batches(
+        lambda t: add_content_hash(t, key_cols), batch_format="pyarrow"
+    ).select_columns(["content_hash", id_col])
+
+    def star(group: pa.Table) -> pa.Table:
+        typ = group.column(id_col).type
+        ids = sorted(group.column(id_col).to_pylist())
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], typ), "id_b": pa.array([], typ)})
+        return pa.table(
+            {"id_a": pa.array([ids[0]] * (len(ids) - 1), typ), "id_b": pa.array(ids[1:], typ)}
+        )
+
+    return hashed.groupby("content_hash").map_groups(star, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ substring dedup
+def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_cpus: float = 1.0):
+    """(contained_id → id_a, container_id → id_b) pairs where one
+    caption is a strict token-slice of another.
+
+    Shape: every doc emits one *query* row (anchor = its first
+    ``window``-token window) and one *container* row per token window;
+    groupby(anchor) co-locates candidates; per-group containment runs a
+    generalized suffix array (large groups) or direct find. Docs shorter
+    than ``window`` tokens are collected to the driver (tiny) and
+    broadcast-checked — completeness, not a hot path."""
+    import ray
+    from raydedup.suffix import anchor_hash, containment_pairs_in_group
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        a_ids, a_anchor, a_role, a_text = [], [], [], []
+        for i, t in zip(ids, texts):
+            toks = (t or "").split()
+            if len(toks) < window:
+                continue  # short docs via the broadcast path
+            a_ids.append(i)
+            a_anchor.append(anchor_hash(toks[:window]))
+            a_role.append(0)
+            a_text.append(t)
+            for s in range(len(toks) - window + 1):
+                a_ids.append(i)
+                a_anchor.append(anchor_hash(toks[s : s + window]))
+                a_role.append(1)
+                a_text.append(t)
+        return pa.table(
+            {
+                "anchor": pa.array(a_anchor, pa.uint64()),
+                "role": pa.array(a_role, pa.int8()),
+                id_col: pa.array(a_ids, batch.column(id_col).type),
+                text_col: pa.array(a_text, pa.string()),
+            }
+        )
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(explode, batch_format="pyarrow")
+
+    def per_group(group: pa.Table) -> pa.Table:
+        roles = group.column("role").to_pylist()
+        ids = group.column(id_col).to_pylist()
+        texts = group.column(text_col).to_pylist()
+        queries = [(i, t) for r, i, t in zip(roles, ids, texts) if r == 0]
+        containers = list({i: (i, t) for r, i, t in zip(roles, ids, texts) if r == 1}.values())
+        pairs = containment_pairs_in_group(queries, containers)
+        typ = group.column(id_col).type
+        return pa.table(
+            {
+                "id_a": pa.array([p[0] for p in pairs], typ),
+                "id_b": pa.array([p[1] for p in pairs], typ),
+            }
+        )
+
+    pairs = exploded.groupby("anchor").map_groups(per_group, batch_format="pyarrow", num_cpus=num_cpus)
+
+    # short-query completeness path: collect docs with < window tokens
+    short = ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: t.filter(
+            pc.less(pc.list_value_length(pc.split_pattern_regex(t.column(text_col), r"\s+")), window)
+        ),
+        batch_format="pyarrow",
+    )
+    short_rows = short.take_all()
+    if short_rows:
+        ref = ray.put([(r[id_col], r[text_col]) for r in short_rows])
+
+        def scan(batch: pa.Table) -> pa.Table:
+            shorts = ray.get(ref)
+            a, b = [], []
+            for cid, ccap in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+                padded = f" {ccap} "
+                for qid, qcap in shorts:
+                    if qid != cid and len(qcap) < len(ccap or "") and f" {qcap} " in padded:
+                        a.append(qid)
+                        b.append(cid)
+            typ = batch.column(id_col).type
+            return pa.table({"id_a": pa.array(a, typ), "id_b": pa.array(b, typ)})
+
+        pairs = pairs.union(
+            ds.select_columns([id_col, text_col]).map_batches(scan, batch_format="pyarrow")
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["id_a", "id_b"])
+    )
+
+
+# -------------------------------------------------- n-gram Jaccard (AllPairs)
+def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5):
+    """EXACT n-gram-Jaccard near-dup pairs via prefix filtering
+    (AllPairs / PPJoin, Bayardo et al. WWW'07): order each doc's shingle
+    set by ascending global document frequency; any pair with
+    J ≥ t must share a shingle within the first
+    ``floor(len*(1-t)) + 1`` shingles of that order. Only prefix
+    shingles are exploded into the groupby, bounding hot groups to
+    rare-ish shingles; exact Jaccard is then verified from the full
+    shingle sets carried on the candidate rows.
+
+    The DF table is collected to the driver and broadcast (``ray.put``):
+    it is |distinct shingles| rows — fine up to ~10^8; beyond that,
+    switch the ordering to hashed-DF buckets (documented tradeoff).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    import ray
+    from ray.data.aggregate import Count
+    from raydedup.hashing import word_ngram_shingles
+
+    slim = ds.select_columns([id_col, text_col])
+
+    def explode_shingles(batch: pa.Table) -> pa.Table:
+        ids, sh = [], []
+        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            for s in word_ngram_shingles(t or "", n=n):
+                ids.append(i)
+                sh.append(s.decode("utf-8"))
+        return pa.table({id_col: pa.array(ids, batch.column(id_col).type), "sh": pa.array(sh, pa.string())})
+
+    df = (
+        slim.map_batches(explode_shingles, batch_format="pyarrow")
+        .groupby("sh")
+        .aggregate(Count(alias_name="df"))
+    )
+    df_rows = df.take_all()
+    # rare-first deterministic order: (df, shingle)
+    order = {r["sh"]: k for k, r in enumerate(sorted(df_rows, key=lambda r: (r["df"], r["sh"])))}
+    order_ref = ray.put(order)
+
+    def prefix_explode(batch: pa.Table) -> pa.Table:
+        rank = ray.get(order_ref)
+        ids, anchors, sets = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            sh = sorted(
+                (s.decode("utf-8") for s in word_ngram_shingles(t or "", n=n)),
+                key=lambda s: rank.get(s, 1 << 60),
+            )
+            if not sh:
+                continue
+            plen = int(len(sh) * (1.0 - threshold)) + 1
+            for s in sh[:plen]:
+                ids.append(i)
+                anchors.append(s)
+                sets.append("\x1f".join(sh))
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch.column(id_col).type),
+                "anchor": pa.array(anchors, pa.string()),
+                "shset": pa.array(sets, pa.string()),
+            }
+        )
+
+    exploded = slim.map_batches(prefix_explode, batch_format="pyarrow")
+
+    def pairs_in_group(group: pa.Table) -> pa.Table:
+        typ = group.column(id_col).type
+        ids = group.column(id_col).to_pylist()
+        sets = group.column("shset").to_pylist()
+        uniq = {}
+        for i, s in zip(ids, sets):
+            uniq[i] = s
+        items = sorted(uniq.items())
+        a_out, b_out, j_out = [], [], []
+        for x in range(len(items) - 1):
+            ia, sa = items[x]
+            seta = set(sa.split("\x1f"))
+            for y in range(x + 1, len(items)):
+                ib, sb = items[y]
+                setb = set(sb.split("\x1f"))
+                inter = len(seta & setb)
+                union = len(seta | setb)
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    a_out.append(ia)
+                    b_out.append(ib)
+                    j_out.append(j)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, typ),
+                "id_b": pa.array(b_out, typ),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    pairs = exploded.groupby("anchor").map_groups(pairs_in_group, batch_format="pyarrow")
+    from ray.data.aggregate import Max
+
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Max("jaccard", alias_name="jaccard"))
+        .select_columns(["id_a", "id_b", "jaccard"])
+    )
+
+
+# ------------------------------------------- exact embedding cosine near-dups
+def embedding_near_dup_exact(ds, threshold: float, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """EXACT cosine near-dup pairs by broadcasting the (normalized)
+    embedding matrix once and scanning batches against it — the
+    small-side-broadcast pattern. Right-sized for corpora whose
+    embedding matrix fits a worker (~10^6 × 64 floats = 0.5 GB);
+    beyond that use stages.ann.embedding_near_dup_pairs (LSH-bucketed).
+    Returns (id_a, id_b) with id_a < id_b."""
+    import ray
+    from raydedup.stages.ann import _emb_matrix, _normalize
+
+    rows = ds.select_columns([id_col, emb_col]).take_all()
+    all_ids = np.array([r[id_col] for r in rows])
+    mat = _normalize(np.array([r[emb_col] for r in rows], dtype=np.float64))
+    ref = ray.put((all_ids, mat))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(ref)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cos = m @ m_all.T
+        keep = cos >= threshold
+        a_idx, b_idx = np.nonzero(keep)
+        ia, ib = ids[a_idx], ids_all[b_idx]
+        mask = ia < ib  # strict order also drops self-pairs
+        return pa.table({"id_a": pa.array(ia[mask]), "id_b": pa.array(ib[mask])})
+
+    return ds.select_columns([id_col, emb_col]).map_batches(scan, batch_format="pyarrow", batch_size=2048)

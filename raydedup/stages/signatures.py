@@ -1,0 +1,85 @@
+"""Signature stage: MinHash + SimHash columns via an actor-pool map_batches.
+
+The reference computes one `MinHash` object per document in a Python
+loop (``datasketch/minhash.py:464-489`` bulk). Here one actor call
+processes a whole Arrow batch: shingle all captions, hash unique
+shingles once (memoized across batches per actor), permute in one
+matrix op, segment-min per row.
+
+State (permutation matrix, SHA1 memo) is built **once per actor** in
+``__init__`` from the seed — deterministic, never shipped
+(SURVEY.md §4.3). Use as::
+
+    ds.map_batches(SignatureStage, fn_constructor_kwargs=dict(...),
+                   batch_format="pyarrow", batch_size=1024,
+                   concurrency=N, num_cpus=1)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raydedup.hashing import char_shingles, generate_permutations, word_ngram_shingles
+from raydedup.minhash import minhash_batch
+from raydedup.schema import numpy_to_sig
+from raydedup.simhash import simhash_from_phash, simhash_from_tokens
+
+
+def make_shingler(kind: str):
+    """Parse a shingle spec: 'word3' → word 3-grams, 'char5' → char
+    5-shingles, 'word1' → plain token set."""
+    if kind.startswith("word"):
+        n = int(kind[4:] or 1)
+        return lambda text: word_ngram_shingles(text, n=n)
+    if kind.startswith("char"):
+        k = int(kind[4:] or 3)
+        return lambda text: char_shingles(text, k=k)
+    raise ValueError(f"unknown shingle kind {kind!r}")
+
+
+class SignatureStage:
+    """Adds ``minhash`` (fixed_size_list<uint64, P>) and optionally
+    ``simhash`` (uint64) columns; drops the heavy payload column if asked
+    (the shuffle must never carry image bytes — SURVEY.md §7.5)."""
+
+    def __init__(
+        self,
+        num_perm: int = 128,
+        seed: int = 1,
+        shingle: str = "word3",
+        text_col: str = "caption",
+        phash_col: str | None = "phash",
+        simhash_text: bool = False,
+        drop_cols: tuple[str, ...] = ("bytes",),
+        memo_cap: int = 2_000_000,
+    ):
+        self.num_perm = num_perm
+        self.a, self.b = generate_permutations(num_perm, seed)
+        self.shingler = make_shingler(shingle)
+        self.text_col = text_col
+        self.phash_col = phash_col
+        self.simhash_text = simhash_text
+        self.drop_cols = drop_cols
+        self.memo: dict = {}
+        self.memo_cap = memo_cap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self.memo) > self.memo_cap:  # bound actor heap on hostile corpora
+            self.memo.clear()
+        texts = batch.column(self.text_col).to_pylist()
+        token_lists = [sorted(self.shingler(t or "")) for t in texts]
+        sig = minhash_batch(token_lists, self.a, self.b, memo=self.memo)
+        out = batch
+        for c in self.drop_cols:
+            if c in out.column_names:
+                out = out.drop_columns([c])
+        out = out.append_column(pa.field("minhash", pa.list_(pa.uint64(), self.num_perm)), numpy_to_sig(sig, self.num_perm))
+        if self.phash_col and self.phash_col in batch.column_names:
+            ph = batch.column(self.phash_col).to_numpy(zero_copy_only=False)
+            out = out.append_column("simhash", pa.array(simhash_from_phash(ph), pa.uint64()))
+        elif self.simhash_text:
+            out = out.append_column(
+                "simhash", pa.array(simhash_from_tokens(token_lists, memo=None), pa.uint64())
+            )
+        return out

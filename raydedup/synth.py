@@ -1,0 +1,232 @@
+"""Deterministic synthetic image+caption corpus (FIXTURES.md F1).
+
+Generates the flagship input table (BASELINE.json ``input_hint`` schema)
+with planted duplicate structure and its ground truth:
+
+- near-dup caption clusters (light token edits, high 3-shingle overlap)
+- exact duplicate rows (verbatim copy, new image_id)
+- substring dups (caption = strict token-slice of a base caption)
+- near-dup images (pixel perturbation with phash Hamming ≤ 2)
+- a skew probe: one caption repeated n_base//10 times (hot LSH bucket)
+
+Everything derives from ``np.random.default_rng(seed)`` (variant
+choices) and per-row ``default_rng(seed + i)`` (pixels) so the table and
+its ground-truth pairs are reproducible byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from raydedup.media import phash64
+from raydedup.png import encode_png_rgb8
+from raydedup.schema import IMAGES_SCHEMA
+
+_VOCAB = None
+
+
+def vocab_200() -> list[str]:
+    """Deterministic 200-word vocabulary (syllable combinations)."""
+    global _VOCAB
+    if _VOCAB is None:
+        cons = ["b", "d", "f", "g", "k", "l", "m", "n", "p", "r", "s", "t", "v", "z"]
+        vow = ["a", "e", "i", "o", "u"]
+        words = []
+        for c1 in cons:
+            for v1 in vow:
+                for c2 in cons[:3]:
+                    words.append(c1 + v1 + c2 + "o")
+                    if len(words) == 200:
+                        _VOCAB = words
+                        return _VOCAB
+        _VOCAB = words
+    return _VOCAB
+
+
+@dataclass
+class GroundTruth:
+    """Planted structure: for every non-base row, its root base id."""
+
+    root: dict[str, str] = field(default_factory=dict)  # image_id -> base image_id
+    kind: dict[str, str] = field(default_factory=dict)  # image_id -> planted kind
+    skew_caption_ids: list[str] = field(default_factory=list)
+
+    def pairs(self) -> set[tuple[str, str]]:
+        out = set()
+        for img, base in self.root.items():
+            a, b = sorted((img, base))
+            out.add((a, b))
+        return out
+
+    def clusters(self) -> dict[str, str]:
+        """image_id -> cluster root (min id in component), for all planted rows."""
+        from collections import defaultdict
+
+        members = defaultdict(set)
+        for img, base in self.root.items():
+            members[base].add(img)
+            members[base].add(base)
+        out = {}
+        for base, mem in members.items():
+            r = min(mem)
+            for m in mem:
+                out[m] = r
+        return out
+
+
+def _pixels(i: int, w: int, h: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed + i).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _caption(rng: np.random.Generator, vocab: list[str]) -> str:
+    n = int(rng.integers(8, 41))
+    idx = rng.integers(0, len(vocab), size=n)
+    return " ".join(vocab[j] for j in idx)
+
+
+def _edit_caption(rng: np.random.Generator, caption: str, vocab: list[str]) -> str:
+    """Light token edit keeping high 3-shingle overlap: append, drop-last,
+    or swap one mid token (long captions only)."""
+    toks = caption.split()
+    op = int(rng.integers(0, 3))
+    if op == 0 or len(toks) < 12:
+        toks = toks + [vocab[int(rng.integers(0, len(vocab)))]]
+    elif op == 1:
+        toks = toks[:-1]
+    else:
+        j = int(rng.integers(2, len(toks) - 2))
+        toks[j] = vocab[int(rng.integers(0, len(vocab)))]
+    return " ".join(toks)
+
+
+def make_images_table(
+    n_base: int = 1000,
+    seed: int = 42,
+    dims: tuple[int, ...] = (16, 32, 64),
+    with_images: bool = True,
+) -> tuple[pa.Table, GroundTruth]:
+    """Build the F1 corpus. ``with_images=False`` emits 1-pixel payloads
+    (for caption-only benches at large row counts)."""
+    rng = np.random.default_rng(seed)
+    vocab = vocab_200()
+    truth = GroundTruth()
+
+    ids: list[str] = []
+    blobs: list[bytes] = []
+    ws: list[int] = []
+    hs: list[int] = []
+    fmts: list[str] = []
+    caps: list[str] = []
+    phashes: list[int] = []
+    next_id = 0
+
+    def add_row(pixels: np.ndarray, caption: str, fmt: str) -> str:
+        nonlocal next_id
+        iid = f"img-{next_id:08d}"
+        next_id += 1
+        h, w, _ = pixels.shape
+        if fmt == "png":
+            data = encode_png_rgb8(pixels)
+        else:
+            data = pixels.tobytes()
+        ids.append(iid)
+        blobs.append(data)
+        ws.append(w)
+        hs.append(h)
+        fmts.append(fmt)
+        caps.append(caption)
+        phashes.append(phash64(pixels))
+        return iid
+
+    base_rows: list[tuple[str, np.ndarray, str]] = []
+    for i in range(n_base):
+        if with_images:
+            w = int(dims[int(rng.integers(0, len(dims)))])
+            h = int(dims[int(rng.integers(0, len(dims)))])
+            px = _pixels(i, w, h, seed)
+        else:
+            px = _pixels(i, 1, 1, seed)
+        # fmt mix: mostly raw; some lossless png; a small lossy-path slice
+        u = rng.random()
+        if u < 0.90 or not with_images:
+            fmt = "raw"
+        elif u < 0.98:
+            fmt = "png"
+        else:
+            # lossy path: quantize to 6 bits before encoding → PSNR ≈ 42.7 dB
+            px = (px >> 2) << 2
+            fmt = "png"
+        cap = _caption(rng, vocab)
+        iid = add_row(px, cap, fmt)
+        base_rows.append((iid, px, cap))
+
+    # near-dup caption clusters: 20% of base rows, 1-4 variants each
+    for bi in rng.choice(n_base, size=max(1, n_base // 5), replace=False):
+        biid, bpx, bcap = base_rows[bi]
+        for _ in range(int(rng.integers(1, 5))):
+            cap = _edit_caption(rng, bcap, vocab)
+            px = bpx if rng.random() < 0.5 else _pixels(next_id, bpx.shape[1], bpx.shape[0], seed + 10_000_000)
+            vid = add_row(px, cap, "raw")
+            truth.root[vid] = biid
+            truth.kind[vid] = "caption_near_dup"
+
+    # exact dups: 5%
+    for bi in rng.choice(n_base, size=max(1, n_base // 20), replace=False):
+        biid, bpx, bcap = base_rows[bi]
+        vid = add_row(bpx, bcap, "raw")
+        truth.root[vid] = biid
+        truth.kind[vid] = "exact_dup"
+
+    # substring dups: 5% (caption strictly contained in base caption)
+    for bi in rng.choice(n_base, size=max(1, n_base // 20), replace=False):
+        biid, bpx, bcap = base_rows[bi]
+        toks = bcap.split()
+        if len(toks) < 10:
+            continue
+        lo = int(rng.integers(1, 3))
+        hi = len(toks) - int(rng.integers(1, 3))
+        cap = " ".join(toks[lo:hi])
+        vid = add_row(_pixels(next_id, 16, 16, seed + 20_000_000), cap, "raw")
+        truth.root[vid] = biid
+        truth.kind[vid] = "substring_dup"
+
+    # near-dup images: 10% of base rows get a pixel-perturbed twin
+    for bi in rng.choice(n_base, size=max(1, n_base // 10), replace=False):
+        biid, bpx, bcap = base_rows[bi]
+        px = bpx.copy()
+        # nudge a handful of pixels by ±1 — phash moves ≤ 2 bits
+        idx = rng.integers(0, px.size, size=8)
+        flat = px.reshape(-1)
+        flat[idx] = np.clip(flat[idx].astype(np.int16) + 1, 0, 255).astype(np.uint8)
+        vid = add_row(px, _caption(rng, vocab), "raw")
+        truth.root[vid] = biid
+        truth.kind[vid] = "image_near_dup"
+
+    # skew probe: one caption repeated n_base//10 times
+    hot_cap = _caption(rng, vocab)
+    hot_root = None
+    for _ in range(max(2, n_base // 10)):
+        vid = add_row(_pixels(next_id, 16, 16, seed + 30_000_000), hot_cap, "raw")
+        truth.skew_caption_ids.append(vid)
+        if hot_root is None:
+            hot_root = vid
+        else:
+            truth.root[vid] = hot_root
+            truth.kind[vid] = "skew_exact_caption"
+
+    table = pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+        },
+        schema=IMAGES_SCHEMA,
+    )
+    return table, truth

