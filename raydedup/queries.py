@@ -1,0 +1,440 @@
+"""The driver-facing query surface: one entry per implemented operator
+(SURVEY.md §2 + the training-data operators), each over the shared
+parquet tables in ``sf_dir``, with a matching DuckDB oracle where the
+semantics are SQL-expressible.
+
+Column names are kept identical between the Ray pipelines and the SQL
+strings (the correctness driver hashes values by sorted column name).
+Float-producing queries avoid order-dependent float sums: every emitted
+float is a single division of exactly-computed values, identical in
+both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------- dedup
+def q_exact_dedup_docs(sf_dir: str):
+    from raydedup.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds, ["text"], "doc_id").select_columns(["doc_id"])
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    """Flagship near-dup clustering over the documents table (text-only
+    profile of the image pipeline). Returns (image_id→doc member,
+    cluster_id) for every doc participating in a candidate pair."""
+    from raydedup.pipeline import DedupConfig, dedup_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cfg = DedupConfig(
+        id_col="doc_id",
+        text_col="text",
+        phash_col=None,
+        use_simhash=False,
+        use_substring=False,
+        use_exact=True,
+        signature_concurrency=4,
+    )
+    out = dedup_pipeline(ds, cfg)
+    clusters = out["clusters"]
+    if not isinstance(clusters, pa.Table):
+        clusters = pa.concat_tables(
+            [b for b in clusters.iter_batches(batch_format="pyarrow")]
+        )
+    return clusters.rename_columns(["doc_id", "cluster_id"])
+
+
+def q_lsh_candidate_pairs_docs(sf_dir: str):
+    """Raw banded-LSH candidate pairs (reference ``MinHashLSH.query``
+    semantics: unfiltered union over bands)."""
+    from raydedup.pipeline import DedupConfig, dedup_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cfg = DedupConfig(
+        id_col="doc_id",
+        text_col="text",
+        phash_col=None,
+        use_simhash=False,
+        use_substring=False,
+        use_exact=False,
+        signature_concurrency=4,
+    )
+    return dedup_pipeline(ds, cfg)["pairs"]
+
+
+def q_substring_pairs_docs(sf_dir: str):
+    from raydedup.stages.dedup import substring_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return substring_pairs(ds, "doc_id", "text", window=4)
+
+
+def q_ngram_jaccard_docs(sf_dir: str):
+    from raydedup.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_simhash_docs(sf_dir: str):
+    """64-bit Charikar simhash per document over word-trigram features
+    (stored as signed int64 for parquet/SQL friendliness)."""
+    from raydedup.hashing import word_ngram_shingles
+    from raydedup.simhash import simhash_from_tokens
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = [sorted(word_ngram_shingles(t or "", n=3)) for t in batch.column("text").to_pylist()]
+        sh = simhash_from_tokens(toks)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "simhash": pa.array(sh.view(np.int64), pa.int64())}
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from raydedup.stages.dedup import embedding_near_dup_exact
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dup_exact(ds, threshold=0.45)
+
+
+# ----------------------------------------------------------------- text ops
+def q_token_counts(sf_dir: str):
+    from raydedup.stages.text import token_count_batch
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(lambda t: token_count_batch(t), batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+    )
+
+
+def q_doc_quality(sf_dir: str):
+    from raydedup.stages.text import QualityStage
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(QualityStage, batch_format="pyarrow", concurrency=(1, 4))
+        .select_columns(
+            ["doc_id", "q_n_chars", "q_punct_ratio", "q_digit_ratio", "q_stopword_ratio", "q_mean_word_len"]
+        )
+    )
+
+
+def q_langid_docs(sf_dir: str):
+    from raydedup.stages.text import LangIdStage
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+        .select_columns(["doc_id", "lang_pred", "lang_score"])
+    )
+
+
+def q_fingerprint_docs(sf_dir: str):
+    from raydedup.stages.text import fingerprint_batch
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(lambda t: fingerprint_batch(t), batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint"])
+    )
+
+
+def q_top_terms(sf_dir: str):
+    """Corpus-wide term frequencies, top 20 (count desc, token asc) —
+    partial counts per batch, then a small groupby (pre-aggregation
+    pattern)."""
+    from collections import Counter
+
+    def explode_counts(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update((t or "").split())
+        return pa.table(
+            {"token": pa.array(list(c.keys()), pa.string()), "n_part": pa.array(list(c.values()), pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    ds = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(explode_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    return ds.sort(["n", "token"], descending=[True, False]).limit(20)
+
+
+# --------------------------------------------------------- aggregates / SQL
+def q_docs_per_source(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    return (
+        _read(sf_dir, "documents", columns=["source", "n_chars"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"), Mean("n_chars", alias_name="avg_chars"))
+    )
+
+
+def q_events_per_type(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "events", columns=["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_distinct_users_exact(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    n = len(ds.unique("user_id"))
+    return pa.table({"n_users": pa.array([n], pa.int64())})
+
+
+def q_hll_users_per_type(sf_dir: str):
+    """Approximate distinct users per event type via the mergeable HLL
+    AggregateFn (p=12) — reference semantics ``hyperloglog.py:103-183``."""
+    from raydedup.hll import hll_aggregate_fn
+
+    return (
+        _read(sf_dir, "events", columns=["event_type", "user_id"])
+        .groupby("event_type")
+        .aggregate(hll_aggregate_fn("user_id", p=12, alias_name="ndv_users"))
+    )
+
+
+def q_window_counts(sf_dir: str):
+    """Tumbling 1-hour window counts per user (streaming-shaped op)."""
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())  # µs since epoch
+        win = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        return batch.append_column("win", win)
+
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(add_window, batch_format="pyarrow")
+        .groupby(["user_id", "win"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_lineitem_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n"))
+    )
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast join: customer (small side) shipped once via ray.put,
+    dict lookup per batch — no shuffle (ray_guide joins pattern)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
+    seg_ref = ray.put({r["c_custkey"]: r["c_mktsegment"] for r in cust})
+
+    def attach(batch: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        keys = batch.column("o_custkey").to_pylist()
+        return batch.append_column(
+            "c_mktsegment", pa.array([seg.get(k) for k in keys], pa.string())
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------- ANN
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-10 for query vectors vec_id ∈ {0,1,2} (self
+    excluded); broadcast query matrix + per-batch matmul + global merge."""
+    from raydedup.stages.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in ds.take_all() if r["vec_id"] in (0, 1, 2)), key=lambda r: r["vec_id"]
+    )
+    qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    top = brute_force_topk(ds, qvecs, k=11)  # 11 then drop self
+
+    def drop_self(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(
+            pc.cast(batch.column("query_idx"), pa.int64()), pc.cast(batch.column("vec_id"), pa.int64())
+        )
+        return batch.filter(keep)
+
+    filtered = top.map_batches(drop_self, batch_format="pyarrow")
+
+    def topk(group: pa.Table) -> pa.Table:
+        cos = group.column("cos").to_numpy(zero_copy_only=False)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -cos))[:10]
+        return group.take(pa.array(order))
+
+    return (
+        filtered.groupby("query_idx")
+        .map_groups(topk, batch_format="pyarrow")
+        .select_columns(["query_idx", "vec_id"])
+    )
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    """Scale-path ANN: hyperplane-bucketed candidates then exact rerank
+    (approximate — no SQL oracle)."""
+    from raydedup.stages.ann import add_hyperplane_bucket, brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    bucketed = add_hyperplane_bucket(ds, bits=4)
+    rows = [r for r in bucketed.take_all() if r["vec_id"] in (0, 1, 2)]
+    rows.sort(key=lambda r: r["vec_id"])
+    out = []
+    for r in rows:
+        cands = bucketed.filter(lambda x, b=r["bucket"]: x["bucket"] == b)
+        top = brute_force_topk(
+            cands, np.array([r["embedding"]], dtype=np.float64), k=11
+        ).take_all()
+        for t in top:
+            if t["vec_id"] != r["vec_id"]:
+                out.append({"query_id": r["vec_id"], "vec_id": t["vec_id"], "cos": t["cos"]})
+    t = pa.table(
+        {
+            "query_id": pa.array([o["query_id"] for o in out], pa.int64()),
+            "vec_id": pa.array([o["vec_id"] for o in out], pa.int64()),
+        }
+    )
+    return t
+
+
+# ------------------------------------------------------------------ oracles
+ORACLES: dict[str, str] = {
+    "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    "token_counts": r"SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens FROM documents",
+    "doc_quality": r"""
+        WITH t AS (
+          SELECT doc_id, text, length(text) AS nc,
+                 list_filter(str_split(lower(text), ' '), x -> x <> '') AS words
+          FROM documents
+        )
+        SELECT doc_id,
+               nc AS q_n_chars,
+               length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) / greatest(nc, 1) AS q_punct_ratio,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(nc, 1) AS q_digit_ratio,
+               len(list_filter(words, w -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on','as','at','by'], w)))
+                 / greatest(len(words), 1) AS q_stopword_ratio,
+               list_aggregate(list_transform(words, w -> length(w)), 'sum') / greatest(len(words), 1) AS q_mean_word_len
+        FROM t
+    """,
+    "top_terms": r"""
+        SELECT token, count(*) AS n FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+          FROM documents
+        ) GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    """,
+    "docs_per_source": "SELECT source, count(*) AS n, avg(n_chars) AS avg_chars FROM documents GROUP BY source",
+    "events_per_type": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "distinct_users_exact": "SELECT count(DISTINCT user_id) AS n_users FROM events",
+    "window_counts": (
+        "SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS win, count(*) AS n "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "lineitem_agg": (
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n "
+        "FROM lineitem GROUP BY 1, 2"
+    ),
+    "orders_by_segment": (
+        "SELECT c_mktsegment, count(*) AS n_orders FROM orders "
+        "JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+    ),
+    "substring_pairs_docs": (
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a JOIN documents b "
+        "ON a.doc_id <> b.doc_id AND length(a.text) < length(b.text) "
+        "AND position(' ' || a.text || ' ' IN ' ' || b.text || ' ') > 0"
+    ),
+    "ngram_jaccard_docs": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(list_filter(str_split(lower(text), ' '), x -> x <> '')) - 2, 0)),
+                   i -> list_filter(str_split(lower(text), ' '), x -> x <> '')[i] || ' ' ||
+                        list_filter(str_split(lower(text), ' '), x -> x <> '')[i+1] || ' ' ||
+                        list_filter(str_split(lower(text), ' '), x -> x <> '')[i+2]
+                 )) AS sh
+          FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) >= 0.5
+    """,
+    "embedding_near_dup": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b "
+        "ON a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45"
+    ),
+    "ann_topk": """
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        s AS (
+          SELECT q.qid AS query_idx, e.vec_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos
+          FROM embeddings e JOIN q ON e.vec_id <> q.qid
+        )
+        SELECT query_idx, vec_id FROM (
+          SELECT query_idx, vec_id, row_number() OVER (PARTITION BY query_idx ORDER BY cos DESC, vec_id ASC) AS rk
+          FROM s
+        ) WHERE rk <= 10
+    """,
+}
+
+QUERIES = {
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "minhash_dedup_docs": q_minhash_dedup_docs,
+    "lsh_candidate_pairs_docs": q_lsh_candidate_pairs_docs,
+    "substring_pairs_docs": q_substring_pairs_docs,
+    "ngram_jaccard_docs": q_ngram_jaccard_docs,
+    "simhash_docs": q_simhash_docs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "token_counts": q_token_counts,
+    "doc_quality": q_doc_quality,
+    "langid_docs": q_langid_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "top_terms": q_top_terms,
+    "docs_per_source": q_docs_per_source,
+    "events_per_type": q_events_per_type,
+    "distinct_users_exact": q_distinct_users_exact,
+    "hll_users_per_type": q_hll_users_per_type,
+    "window_counts": q_window_counts,
+    "lineitem_agg": q_lineitem_agg,
+    "orders_by_segment": q_orders_by_segment,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}

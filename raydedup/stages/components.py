@@ -62,8 +62,8 @@ def components_driver(pairs_ds) -> pa.Table:
     ids = sorted(lab)
     return pa.table(
         {
-            "image_id": pa.array(ids, pa.string()),
-            "cluster_id": pa.array([lab[i] for i in ids], pa.string()),
+            "image_id": pa.array(ids),
+            "cluster_id": pa.array([lab[i] for i in ids]),
         }
     )
 
