@@ -20,6 +20,25 @@ Design notes (vs the reference):
   so candidate sets and clusters match at identical config.
 """
 
+def _set_default_shuffle_strategy() -> None:
+    """Select Ray Data's hash-based shuffle at import time.
+
+    Key-partitioned repartition (``repartition(keys=...)``, the engine's
+    core bucket-shuffle primitive — stages/grouped.py) requires
+    ``ShuffleStrategy.HASH_SHUFFLE``, and each Dataset snapshots the
+    DataContext at creation, so the strategy must be set before any
+    dataset is built. Hash shuffle also serves the ordinary groupby
+    aggregates well."""
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    except Exception:  # pragma: no cover - older/newer ray fallback
+        pass
+
+
+_set_default_shuffle_strategy()
+
 from raydedup.hashing import (
     sha1_hash32,
     sha1_hash64,

@@ -25,7 +25,12 @@ from dataclasses import dataclass, field, asdict
 import pyarrow as pa
 
 from raydedup.params import optimal_param
-from raydedup.stages.bands import candidate_pairs, explode_minhash_bands, explode_simhash_bands
+from raydedup.stages.bands import (
+    candidate_pairs,
+    explode_minhash_bands,
+    explode_simhash_bands,
+    simhash_candidate_pairs,
+)
 from raydedup.stages.components import connected_components
 from raydedup.stages.dedup import exact_dup_pairs, substring_pairs
 from raydedup.stages.signatures import SignatureStage
@@ -91,6 +96,10 @@ class Checkpointer:
                     return rd.read_parquet(stage_dir)
         t0 = time.perf_counter()
         ds = build()
+        if not self.root:
+            # no checkpoint dir: pin the stage output in the object store
+            # (timed) so downstream consumers never re-run the build
+            ds = ds.materialize()
         if self.root:
             stage_dir = os.path.join(self.root, name)
             tmp = stage_dir + ".tmp"
@@ -126,6 +135,9 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
     ``pairs``, ``clusters`` Datasets (clusters may be an Arrow table when
     the driver DSU path is taken) and ``metrics``."""
     cfg = config or DedupConfig()
+    from raydedup.stages.grouped import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
     b, r = cfg.band_params
     ck = Checkpointer(cfg.checkpoint_dir, cfg.fingerprint())
 
@@ -147,54 +159,85 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
             num_cpus=1,
         )
 
+    # The signature table is consumed by several downstream branches
+    # (minhash bands, simhash bands, exact/substring, verification); the
+    # checkpoint (or in-memory materialize) pins it so the lazy plan is
+    # never duplicated per branch.
     signatures = ck.run("signatures", build_signatures)
-    if cfg.checkpoint_dir is None:
-        # The signature table is consumed by several downstream branches
-        # (minhash bands, simhash bands, verification). Without a
-        # checkpoint it must be pinned once — otherwise the lazy plan is
-        # duplicated per branch (two actor pools, double compute). At
-        # scale the checkpoint dir plays this role on disk.
-        signatures = signatures.materialize()
 
-    def build_pairs():
+    # Each candidate source runs as its own (checkpointable) execution:
+    # one or two shuffle operators at a time keeps the aggregator-actor
+    # footprint bounded on small sessions, serializes peak shuffle
+    # memory at scale, and gives per-branch resume points. All branches
+    # read the materialized signature table (it keeps id/caption/phash)
+    # — never the raw input lineage, which would re-execute the read per
+    # branch and can wedge the streaming scheduler behind a blocking
+    # repartition.
+    branches = {}
+
+    def build_minhash_pairs():
         bands = signatures.map_batches(
             lambda t: explode_minhash_bands(t, b, r, cfg.id_col, cfg.num_perm),
             batch_format="pyarrow",
         )
-        if cfg.use_simhash and cfg.phash_col:
-            sim = signatures.map_batches(
+        return candidate_pairs(
+            bands, cfg.id_col, bucket_cap=cfg.bucket_cap, num_partitions=cfg.num_partitions
+        )
+
+    branches["pairs_minhash"] = build_minhash_pairs
+
+    if cfg.use_simhash and cfg.phash_col:
+
+        def build_simhash_pairs():
+            sim_bands = signatures.map_batches(
                 lambda t: explode_simhash_bands(t, cfg.simhash_bands, cfg.id_col),
                 batch_format="pyarrow",
             )
-            bands = bands.union(sim)
-        pairs = candidate_pairs(bands, cfg.id_col, bucket_cap=cfg.bucket_cap)
-        extra = []
-        if cfg.use_exact:
-            extra.append(exact_dup_pairs(ds, [cfg.text_col, "phash"] if cfg.phash_col else [cfg.text_col], cfg.id_col))
-        if cfg.use_substring:
-            extra.append(
-                substring_pairs(ds, cfg.id_col, cfg.text_col, window=cfg.substring_window)
+            # simhash pairs are Hamming-verified inside the bucket —
+            # unverified 16-bit band collisions flood components at scale
+            return simhash_candidate_pairs(
+                sim_bands,
+                cfg.id_col,
+                max_hamming=cfg.simhash_bands - 1,
+                num_partitions=cfg.num_partitions,
             )
-        for e in extra:
-            pairs = pairs.union(e)
-        if extra:
-            from ray.data.aggregate import Count
 
-            pairs = (
-                pairs.groupby(["id_a", "id_b"])
-                .aggregate(Count(alias_name="n"))
-                .select_columns(["id_a", "id_b"])
-            )
+        branches["pairs_simhash"] = build_simhash_pairs
+
+    if cfg.use_exact:
+        branches["pairs_exact"] = lambda: exact_dup_pairs(
+            signatures,
+            [cfg.text_col, cfg.phash_col] if cfg.phash_col else [cfg.text_col],
+            cfg.id_col,
+        )
+    if cfg.use_substring:
+        branches["pairs_substring"] = lambda: substring_pairs(
+            signatures,
+            cfg.id_col,
+            cfg.text_col,
+            window=cfg.substring_window,
+            num_partitions=cfg.num_partitions,
+        )
+
+    pair_sets = [ck.run(name, build) for name, build in branches.items()]
+
+    def build_pairs():
+        pairs = pair_sets[0]
+        for e in pair_sets[1:]:
+            pairs = pairs.union(e)
+        if len(pair_sets) > 1:
+            from raydedup.stages.grouped import unique_rows_partitioned
+
+            pairs = unique_rows_partitioned(pairs, ["id_a", "id_b"], cfg.num_partitions)
         if cfg.verify_jaccard:
             pairs = verify_pairs(
                 pairs, signatures, cfg.id_col, cfg.threshold, cfg.num_perm, cfg.num_partitions
             ).select_columns(["id_a", "id_b"])
         return pairs
 
-    pairs = ck.run("pairs", build_pairs)
     # the pair table is tiny relative to the corpus (near-dup edges only);
-    # materialize so components' count + iterate don't re-run the shuffle
-    pairs = pairs.materialize()
+    # ck.run pins it so components' count + iterate don't re-run the shuffle
+    pairs = ck.run("pairs", build_pairs)
 
     t0 = time.perf_counter()
     clusters = connected_components(pairs, num_partitions=cfg.num_partitions)

@@ -20,6 +20,9 @@ import pyarrow.compute as pc
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
+    from raydedup.stages.grouped import ensure_hash_shuffle
+
+    ensure_hash_shuffle()  # datasets snapshot the context at creation
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 

@@ -1,11 +1,12 @@
-"""Banded LSH as a groupby shuffle: band explode → bucket groupby → pairs.
+"""Banded LSH as a groupby shuffle: band explode → bucket partition → pairs.
 
 The reference's ``MinHashLSH.insert`` appends keys into ``b`` mutable
 hash tables (``datasketch/lsh.py:326-347``) and ``query`` unions bucket
 members (``lsh.py:370-432``). Here the "index" is a table: each row
-explodes into ``b`` slim ``(bucket, id)`` rows, a single
-``groupby(bucket)`` shuffle co-locates each LSH bucket, and pair
-emission inside ``map_groups`` replaces query-time lookups.
+explodes into ``b`` slim ``(bucket, id)`` rows, one hash-partition
+shuffle co-locates each LSH bucket, and vectorized run processing over
+sorted partitions replaces query-time lookups (stages/grouped.py — a
+Python call per *partition*, not per bucket).
 
 Scale design:
 - the exploded table carries ONLY ``(bucket: uint64, id)`` — the band's
@@ -19,12 +20,17 @@ Scale design:
   exact pre-collapse (dedup.exact stage) first so only genuinely hot
   near-dup floods hit the cap. ``bucket_stats`` is the reference's
   ``get_counts`` (``lsh.py:560-589``) re-expressed for monitoring.
+- simhash candidate pairs are verified against the TRUE 64-bit Hamming
+  distance inside the bucket: an unverified 16-bit band collides for a
+  random pair with p ≈ 4·2⁻¹⁶, which floods components at n ≥ 10⁵.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from raydedup.stages.grouped import map_key_runs, unique_rows_partitioned
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
@@ -59,8 +65,9 @@ def explode_minhash_bands(batch: pa.Table, b: int, r: int, id_col: str, num_perm
 
 
 def explode_simhash_bands(batch: pa.Table, num_bands: int, id_col: str, simhash_col: str = "simhash") -> pa.Table:
-    """map_batches fn: 64-bit simhash → (id, bucket) rows, one per
-    bit-band (pigeonhole: Hamming ≤ num_bands-1 ⇒ ≥1 shared band)."""
+    """map_batches fn: 64-bit simhash → (id, bucket, sh) rows, one per
+    bit-band (pigeonhole: Hamming ≤ num_bands-1 ⇒ ≥1 shared band). The
+    full word rides along (8 B/row) for in-bucket Hamming verification."""
     from raydedup.simhash import hamming_band_keys
 
     words = batch.column(simhash_col).to_numpy(zero_copy_only=False)
@@ -72,50 +79,83 @@ def explode_simhash_bands(batch: pa.Table, num_bands: int, id_col: str, simhash_
     h *= _FNV_PRIME
     ids = batch.column(id_col)
     idx = np.repeat(np.arange(len(batch), dtype=np.int64), num_bands)
-    return pa.table({id_col: ids.take(pa.array(idx)), "bucket": pa.array(h, pa.uint64())})
+    return pa.table(
+        {
+            id_col: ids.take(pa.array(idx)),
+            "bucket": pa.array(h, pa.uint64()),
+            "sh": pa.array(np.repeat(words, num_bands), pa.uint64()),
+        }
+    )
 
 
-def make_pair_emitter(id_col: str, bucket_cap: int = 512):
-    """map_groups fn over the bucket groupby: emit candidate pairs
-    (id_a < id_b). Buckets above ``bucket_cap`` emit a star from the min
-    id (component-equivalent; see module docstring)."""
-
-    def emit(group: pa.Table) -> pa.Table:
-        typ = group.column(id_col).type
-        ids = sorted(set(group.column(id_col).to_pylist()))
-        m = len(ids)
+def _emit_pairs_from_runs(ids: np.ndarray, starts, ends, bucket_cap: int):
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        run = np.unique(ids[s:e])
+        m = len(run)
         if m < 2:
-            return pa.table({"id_a": pa.array([], typ), "id_b": pa.array([], typ)})
+            continue
         if m <= bucket_cap:
-            a = []
-            bb = []
-            for i in range(m - 1):
-                a.extend([ids[i]] * (m - 1 - i))
-                bb.extend(ids[i + 1 :])
+            iu = np.triu_indices(m, 1)
+            out_a.append(run[iu[0]])
+            out_b.append(run[iu[1]])
+        else:  # star from min id — component-equivalent (see module doc)
+            out_a.append(np.repeat(run[:1], m - 1))
+            out_b.append(run[1:])
+    if out_a:
+        return np.concatenate(out_a), np.concatenate(out_b)
+    return None, None
+
+
+def candidate_pairs(band_ds, id_col: str, bucket_cap: int = 512, num_partitions: int = 32):
+    """bucket hash-partition → vectorized run pair emission → global
+    pair dedupe (the reference's query-side set-union, ``lsh.py:423-432``)."""
+
+    def emit(block: pa.Table, starts, ends) -> pa.Table:
+        typ = block.column(id_col).type
+        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        a, b = _emit_pairs_from_runs(ids, starts, ends, bucket_cap)
+        if a is None:
+            return pa.table({"id_a": pa.array([], typ), "id_b": pa.array([], typ)})
+        return pa.table({"id_a": pa.array(a, typ), "id_b": pa.array(b, typ)})
+
+    pairs = map_key_runs(band_ds, "bucket", emit, num_partitions)
+    return unique_rows_partitioned(pairs, ["id_a", "id_b"], num_partitions)
+
+
+def simhash_candidate_pairs(
+    band_ds, id_col: str, max_hamming: int, bucket_cap: int = 4096, num_partitions: int = 32
+):
+    """bucket hash-partition → Hamming-verified pairs → global dedupe."""
+    from raydedup.simhash import hamming_distance64
+
+    def emit(block: pa.Table, starts, ends) -> pa.Table:
+        typ = block.column(id_col).type
+        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        sh = block.column("sh").to_numpy(zero_copy_only=False)
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            run_ids, idx = np.unique(ids[s:e], return_index=True)
+            m = len(run_ids)
+            if m < 2 or m > bucket_cap:
+                # oversized buckets are degenerate (constant phash
+                # floods); the exact pre-collapse pass covers them
+                continue
+            w = sh[s:e][idx]
+            d = hamming_distance64(w[:, None], w[None, :])
+            iu = np.triu_indices(m, 1)
+            keep = d[iu] <= max_hamming
+            out_a.append(run_ids[iu[0][keep]])
+            out_b.append(run_ids[iu[1][keep]])
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
         else:
-            a = [ids[0]] * (m - 1)
-            bb = ids[1:]
-        return pa.table({"id_a": pa.array(a, typ), "id_b": pa.array(bb, typ)})
+            a = b = []
+        return pa.table({"id_a": pa.array(a, typ), "id_b": pa.array(b, typ)})
 
-    return emit
-
-
-def candidate_pairs(band_ds, id_col: str, bucket_cap: int = 512):
-    """bucket groupby → pair emission → global pair dedupe.
-
-    Two shuffles: (1) on ``bucket`` (the LSH join key), (2) on the pair
-    itself to drop duplicates from multi-band collisions (the
-    reference's query-side set-union, ``lsh.py:423-432``)."""
-    from ray.data.aggregate import Count
-
-    pairs = band_ds.groupby("bucket").map_groups(
-        make_pair_emitter(id_col, bucket_cap), batch_format="pyarrow"
-    )
-    return (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["id_a", "id_b"])
-    )
+    pairs = map_key_runs(band_ds, "bucket", emit, num_partitions)
+    return unique_rows_partitioned(pairs, ["id_a", "id_b"], num_partitions)
 
 
 def bucket_stats(band_ds):

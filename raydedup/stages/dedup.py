@@ -32,46 +32,73 @@ def add_content_hash(batch: pa.Table, cols: list[str], out_col: str = "content_h
     return batch.append_column(out_col, pa.array(hashes, pa.string()))
 
 
-def exact_dedup(ds, key_cols: list[str], id_col: str, keep_payload: bool = True):
+def exact_dedup(ds, key_cols: list[str], id_col: str, keep_payload: bool = True, num_partitions: int = 32):
     """Keep one representative (min id) per identical content.
 
-    hash in map_batches (cheap, parallel) → groupby(content_hash) →
-    min-id per group. Only the hash + id transit the shuffle unless
-    ``keep_payload`` (then whole rows minus any pre-dropped blobs)."""
+    hash in map_batches (cheap, parallel) → hash-partition on
+    content_hash → per-run min-id (stages/grouped.py: one Python call
+    per partition, not per group). Only the hash + id transit the
+    shuffle unless ``keep_payload`` (then whole rows minus any
+    pre-dropped blobs)."""
+    from raydedup.stages.grouped import ensure_hash_shuffle, effective_partitions
+
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, key_cols), batch_format="pyarrow"
     )
     if not keep_payload:
         hashed = hashed.select_columns(["content_hash", id_col])
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        idx = pc.index(group.column(id_col), pc.min(group.column(id_col)))
-        return group.slice(int(idx.as_py()), 1)
+    ensure_hash_shuffle()
+    parted = hashed.repartition(
+        effective_partitions(num_partitions), keys=["content_hash"], sort=True
+    )
 
-    return hashed.groupby("content_hash").map_groups(keep_min, batch_format="pyarrow")
+    def keep_min_per_run(block: pa.Table) -> pa.Table:
+        if len(block) == 0:
+            return block
+        h = block.column("content_hash").to_numpy(zero_copy_only=False)
+        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        change = np.nonzero(h[1:] != h[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(h)]))
+        keep = np.array(
+            [s + np.argmin(ids[s:e]) for s, e in zip(starts, ends)], dtype=np.int64
+        )
+        return block.take(pa.array(keep))
+
+    return parted.map_batches(keep_min_per_run, batch_size=None, batch_format="pyarrow")
 
 
-def exact_dup_pairs(ds, key_cols: list[str], id_col: str):
+def exact_dup_pairs(ds, key_cols: list[str], id_col: str, num_partitions: int = 32):
     """(id_a < id_b) pairs of rows with identical content — each group
     emits a star from its min id (component-equivalent)."""
+    from raydedup.stages.grouped import map_key_runs
+
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, key_cols), batch_format="pyarrow"
     ).select_columns(["content_hash", id_col])
 
-    def star(group: pa.Table) -> pa.Table:
-        typ = group.column(id_col).type
-        ids = sorted(group.column(id_col).to_pylist())
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], typ), "id_b": pa.array([], typ)})
-        return pa.table(
-            {"id_a": pa.array([ids[0]] * (len(ids) - 1), typ), "id_b": pa.array(ids[1:], typ)}
-        )
+    def star_runs(block: pa.Table, starts, ends) -> pa.Table:
+        typ = block.column(id_col).type
+        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            run = np.unique(ids[s:e])
+            if len(run) < 2:
+                continue
+            out_a.append(np.repeat(run[:1], len(run) - 1))
+            out_b.append(run[1:])
+        if out_a:
+            return pa.table(
+                {"id_a": pa.array(np.concatenate(out_a), typ), "id_b": pa.array(np.concatenate(out_b), typ)}
+            )
+        return pa.table({"id_a": pa.array([], typ), "id_b": pa.array([], typ)})
 
-    return hashed.groupby("content_hash").map_groups(star, batch_format="pyarrow")
+    return map_key_runs(hashed, "content_hash", star_runs, num_partitions)
 
 
 # ------------------------------------------------------------ substring dedup
-def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_cpus: float = 1.0):
+def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partitions: int = 32):
     """(contained_id → id_a, container_id → id_b) pairs where one
     caption is a strict token-slice of another.
 
@@ -82,25 +109,27 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_cpus: f
     than ``window`` tokens are collected to the driver (tiny) and
     broadcast-checked — completeness, not a hot path."""
     import ray
-    from raydedup.suffix import anchor_hash, containment_pairs_in_group
+    from raydedup.stages.grouped import map_key_runs, unique_rows_partitioned
+    from raydedup.suffix import containment_pairs_in_group, window_anchor_hashes
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
+        memo: dict = {}
         a_ids, a_anchor, a_role, a_text = [], [], [], []
         for i, t in zip(ids, texts):
             toks = (t or "").split()
             if len(toks) < window:
                 continue  # short docs via the broadcast path
+            anchors = window_anchor_hashes(toks, window, memo)
             a_ids.append(i)
-            a_anchor.append(anchor_hash(toks[:window]))
+            a_anchor.append(anchors[0])  # query row: leading window
             a_role.append(0)
             a_text.append(t)
-            for s in range(len(toks) - window + 1):
-                a_ids.append(i)
-                a_anchor.append(anchor_hash(toks[s : s + window]))
-                a_role.append(1)
-                a_text.append(t)
+            a_ids.extend([i] * len(anchors))
+            a_anchor.extend(anchors.tolist())
+            a_role.extend([1] * len(anchors))
+            a_text.extend([t] * len(anchors))
         return pa.table(
             {
                 "anchor": pa.array(a_anchor, pa.uint64()),
@@ -112,22 +141,40 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_cpus: f
 
     exploded = ds.select_columns([id_col, text_col]).map_batches(explode, batch_format="pyarrow")
 
-    def per_group(group: pa.Table) -> pa.Table:
-        roles = group.column("role").to_pylist()
-        ids = group.column(id_col).to_pylist()
-        texts = group.column(text_col).to_pylist()
-        queries = [(i, t) for r, i, t in zip(roles, ids, texts) if r == 0]
-        containers = list({i: (i, t) for r, i, t in zip(roles, ids, texts) if r == 1}.values())
-        pairs = containment_pairs_in_group(queries, containers)
-        typ = group.column(id_col).type
-        return pa.table(
-            {
-                "id_a": pa.array([p[0] for p in pairs], typ),
-                "id_b": pa.array([p[1] for p in pairs], typ),
-            }
-        )
+    def per_runs(block: pa.Table, starts, ends) -> pa.Table:
+        typ = block.column(id_col).type
+        roles = block.column("role").to_numpy(zero_copy_only=False)
+        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        out_a, out_b = [], []
+        texts = None
+        for s, e in zip(starts, ends):
+            rr = roles[s:e]
+            if not (rr == 0).any() or len(np.unique(ids[s:e])) < 2:
+                continue  # no query in this anchor group, or single doc
+            if texts is None:  # lazy — most blocks never need the strings
+                texts = block.column(text_col).to_pylist()
+            # Dedupe by DISTINCT text before matching: exact-duplicate
+            # floods (the skew probe) otherwise turn one run into an
+            # m×m suffix-array scan. Verified (qtext, ctext) pairs are
+            # expanded back to all id combinations afterwards.
+            q_ids: dict = {}
+            c_ids: dict = {}
+            for k in range(s, e):
+                t = texts[k]
+                bucket = q_ids if roles[k] == 0 else c_ids
+                bucket.setdefault(t, set()).add(ids[k])
+            tpairs = containment_pairs_in_group(
+                sorted((t, t) for t in q_ids), sorted((t, t) for t in c_ids)
+            )
+            for qt, ct in tpairs:
+                for qi in q_ids[qt]:
+                    for ci in c_ids[ct]:
+                        if qi != ci:
+                            out_a.append(qi)
+                            out_b.append(ci)
+        return pa.table({"id_a": pa.array(out_a, typ), "id_b": pa.array(out_b, typ)})
 
-    pairs = exploded.groupby("anchor").map_groups(per_group, batch_format="pyarrow", num_cpus=num_cpus)
+    pairs = map_key_runs(exploded, "anchor", per_runs, num_partitions)
 
     # short-query completeness path: collect docs with < window tokens
     short = ds.select_columns([id_col, text_col]).map_batches(
@@ -156,13 +203,7 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_cpus: f
             ds.select_columns([id_col, text_col]).map_batches(scan, batch_format="pyarrow")
         )
 
-    from ray.data.aggregate import Count
-
-    return (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n"))
-        .select_columns(["id_a", "id_b"])
-    )
+    return unique_rows_partitioned(pairs, ["id_a", "id_b"], num_partitions)
 
 
 # -------------------------------------------------- n-gram Jaccard (AllPairs)

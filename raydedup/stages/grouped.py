@@ -1,0 +1,112 @@
+"""Vectorized group processing: hash-partition + sort + per-block runs.
+
+``GroupedData.map_groups`` invokes Python once per group and builds an
+Arrow table per group — ruinous when the grouping key has millions of
+tiny groups (LSH buckets, anchor windows). This helper instead:
+
+1. ``repartition(P, keys=[...], sort=True)`` under the HASH_SHUFFLE
+   strategy — every group lands wholly inside one sorted block;
+2. ``map_batches(fn, batch_size=None)`` — fn sees a whole partition and
+   detects group runs with one ``np.unique`` call, skipping singleton
+   runs without touching Python per group.
+
+This is the engine's primitive for all bucket-shaped shuffles; the
+partition count P is the knob that maps to cluster width.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def ensure_hash_shuffle():
+    """Make the global DataContext safe+fast for hash shuffles: select
+    HASH_SHUFFLE (needed by keyed repartition) and clamp the default
+    shuffle parallelism to the CPU budget — the stock default (200
+    partitions → up to 64 aggregator actors) deadlocks sessions with few
+    CPUs. Datasets snapshot the context at creation, so call this before
+    building datasets (queries._read / pipeline entry do)."""
+    import os
+
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:  # pragma: no cover
+        cpus = 0
+    if not cpus:
+        cpus = os.cpu_count() or 8
+    ctx.default_hash_shuffle_parallelism = max(2, cpus)
+    return ctx
+
+
+def effective_partitions(requested: int) -> int:
+    """Clamp a partition count to the cluster's CPU budget. Each hash
+    shuffle spawns ~one aggregator actor per partition; asking for more
+    partitions than CPUs just multiplies actors (and can wedge a small
+    session), while on a big cluster the requested count scales up."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", requested))
+    except Exception:  # pragma: no cover
+        cpus = requested
+    return max(2, min(requested, cpus))
+
+
+def _run_bounds(block: pa.Table, keys: list[str]):
+    n = len(block)
+    change = np.zeros(n - 1, dtype=bool)
+    for k in keys:
+        col = block.column(k).to_numpy(zero_copy_only=False)
+        change |= col[1:] != col[:-1]
+    idx = np.nonzero(change)[0] + 1
+    starts = np.concatenate(([0], idx))
+    ends = np.concatenate((idx, [n]))
+    return starts, ends
+
+
+def map_key_runs(ds, keys: str | list[str], run_fn, num_partitions: int, **map_kwargs):
+    """Apply ``run_fn(block, starts, ends)`` to every hash partition.
+
+    ``block`` is a pyarrow.Table sorted by ``keys``; ``starts``/``ends``
+    are numpy index arrays delimiting runs with ≥ 2 rows (singleton
+    groups are pre-filtered — the common case for LSH buckets).
+    ``run_fn`` returns a pyarrow.Table.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    ensure_hash_shuffle()
+    parted = ds.repartition(effective_partitions(num_partitions), keys=keys, sort=True)
+
+    def per_block(block: pa.Table) -> pa.Table:
+        if len(block) == 0:
+            return run_fn(block, np.empty(0, np.int64), np.empty(0, np.int64))
+        starts, ends = _run_bounds(block, keys)
+        multi = (ends - starts) >= 2
+        return run_fn(block, starts[multi], ends[multi])
+
+    return parted.map_batches(per_block, batch_size=None, batch_format="pyarrow", **map_kwargs)
+
+
+def unique_rows_partitioned(ds, keys: list[str], num_partitions: int):
+    """Distinct rows over ``keys`` (projection included): hash-partition
+    + sort + keep first of each run — the vectorized replacement for
+    ``groupby(keys).count()``-style dedupe."""
+    ensure_hash_shuffle()
+    parted = ds.repartition(effective_partitions(num_partitions), keys=keys, sort=True)
+
+    def per_block(block: pa.Table) -> pa.Table:
+        block = block.select(keys)
+        if len(block) <= 1:
+            return block
+        starts, _ = _run_bounds(block, keys)
+        return block.take(pa.array(starts))
+
+    return parted.map_batches(per_block, batch_size=None, batch_format="pyarrow")

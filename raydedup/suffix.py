@@ -154,3 +154,27 @@ def containment_pairs_in_group(
                 if cid != qid and len(qcap) < len(ccap) and needle in f" {ccap} ":
                     out.append((qid, cid))
     return out
+
+
+_W_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_W_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def window_anchor_hashes(tokens: list[str], window: int, memo: dict) -> np.ndarray:
+    """64-bit anchors for every ``window``-token window of ``tokens``:
+    per-token SHA1-64 (memoized) folded with FNV — vectorized over
+    windows (no per-window crypto). Returns uint64[len(tokens)-window+1];
+    anchors[0] is the doc's leading-window (query) anchor."""
+    hv = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = memo.get(t)
+        if h is None:
+            h = struct.unpack("<Q", hashlib.sha1(t.encode("utf-8")).digest()[:8])[0]
+            memo[t] = h
+        hv[i] = h
+    n = len(tokens) - window + 1
+    out = np.full(n, _W_FNV_OFFSET, dtype=np.uint64)
+    for j in range(window):
+        out ^= hv[j : j + n]
+        out *= _W_FNV_PRIME
+    return out
