@@ -51,24 +51,44 @@ def minhash_batch(
     sig = np.full((n, num_perm), MAX_HASH, dtype=np.uint64)
 
     flat: list[bytes] = []
-    row_of: list[int] = []
+    counts = np.zeros(n, dtype=np.int64)
     for i, toks in enumerate(token_lists):
-        for t in toks:
-            flat.append(t)
-            row_of.append(i)
+        flat.extend(toks)
+        counts[i] = len(toks)
     if not flat:
         return sig
 
     hv = hash_tokens32(flat, memo)
-    rows = np.asarray(row_of, dtype=np.int64)
+    # rows with ≥1 token, in flat order; segment starts into hv
+    nz = np.nonzero(counts)[0]
+    starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+    total = len(hv)
 
-    # Permute+segment-min in chunks to bound peak memory.
-    for s in range(0, len(hv), chunk_tokens):
-        e = min(s + chunk_tokens, len(hv))
-        phv = (hv[s:e, None] * a + b) % MERSENNE_PRIME
+    # Permute + segment-min in chunks (bounds the (chunk, P) temporary).
+    # np.minimum.reduceat over contiguous row segments is ~100× faster
+    # than the unbuffered np.minimum.at scatter-min.
+    c0 = 0  # index into nz/starts of the first row whose segment is unfinished
+    while c0 < len(nz):
+        c1 = c0
+        while c1 < len(nz) and starts[c1] - starts[c0] < chunk_tokens:
+            c1 += 1
+        s = starts[c0]
+        e = starts[c1] if c1 < len(nz) else total
+        phv = hv[s:e, None] * a  # uint64 wrap-around, as in the reference
+        phv += b
+        # x % (2^61-1) without integer division (Mersenne reduction):
+        # x = hi·2^61 + lo ⇒ x ≡ hi + lo (mod p); one conditional
+        # subtract suffices since hi ≤ 7 ⇒ hi + lo < 2p. Bit-exact with
+        # the reference's `% _mersenne_prime` (minhash.py:293-297).
+        hi = phv >> np.uint64(61)
+        phv &= MERSENNE_PRIME
+        phv += hi
+        np.subtract(phv, MERSENNE_PRIME, out=phv, where=phv >= MERSENNE_PRIME)
         np.bitwise_and(phv, MAX_HASH, out=phv)
-        # segment min: np.minimum.at is the vectorized scatter-min
-        np.minimum.at(sig, rows[s:e], phv)
+        seg = np.minimum.reduceat(phv, starts[c0:c1] - s, axis=0)
+        np.minimum(sig[nz[c0:c1]], seg, out=seg)
+        sig[nz[c0:c1]] = seg
+        c0 = c1
     return sig
 
 
