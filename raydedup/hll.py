@@ -108,3 +108,43 @@ def hll_aggregate_fn(column: str, p: int = 8, alias_name: str | None = None):
         finalize=lambda reg: float(HllSketch(p, reg=reg).count()),
         name=name,
     )
+
+
+# HLL++-style 64-bit variant (reference HyperLogLogPlusPlus,
+# hyperloglog.py:323-381): 64-bit hash removes the large-range
+# correction; small range uses linear counting below the published
+# per-p thresholds (HLL++ paper, appendix). The reference additionally
+# subtracts an empirically-tabulated bias for 5m > e > threshold; we
+# omit that table (public but bulky), documented deviation: estimates in
+# that narrow band carry the uncorrected ~1-2% bias.
+_HLLPP_THRESHOLDS = {
+    4: 10, 5: 20, 6: 40, 7: 80, 8: 220, 9: 400, 10: 900, 11: 1800,
+    12: 3100, 13: 6500, 14: 11500, 15: 20000, 16: 50000,
+}
+
+
+class HllPlusPlusSketch(HllSketch):
+    """64-bit-hash register HLL (merge-compatible only with itself)."""
+
+    def __init__(self, p: int = 8, reg: np.ndarray | None = None):
+        super().__init__(p, reg)
+        self.max_rank = 64 - p
+
+    def update_tokens(self, tokens) -> None:
+        hv = np.fromiter(
+            (struct.unpack("<Q", hashlib.sha1(t).digest()[:8])[0] for t in tokens),
+            dtype=np.uint64,
+            count=len(tokens),
+        )
+        if len(hv):
+            self.update_hashes(hv)
+
+    def count(self) -> float:
+        num_zero = self.m - np.count_nonzero(self.reg)
+        if num_zero > 0:
+            lc = float(self.m * np.log(self.m / float(num_zero)))
+            if lc <= _HLLPP_THRESHOLDS.get(self.p, 2.5 * self.m):
+                return lc
+        return float(
+            self.alpha * float(self.m**2) / np.sum(2.0 ** (-self.reg.astype(np.float64)))
+        )

@@ -149,3 +149,37 @@ def band_keys_columns(sig: np.ndarray, b: int, r: int):
     keys = [buf[i * w : (i + 1) * w] for i in range(n * b)]
     band_idx = np.tile(np.arange(b, dtype=np.int32), n)
     return band_idx, keys
+
+
+def cardinality_estimate(sig: np.ndarray) -> np.ndarray:
+    """MinHash cardinality estimate ``num_perm / sum(hv / max_hash) - 1``
+    (reference ``datasketch/minhash.py:326-335``). Works on (P,) or (N, P)."""
+    sig = np.asarray(sig, dtype=np.float64)
+    k = sig.shape[-1]
+    return k / np.sum(sig / float(MAX_HASH), axis=-1) - 1.0
+
+
+def minhash_union_aggregate(column: str = "minhash", num_perm: int = 128, alias_name: str | None = None):
+    """``ray.data`` AggregateFn computing the MinHash *union* signature of
+    a group (elementwise min — reference ``minhash.py:337-359``): the
+    mergeable-sketch pattern, giving per-group signatures usable for
+    group-level similarity / cardinality without re-scanning tokens."""
+    from ray.data.aggregate import AggregateFn
+    from ray.data.block import BlockAccessor
+
+    name = alias_name or f"minhash_union({column})"
+
+    def accumulate_block(state: np.ndarray, block) -> np.ndarray:
+        from raydedup.schema import sig_to_numpy
+
+        tbl = BlockAccessor.for_block(block).to_arrow()
+        sig = sig_to_numpy(tbl.column(column), num_perm)
+        return np.minimum(state, sig.min(axis=0))
+
+    return AggregateFn(
+        init=lambda k: np.full(num_perm, MAX_HASH, dtype=np.uint64),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b: np.minimum(a, b),
+        finalize=lambda s: s.tolist(),
+        name=name,
+    )

@@ -441,3 +441,205 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
 }
+
+
+# --------------------------------------------- wider sketch/query surface
+def q_containment_pairs_docs(sf_dir: str):
+    """EXACT shingle-containment pairs (|A∩B|/|A| ≥ 0.5) via the
+    prefix-filtered inverted-index join (stages/topk.py)."""
+    from raydedup.stages.topk import containment_pairs_exact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return containment_pairs_exact(ds, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_topk_similar_docs(sf_dir: str):
+    """Forest-style top-10 most-similar (estimated Jaccard) for doc_ids
+    0..4 — broadcast queries + one scan (rows-only: estimates are not
+    SQL-reproducible)."""
+    from raydedup.hashing import generate_permutations, word_ngram_shingles
+    from raydedup.minhash import minhash_batch
+    from raydedup.stages.signatures import SignatureStage
+    from raydedup.stages.topk import topk_similar
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sig_ds = ds.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs=dict(num_perm=128, seed=1, shingle="word3", text_col="text", phash_col=None),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    qrows = sorted(
+        (r for r in ds.take_all() if r["doc_id"] in (0, 1, 2, 3, 4)), key=lambda r: r["doc_id"]
+    )
+    a, b = generate_permutations(128, 1)
+    qsigs = minhash_batch([sorted(word_ngram_shingles(r["text"], 3)) for r in qrows], a, b)
+    return topk_similar(sig_ds, qsigs, [r["doc_id"] for r in qrows], k=10, id_col="doc_id")
+
+
+def q_minhash_cardinality_docs(sf_dir: str):
+    """Per-doc distinct-shingle cardinality estimate from the MinHash
+    signature (reference ``minhash.py:326-335``); rows-only."""
+    import numpy as np
+
+    from raydedup.minhash import cardinality_estimate
+    from raydedup.schema import sig_to_numpy
+    from raydedup.stages.signatures import SignatureStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def est(batch: pa.Table) -> pa.Table:
+        sig = sig_to_numpy(batch.column("minhash"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "cardinality_est": pa.array(cardinality_estimate(sig), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs=dict(num_perm=128, seed=1, shingle="word3", text_col="text", phash_col=None),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        num_cpus=1,
+    ).map_batches(est, batch_format="pyarrow")
+
+
+def q_source_union_signatures(sf_dir: str):
+    """Group-level MinHash union signatures per source (mergeable-sketch
+    aggregate, reference ``minhash.py:337-359``); emits the estimated
+    distinct-shingle count per source. Rows-only."""
+    from raydedup.minhash import cardinality_estimate, minhash_union_aggregate
+    from raydedup.stages.signatures import SignatureStage
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    sig_ds = ds.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs=dict(num_perm=128, seed=1, shingle="word3", text_col="text", phash_col=None),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    agg = sig_ds.groupby("source").aggregate(minhash_union_aggregate("minhash", 128, alias_name="u"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sigs = np.array(batch.column("u").to_pylist(), dtype=np.uint64)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "ndv_shingles_est": pa.array(cardinality_estimate(sigs), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_hllpp_distinct_users(sf_dir: str):
+    """Global distinct users via the 64-bit HLL++-style sketch
+    (reference ``hyperloglog.py:323-381``); rows-only."""
+    import numpy as np
+
+    from raydedup.hll import HllPlusPlusSketch
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    sk = HllPlusPlusSketch(p=12)
+    for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        sk.update_tokens([str(v).encode() for v in batch.column("user_id").to_pylist()])
+    return pa.table({"ndv_users_hllpp": pa.array([sk.count()], pa.float64())})
+
+
+def q_weighted_minhash_embeddings(sf_dir: str):
+    """Ioffe weighted-MinHash samples over the (abs of the) embedding
+    vectors — the weighted-Jaccard sketch path (reference
+    ``weighted_minhash.py:114-159``); emits (vec_id, first_k, first_t).
+    Rows-only."""
+    import numpy as np
+
+    from raydedup.weighted import WeightedMinHashGenerator
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class WmhStage:
+        def __init__(self):
+            self.gen = WeightedMinHashGenerator(64, sample_size=32, seed=1)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = np.abs(np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)) + 1e-6
+            hashes = self.gen.minhash_batch(X)
+            ks = [int(h[0, 0]) if h is not None else -1 for h in hashes]
+            ts = [int(h[0, 1]) if h is not None else 0 for h in hashes]
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id"),
+                    "first_k": pa.array(ks, pa.int64()),
+                    "first_t": pa.array(ts, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(WmhStage, batch_format="pyarrow", batch_size=512, concurrency=(1, 4), num_cpus=1)
+
+
+def q_ensemble_containment_docs(sf_dir: str):
+    """LSH-Ensemble-style approximate containment candidates
+    (size-partitioned per-partition (b, r) banding); rows-only."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.signatures import SignatureStage
+    from raydedup.stages.topk import ensemble_containment_candidates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_size(batch: pa.Table) -> pa.Table:
+        from raydedup.hashing import word_ngram_shingles
+
+        sizes = [len(word_ngram_shingles(t or "", 3)) for t in batch.column("text").to_pylist()]
+        return batch.append_column("set_size", pa.array(sizes, pa.int64()))
+
+    sig_ds = ds.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs=dict(num_perm=128, seed=1, shingle="word3", text_col="text", phash_col=None),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        num_cpus=1,
+    ).map_batches(add_size, batch_format="pyarrow")
+    return ensemble_containment_candidates(
+        sig_ds, "doc_id", "set_size", threshold=0.5, num_perm=128, num_part=3, max_r=8
+    )
+
+
+ORACLES["containment_pairs_docs"] = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(list_filter(str_split(lower(text), ' '), x -> x <> '')) - 2, 0)),
+               i -> list_filter(str_split(lower(text), ' '), x -> x <> '')[i] || ' ' ||
+                    list_filter(str_split(lower(text), ' '), x -> x <> '')[i+1] || ' ' ||
+                    list_filter(str_split(lower(text), ' '), x -> x <> '')[i+2]
+             )) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh)) / len(a.sh) AS containment
+    FROM t a JOIN t b ON a.doc_id <> b.doc_id
+    WHERE len(a.sh) > 0
+      AND len(list_intersect(a.sh, b.sh)) / len(a.sh) >= 0.5
+"""
+
+QUERIES.update(
+    {
+        "containment_pairs_docs": q_containment_pairs_docs,
+        "topk_similar_docs": q_topk_similar_docs,
+        "minhash_cardinality_docs": q_minhash_cardinality_docs,
+        "source_union_signatures": q_source_union_signatures,
+        "hllpp_distinct_users": q_hllpp_distinct_users,
+        "weighted_minhash_embeddings": q_weighted_minhash_embeddings,
+        "ensemble_containment_docs": q_ensemble_containment_docs,
+    }
+)

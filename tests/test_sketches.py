@@ -1,0 +1,181 @@
+"""Conformance for the wider sketch surface: weighted MinHash, b-bit,
+cardinality, HLL++(64-bit), union aggregate, containment params."""
+
+import numpy as np
+import pytest
+
+from raydedup.hll import HllPlusPlusSketch
+from raydedup.minhash import cardinality_estimate, minhash_single
+from raydedup.weighted import (
+    WeightedMinHashGenerator,
+    bbit_compress,
+    bbit_jaccard,
+    weighted_jaccard_estimate,
+)
+
+
+def test_weighted_minhash_matches_reference(reference_datasketch):
+    ref_gen = reference_datasketch.WeightedMinHashGenerator(30, sample_size=64, seed=7)
+    gen = WeightedMinHashGenerator(30, sample_size=64, seed=7)
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        v = rng.integers(0, 10, 30).astype(float)
+        if (v == 0).all():
+            v[0] = 1
+        ours = gen.minhash(v)
+        theirs = ref_gen.minhash(v.copy())
+        assert np.array_equal(ours, theirs.hashvalues)
+
+
+def test_weighted_jaccard_matches_reference(reference_datasketch):
+    ref_gen = reference_datasketch.WeightedMinHashGenerator(50, sample_size=128, seed=1)
+    gen = WeightedMinHashGenerator(50, sample_size=128, seed=1)
+    rng = np.random.default_rng(1)
+    v1 = rng.integers(0, 5, 50).astype(float) + 1
+    v2 = v1.copy()
+    v2[:10] += 3
+    ours = weighted_jaccard_estimate(gen.minhash(v1), gen.minhash(v2))
+    theirs = ref_gen.minhash(v1.copy()).jaccard(ref_gen.minhash(v2.copy()))
+    assert ours == pytest.approx(theirs)
+
+
+def test_weighted_batch_empty_rows():
+    gen = WeightedMinHashGenerator(10, sample_size=16, seed=1)
+    X = np.array([[1, 0, 2, 0, 0, 0, 0, 0, 0, 0], [0] * 10], dtype=float)
+    out = gen.minhash_batch(X)
+    assert out[0] is not None and out[1] is None
+
+
+def test_bbit_matches_reference(reference_datasketch):
+    s1 = [f"w{i}".encode() for i in range(60)]
+    s2 = [f"w{i}".encode() for i in range(30, 90)]
+    m1 = reference_datasketch.MinHash(num_perm=128, seed=1)
+    m2 = reference_datasketch.MinHash(num_perm=128, seed=1)
+    m1.update_batch(s1)
+    m2.update_batch(s2)
+    for b in (1, 2, 4, 8, 16):
+        ref1 = reference_datasketch.bBitMinHash(m1, b=b)
+        ref2 = reference_datasketch.bBitMinHash(m2, b=b)
+        ours1 = bbit_compress(minhash_single(s1), b)
+        ours2 = bbit_compress(minhash_single(s2), b)
+        assert np.array_equal(ours1.astype(np.uint32), ref1.hashvalues)
+        j = bbit_jaccard(ours1, ours2, b=b)
+        assert float(j) == pytest.approx(ref1.jaccard(ref2))
+
+
+def test_cardinality_matches_reference(reference_datasketch):
+    toks = [f"x{i}".encode() for i in range(500)]
+    m = reference_datasketch.MinHash(num_perm=128, seed=1)
+    m.update_batch(toks)
+    ours = cardinality_estimate(minhash_single(toks))
+    assert float(ours) == pytest.approx(m.count())
+
+
+def test_hllpp_matches_reference_large_range(reference_datasketch):
+    """Above the bias-correction band (e > 5m) HLL++ uses the raw
+    estimator — registers and counts must match the reference exactly."""
+    items = [f"item-{i}".encode() for i in range(30_000)]
+    ref = reference_datasketch.HyperLogLogPlusPlus(p=8)
+    for it in items:
+        ref.update(it)
+    ours = HllPlusPlusSketch(p=8)
+    ours.update_tokens(items)
+    assert np.array_equal(ours.reg, ref.reg)
+    assert ours.count() == pytest.approx(ref.count())
+
+
+def test_minhash_union_aggregate(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.hashing import generate_permutations
+    from raydedup.minhash import merge_signatures, minhash_batch, minhash_union_aggregate
+    from raydedup.schema import numpy_to_sig
+
+    a, b = generate_permutations(32, 1)
+    docs = [[f"t{i}{j}".encode() for j in range(20)] for i in range(10)]
+    sig = minhash_batch(docs, a, b)
+    t = pa.table(
+        {
+            "grp": pa.array(["g1"] * 5 + ["g2"] * 5),
+            "minhash": numpy_to_sig(sig, 32),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .groupby("grp")
+        .aggregate(minhash_union_aggregate("minhash", 32, alias_name="u"))
+        .take_all()
+    )
+    got = {r["grp"]: np.array(r["u"], dtype=np.uint64) for r in out}
+    assert np.array_equal(got["g1"], merge_signatures(sig[:5]))
+    assert np.array_equal(got["g2"], merge_signatures(sig[5:]))
+
+
+def test_optimal_containment_param_matches_reference(reference_datasketch):
+    from datasketch.lshensemble import _optimal_param as ref_opt
+
+    from raydedup.stages.topk import optimal_containment_param
+
+    for thr in (0.5, 0.8):
+        for xq in (0.5, 1.0, 2.0):
+            assert optimal_containment_param(thr, 64, 8, xq) == ref_opt(thr, 64, 8, xq, 0.5, 0.5)
+
+
+def test_containment_pairs_exact(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.hashing import word_ngram_shingles
+    from raydedup.stages.topk import containment_pairs_exact
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(vocab[j] for j in rng.integers(0, 40, size=rng.integers(6, 20))) for i in range(60)]
+    # plant strict containments
+    texts[50] = texts[0] + " " + texts[1]
+    texts[51] = texts[2]
+    ids = list(range(60))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs_exact(
+            rd.from_arrow(t), "doc_id", "text", n=3, threshold=0.5, num_partitions=4
+        ).take_all()
+    }
+    # brute force oracle
+    sh = [word_ngram_shingles(x, 3) for x in texts]
+    want = {
+        (i, j)
+        for i in ids
+        for j in ids
+        if i != j and sh[i] and len(sh[i] & sh[j]) / len(sh[i]) >= 0.5
+    }
+    assert got == want
+
+
+def test_topk_similar(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.hashing import generate_permutations, word_ngram_shingles
+    from raydedup.minhash import minhash_batch
+    from raydedup.schema import numpy_to_sig
+    from raydedup.stages.topk import topk_similar
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(vocab[j] for j in rng.integers(0, 50, size=15)) for _ in range(40)]
+    a, b = generate_permutations(128, 1)
+    sig = minhash_batch([sorted(word_ngram_shingles(x, 3)) for x in texts], a, b)
+    t = pa.table(
+        {"image_id": pa.array([f"d{i:03d}" for i in range(40)]), "minhash": numpy_to_sig(sig)}
+    )
+    out = topk_similar(rd.from_arrow(t), sig[:3], ["d000", "d001", "d002"], k=5).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid in ("d000", "d001", "d002"):
+        rows = sorted(by_q[qid], key=lambda r: -r["jaccard"])
+        assert len(rows) == 5
+        assert rows[0]["image_id"] == qid and rows[0]["jaccard"] == 1.0
