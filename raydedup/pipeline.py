@@ -25,14 +25,9 @@ from dataclasses import dataclass, field, asdict
 import pyarrow as pa
 
 from raydedup.params import optimal_param
-from raydedup.stages.bands import (
-    candidate_pairs,
-    explode_minhash_bands,
-    explode_simhash_bands,
-    simhash_candidate_pairs,
-)
+from raydedup.stages.bands import fused_candidate_pairs
 from raydedup.stages.components import connected_components
-from raydedup.stages.dedup import exact_dup_pairs, substring_pairs
+from raydedup.stages.dedup import substring_pairs
 from raydedup.stages.signatures import SignatureStage
 from raydedup.stages.verify import verify_pairs
 
@@ -53,8 +48,14 @@ class DedupConfig:
     id_col: str = "image_id"
     text_col: str = "caption"
     phash_col: str | None = "phash"
-    signature_batch_size: int = 1024
+    signature_batch_size: int = 256  # cache-friendly: (tokens,128) permute temporary stays ~6 MB
     signature_concurrency: int = 8
+    # "tasks": stateless map tasks rebuilding the (tiny, seed-derived)
+    # permutation state per task — fastest here because task scheduling
+    # is elastic while an actor pool pays spin-up + ramp. "actors": the
+    # classic pool, for when the stage holds genuinely heavy state
+    # (models, large vocabularies).
+    signature_mode: str = "tasks"
     num_partitions: int = 16
     checkpoint_dir: str | None = None
 
@@ -142,21 +143,34 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
     ck = Checkpointer(cfg.checkpoint_dir, cfg.fingerprint())
 
     def build_signatures():
+        stage_kwargs = dict(
+            num_perm=cfg.num_perm,
+            seed=cfg.seed,
+            shingle=cfg.shingle,
+            text_col=cfg.text_col,
+            phash_col=cfg.phash_col if cfg.use_simhash else None,
+        )
+        if cfg.signature_mode == "actors":
+            return ds.map_batches(
+                SignatureStage,
+                fn_constructor_kwargs=stage_kwargs,
+                batch_format="pyarrow",
+                batch_size=cfg.signature_batch_size,
+                # autoscaling pool: never reserves every CPU up front, so
+                # the feeding read tasks can't be starved into a deadlock
+                concurrency=(1, cfg.signature_concurrency),
+                num_cpus=1,
+            )
+
+        holder: dict = {}
+
+        def fn(batch):
+            if "stage" not in holder:  # once per worker process
+                holder["stage"] = SignatureStage(**stage_kwargs)
+            return holder["stage"](batch)
+
         return ds.map_batches(
-            SignatureStage,
-            fn_constructor_kwargs=dict(
-                num_perm=cfg.num_perm,
-                seed=cfg.seed,
-                shingle=cfg.shingle,
-                text_col=cfg.text_col,
-                phash_col=cfg.phash_col if cfg.use_simhash else None,
-            ),
-            batch_format="pyarrow",
-            batch_size=cfg.signature_batch_size,
-            # autoscaling pool: never reserves every CPU up front, so the
-            # feeding read/map tasks can't be starved into a deadlock
-            concurrency=(1, cfg.signature_concurrency),
-            num_cpus=1,
+            fn, batch_format="pyarrow", batch_size=cfg.signature_batch_size, num_cpus=1
         )
 
     # The signature table is consumed by several downstream branches
@@ -165,51 +179,33 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
     # never duplicated per branch.
     signatures = ck.run("signatures", build_signatures)
 
-    # Each candidate source runs as its own (checkpointable) execution:
-    # one or two shuffle operators at a time keeps the aggregator-actor
-    # footprint bounded on small sessions, serializes peak shuffle
-    # memory at scale, and gives per-branch resume points. All branches
-    # read the materialized signature table (it keeps id/caption/phash)
-    # — never the raw input lineage, which would re-execute the read per
-    # branch and can wedge the streaming scheduler behind a blocking
-    # repartition.
+    # Candidate generation: MinHash bands + Hamming-verified SimHash
+    # bands + exact content-hash groups share ONE unified (id, bucket,
+    # aux, mode) table and ONE shuffle (stages/bands.fused_candidate_pairs)
+    # — per-branch shuffles tripled the fixed execution cost and starved
+    # scaling at small corpus sizes. Substring dedup stays its own
+    # (checkpointable) execution: it must carry caption text. All
+    # branches read the materialized signature table — never the raw
+    # input lineage, which would re-execute the read per branch and can
+    # wedge the streaming scheduler behind a blocking repartition.
     branches = {}
-
-    def build_minhash_pairs():
-        bands = signatures.map_batches(
-            lambda t: explode_minhash_bands(t, b, r, cfg.id_col, cfg.num_perm),
-            batch_format="pyarrow",
-        )
-        return candidate_pairs(
-            bands, cfg.id_col, bucket_cap=cfg.bucket_cap, num_partitions=cfg.num_partitions
-        )
-
-    branches["pairs_minhash"] = build_minhash_pairs
-
-    if cfg.use_simhash and cfg.phash_col:
-
-        def build_simhash_pairs():
-            sim_bands = signatures.map_batches(
-                lambda t: explode_simhash_bands(t, cfg.simhash_bands, cfg.id_col),
-                batch_format="pyarrow",
-            )
-            # simhash pairs are Hamming-verified inside the bucket —
-            # unverified 16-bit band collisions flood components at scale
-            return simhash_candidate_pairs(
-                sim_bands,
-                cfg.id_col,
-                max_hamming=cfg.simhash_bands - 1,
-                num_partitions=cfg.num_partitions,
-            )
-
-        branches["pairs_simhash"] = build_simhash_pairs
-
-    if cfg.use_exact:
-        branches["pairs_exact"] = lambda: exact_dup_pairs(
-            signatures,
-            [cfg.text_col, cfg.phash_col] if cfg.phash_col else [cfg.text_col],
-            cfg.id_col,
-        )
+    branches["pairs_bands"] = lambda: fused_candidate_pairs(
+        signatures,
+        cfg.id_col,
+        b,
+        r,
+        num_perm=cfg.num_perm,
+        simhash_bands=cfg.simhash_bands if (cfg.use_simhash and cfg.phash_col) else 0,
+        max_hamming=cfg.simhash_bands - 1,
+        exact_cols=(
+            tuple([cfg.text_col, cfg.phash_col] if cfg.phash_col else [cfg.text_col])
+            if cfg.use_exact
+            else ()
+        ),
+        bucket_cap=cfg.bucket_cap,
+        num_partitions=cfg.num_partitions,
+        dedupe=False,  # deduped globally below, together with substring pairs
+    )
     if cfg.use_substring:
         branches["pairs_substring"] = lambda: substring_pairs(
             signatures,
@@ -225,10 +221,9 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
         pairs = pair_sets[0]
         for e in pair_sets[1:]:
             pairs = pairs.union(e)
-        if len(pair_sets) > 1:
-            from raydedup.stages.grouped import unique_rows_partitioned
+        from raydedup.stages.grouped import unique_rows_partitioned
 
-            pairs = unique_rows_partitioned(pairs, ["id_a", "id_b"], cfg.num_partitions)
+        pairs = unique_rows_partitioned(pairs, ["id_a", "id_b"], cfg.num_partitions)
         if cfg.verify_jaccard:
             pairs = verify_pairs(
                 pairs, signatures, cfg.id_col, cfg.threshold, cfg.num_perm, cfg.num_partitions

@@ -45,6 +45,9 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10, id_col: str = "vec
     k·Q·num_blocks candidate rows reach the final global sort."""
     import ray
 
+    from raydedup.stages.grouped import tune_for_session
+
+    tune_for_session(ds)
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     qref = ray.put(q)
 
@@ -111,6 +114,9 @@ def embedding_near_dup_pairs(
     cosine within each bucket. Pairs crossing buckets are missed with
     probability (1 - θ/π)^bits per plane-split — raise ``bits`` for
     speed, lower for recall. Returns (id_a, id_b, cos)."""
+    from raydedup.stages.grouped import tune_for_session
+
+    tune_for_session(ds)
     bucketed = add_hyperplane_bucket(ds.select_columns([id_col, emb_col]), emb_col, bits, seed)
 
     def within(group: pa.Table) -> pa.Table:

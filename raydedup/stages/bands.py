@@ -164,3 +164,157 @@ def bucket_stats(band_ds):
     from ray.data.aggregate import Count
 
     return band_ds.groupby("bucket").aggregate(Count(alias_name="size"))
+
+
+def fused_band_explode(
+    batch: pa.Table,
+    b: int,
+    r: int,
+    id_col: str,
+    num_perm: int = 128,
+    simhash_bands: int = 0,
+    exact_cols: tuple = (),
+) -> pa.Table:
+    """Unified band explode: MinHash bands (mode 0), SimHash bit-bands
+    (mode 1, aux = full simhash word) and exact content-hash groups
+    (mode 2, aux = second hash word, making the effective grouping key
+    128-bit) share ONE slim (id, bucket, aux, mode) table → ONE shuffle.
+    The three bucket spaces are salted apart, so every run is
+    homogeneous in mode."""
+    import hashlib
+
+    from raydedup.schema import sig_to_numpy
+
+    n = len(batch)
+    ids = batch.column(id_col)
+    parts_id, parts_bucket, parts_aux, parts_mode = [], [], [], []
+
+    sig = sig_to_numpy(batch.column("minhash"), num_perm)
+    mh_buckets = fold_band_buckets(sig, b, r)
+    idx = np.repeat(np.arange(n, dtype=np.int64), b)
+    parts_id.append(ids.take(pa.array(idx)))
+    parts_bucket.append(mh_buckets)
+    parts_aux.append(np.zeros(n * b, dtype=np.uint64))
+    parts_mode.append(np.zeros(n * b, dtype=np.int8))
+
+    if simhash_bands and "simhash" in batch.column_names:
+        from raydedup.simhash import hamming_band_keys
+
+        words = batch.column("simhash").to_numpy(zero_copy_only=False)
+        band_idx, vals = hamming_band_keys(words, num_bands=simhash_bands)
+        h = (vals + np.uint64(0xABCDEF0123456789)) * _FNV_PRIME
+        h ^= (band_idx.astype(np.uint64) + np.uint64(17)) * _BAND_SALT
+        h *= _FNV_PRIME
+        idx = np.repeat(np.arange(n, dtype=np.int64), simhash_bands)
+        parts_id.append(ids.take(pa.array(idx)))
+        parts_bucket.append(h)
+        parts_aux.append(np.repeat(words, simhash_bands))
+        parts_mode.append(np.ones(n * simhash_bands, dtype=np.int8))
+
+    if exact_cols:
+        import pyarrow.compute as pc
+
+        rendered = [pc.cast(batch.column(c), pa.string()).to_pylist() for c in exact_cols]
+        lo = np.empty(n, dtype=np.uint64)
+        hi = np.empty(n, dtype=np.uint64)
+        for i, row in enumerate(zip(*rendered)):
+            d = hashlib.sha1("\x1f".join("" if v is None else v for v in row).encode("utf-8")).digest()
+            lo[i] = int.from_bytes(d[:8], "little")
+            hi[i] = int.from_bytes(d[8:16], "little")
+        bucket = (lo ^ np.uint64(0x5DEECE66D)) * _FNV_PRIME
+        parts_id.append(ids)
+        parts_bucket.append(bucket)
+        parts_aux.append(hi)
+        parts_mode.append(np.full(n, 2, dtype=np.int8))
+
+    def _cat(chunks):
+        arrs = []
+        for c in chunks:
+            if isinstance(c, pa.ChunkedArray):
+                arrs.extend(c.chunks)
+            else:
+                arrs.append(c)
+        return pa.concat_arrays(arrs)
+
+    return pa.table(
+        {
+            id_col: _cat(parts_id),
+            "bucket": pa.array(np.concatenate(parts_bucket), pa.uint64()),
+            "aux": pa.array(np.concatenate(parts_aux), pa.uint64()),
+            "mode": pa.array(np.concatenate(parts_mode), pa.int8()),
+        }
+    )
+
+
+def fused_candidate_pairs(
+    sig_ds,
+    id_col: str,
+    b: int,
+    r: int,
+    num_perm: int = 128,
+    simhash_bands: int = 0,
+    max_hamming: int = 3,
+    exact_cols: tuple = (),
+    bucket_cap: int = 512,
+    num_partitions: int = 32,
+    dedupe: bool = False,
+):
+    """MinHash ∪ SimHash ∪ exact candidate pairs in ONE shuffle.
+
+    Pair duplicates across bands are left in (``dedupe=False``) when the
+    caller runs a global dedupe over all sources anyway — one fewer
+    all-to-all per branch."""
+    from raydedup.simhash import hamming_distance64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return fused_band_explode(batch, b, r, id_col, num_perm, simhash_bands, exact_cols)
+
+    band_ds = sig_ds.map_batches(explode, batch_format="pyarrow")
+
+    def emit(block: pa.Table, starts, ends) -> pa.Table:
+        typ = block.column(id_col).type
+        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        aux = block.column("aux").to_numpy(zero_copy_only=False)
+        modes = block.column("mode").to_numpy(zero_copy_only=False)
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            mode = modes[s]
+            run_ids, first = np.unique(ids[s:e], return_index=True)
+            m = len(run_ids)
+            if m < 2:
+                continue
+            if mode == 0:  # minhash band bucket
+                if m <= bucket_cap:
+                    iu = np.triu_indices(m, 1)
+                    out_a.append(run_ids[iu[0]])
+                    out_b.append(run_ids[iu[1]])
+                else:  # star — component-equivalent for a clique
+                    out_a.append(np.repeat(run_ids[:1], m - 1))
+                    out_b.append(run_ids[1:])
+            elif mode == 1:  # simhash: verify true Hamming distance
+                if m > bucket_cap * 8:
+                    continue  # degenerate constant-phash flood; exact path covers it
+                w = aux[s:e][first]
+                d = hamming_distance64(w[:, None], w[None, :])
+                iu = np.triu_indices(m, 1)
+                keep = d[iu] <= max_hamming
+                out_a.append(run_ids[iu[0][keep]])
+                out_b.append(run_ids[iu[1][keep]])
+            else:  # exact: sub-group by the second hash word, star each
+                w = aux[s:e][first]
+                for word in np.unique(w):
+                    grp = run_ids[w == word]
+                    if len(grp) >= 2:
+                        out_a.append(np.repeat(grp[:1], len(grp) - 1))
+                        out_b.append(grp[1:])
+        if out_a:
+            a = np.concatenate(out_a)
+            bb = np.concatenate(out_b)
+        else:
+            a = bb = []
+        return pa.table({"id_a": pa.array(a, typ), "id_b": pa.array(bb, typ)})
+
+    pairs = map_key_runs(band_ds, "bucket", emit, num_partitions)
+    if dedupe:
+        return unique_rows_partitioned(pairs, ["id_a", "id_b"], num_partitions)
+    return pairs

@@ -75,6 +75,10 @@ def components_distributed(pairs_ds, num_partitions: int = 32, max_rounds: int =
     import ray.data as rd
     from ray.data.aggregate import Min
 
+    from raydedup.stages.grouped import tune_for_session
+
+    tune_for_session(pairs_ds)
+
     # undirected edges, both directions
     fwd = pairs_ds.map_batches(
         lambda t: pa.table({"src": t.column("id_a"), "dst": t.column("id_b")}),

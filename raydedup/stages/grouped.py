@@ -72,6 +72,23 @@ def _run_bounds(block: pa.Table, keys: list[str]):
     return starts, ends
 
 
+def tune_for_session(ds):
+    """Retrofit a dataset's snapshotted DataContext for this session:
+    hash strategy + parallelism clamped to the *actual* CPU budget.
+    Datasets snapshot the context at creation, so datasets built before
+    ``ensure_hash_shuffle`` ran (or before ray.init fixed the CPU count)
+    would otherwise carry an unclamped default that deadlocks small
+    sessions."""
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        ds.context.default_hash_shuffle_parallelism = effective_partitions(1 << 30)
+    except Exception:  # pragma: no cover
+        pass
+    return ds
+
+
 def map_key_runs(ds, keys: str | list[str], run_fn, num_partitions: int, **map_kwargs):
     """Apply ``run_fn(block, starts, ends)`` to every hash partition.
 
@@ -83,6 +100,7 @@ def map_key_runs(ds, keys: str | list[str], run_fn, num_partitions: int, **map_k
     if isinstance(keys, str):
         keys = [keys]
     ensure_hash_shuffle()
+    tune_for_session(ds)
     parted = ds.repartition(effective_partitions(num_partitions), keys=keys, sort=True)
 
     def per_block(block: pa.Table) -> pa.Table:
@@ -100,6 +118,7 @@ def unique_rows_partitioned(ds, keys: list[str], num_partitions: int):
     + sort + keep first of each run — the vectorized replacement for
     ``groupby(keys).count()``-style dedupe."""
     ensure_hash_shuffle()
+    tune_for_session(ds)
     parted = ds.repartition(effective_partitions(num_partitions), keys=keys, sort=True)
 
     def per_block(block: pa.Table) -> pa.Table:

@@ -37,7 +37,9 @@ def topk_similar(sig_ds, query_sigs: np.ndarray, query_ids, k: int = 10, id_col:
     import ray
 
     from raydedup.schema import sig_to_numpy
+    from raydedup.stages.grouped import tune_for_session
 
+    tune_for_session(sig_ds)
     q = np.ascontiguousarray(query_sigs, dtype=np.uint64)
     qref = ray.put((q, list(query_ids)))
 

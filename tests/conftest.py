@@ -68,6 +68,9 @@ def ray_session():
 
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    from raydedup.stages.grouped import ensure_hash_shuffle
+
+    ensure_hash_shuffle()  # clamp shuffle parallelism to the session CPUs
     yield
     ray.shutdown()
 

@@ -1,0 +1,117 @@
+"""Multimodal plumbing: PNG codec, decode/feature/resize actor stages,
+decode-invariant stage, ANN stages."""
+
+import numpy as np
+import pytest
+
+from raydedup.media import box_downsample, decode_image, phash64, psnr
+from raydedup.png import decode_png_rgb8, encode_png_rgb8
+
+
+def test_png_roundtrip():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    data = encode_png_rgb8(img)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    back = decode_png_rgb8(data)
+    assert np.array_equal(img, back)
+
+
+def test_decode_raw_and_unknown_fmt():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(img.tobytes(), 8, 8, "raw"), img)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xxxx", 8, 8, "jpeg")  # stubbed codec path
+
+
+def test_psnr_and_phash():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert psnr(img, img) == float("inf")
+    quant = (img >> 2) << 2
+    p = psnr(img, quant)
+    assert 38.0 < p < 60.0
+    h1, h2 = phash64(img), phash64(quant)
+    # quantization barely moves the perceptual hash
+    from raydedup.simhash import hamming_distance64, simhash_from_phash
+
+    d = hamming_distance64(simhash_from_phash(np.array([h1])), simhash_from_phash(np.array([h2])))[0]
+    assert d <= 4
+    assert box_downsample(img, 8).shape == (8, 8)
+
+
+def test_decode_stages(ray_session):
+    import ray.data as rd
+
+    from raydedup.stages.media import DecodeFeaturesStage, ResizeStage
+    from raydedup.synth import make_images_table
+
+    table, _ = make_images_table(n_base=40, seed=42)
+    ds = rd.from_arrow(table)
+    feats = ds.map_batches(
+        DecodeFeaturesStage, batch_format="pyarrow", batch_size=16, concurrency=(1, 2), num_cpus=1
+    ).take_all()
+    assert len(feats) == table.num_rows
+    assert all(f["decode_ok"] for f in feats)
+    # recomputed phash must equal the stored phash column
+    stored = dict(zip(table.column("image_id").to_pylist(), table.column("phash").to_pylist()))
+    for f in feats:
+        assert f["phash_check"] == stored[f["image_id"]]
+
+    thumbs = ds.map_batches(
+        ResizeStage, batch_format="pyarrow", batch_size=16, concurrency=(1, 2), num_cpus=1
+    ).take_all()
+    assert len(thumbs) == table.num_rows
+    assert all(len(t["thumb"]) == 64 for t in thumbs)
+
+
+def test_decode_invariant_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.verify import DecodeInvariantStage
+    from raydedup.synth import _pixels, make_images_table
+
+    table, _ = make_images_table(n_base=40, seed=42)
+    # attach the regenerated reference pixels for base rows
+    refs = []
+    for i in range(table.num_rows):
+        iid = table.column("image_id")[i].as_py()
+        idx = int(iid.split("-")[1])
+        w = table.column("w")[i].as_py()
+        h = table.column("h")[i].as_py()
+        if idx < 40:
+            refs.append(_pixels(idx, w, h, 42).tobytes())
+        else:
+            refs.append(None)
+    t = table.append_column("ref_pixels", pa.array(refs, pa.binary()))
+    t = t.filter(pa.compute.is_valid(t.column("ref_pixels")))
+    out = rd.from_arrow(t).map_batches(
+        DecodeInvariantStage, batch_format="pyarrow", batch_size=16, concurrency=(1, 2), num_cpus=1
+    ).to_pandas()
+    assert len(out) == t.num_rows
+    assert out["ok"].all()  # lossless exact, lossy ≥ 40 dB
+    assert (out["psnr_db"] >= 40.0).all()
+
+
+def test_ann_brute_force_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.ann import brute_force_topk
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((200, 16))
+    t = pa.table(
+        {"vec_id": pa.array(range(200), pa.int64()), "embedding": pa.array(emb.tolist())}
+    )
+    q = emb[:2]
+    got = brute_force_topk(rd.from_arrow(t), q, k=5).take_all()
+    norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    cos = norm @ qn.T
+    for qi in range(2):
+        want = set(np.argsort(-cos[:, qi])[:5].tolist())
+        have = {r["vec_id"] for r in got if r["query_idx"] == qi}
+        assert have == want

@@ -134,12 +134,7 @@ def test_checkpoint_resume(ray_session, corpus, tmp_path):
     out2 = dedup_pipeline(rd.from_arrow(table), cfg)
     c2 = out2["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
     reused = [m for m in out2["metrics"] if m.get("reused")]
-    assert {m["stage"] for m in reused} == {
-        "signatures",
-        "pairs_minhash",
-        "pairs_exact",
-        "pairs",
-    }
+    assert {m["stage"] for m in reused} == {"signatures", "pairs_bands", "pairs"}
     assert c1.equals(c2)
 
     cfg3 = DedupConfig(
