@@ -183,3 +183,26 @@ def minhash_union_aggregate(column: str = "minhash", num_perm: int = 128, alias_
         finalize=lambda s: s.tolist(),
         name=name,
     )
+
+
+def lean_serialize(sig: np.ndarray, seed: int = 1, byteorder: str = "@") -> bytes:
+    """LeanMinHash wire format (reference ``lean_minhash.py:126-175``):
+    8-byte seed (q) + 4-byte count (i) + 4 bytes per hash value (I) —
+    byte-exact for cross-language export of signature rows."""
+    import struct
+
+    sig = np.asarray(sig, dtype=np.uint64)
+    fmt = "%sqi%dI" % (byteorder, len(sig))
+    buf = bytearray(struct.calcsize(fmt))
+    struct.pack_into(fmt, buf, 0, seed, len(sig), *(int(v) for v in sig))
+    return bytes(buf)
+
+
+def lean_deserialize(buf: bytes, byteorder: str = "@") -> tuple[int, np.ndarray]:
+    """Inverse of :func:`lean_serialize` → (seed, hashvalues uint64)."""
+    import struct
+
+    seed, n = struct.unpack_from("%sqi" % byteorder, buf, 0)
+    off = struct.calcsize("%sqi" % byteorder)
+    vals = struct.unpack_from("%s%dI" % (byteorder, n), buf, off)
+    return seed, np.array(vals, dtype=np.uint64)

@@ -339,3 +339,31 @@ def embedding_near_dup_exact(ds, threshold: float, id_col: str = "vec_id", emb_c
         return pa.table({"id_a": pa.array(ia[mask]), "id_b": pa.array(ib[mask])})
 
     return ds.select_columns([id_col, emb_col]).map_batches(scan, batch_format="pyarrow", batch_size=2048)
+
+
+# ------------------------------------------------ index maintenance ops
+def remove_ids(ds, ids_to_remove, id_col: str):
+    """Deletion (reference ``MinHashLSH.remove``, ``lsh.py:497-528``):
+    here an anti-join — broadcast the removal id set once, filter every
+    table (signature/band/pair) that carries the id. Removing from a
+    table-shaped index never mutates shared state."""
+    import ray
+
+    ref = ray.put(frozenset(ids_to_remove))
+
+    def drop(batch: pa.Table) -> pa.Table:
+        gone = ray.get(ref)
+        keep = [v not in gone for v in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
+def merge_band_tables(*band_tables):
+    """Index merge (reference ``MinHashLSH.merge``, ``lsh.py:233-251``):
+    union of band tables built with identical (seed, num_perm, b, r) —
+    trivially parallel, no rehashing."""
+    out = band_tables[0]
+    for t in band_tables[1:]:
+        out = out.union(t)
+    return out

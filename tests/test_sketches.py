@@ -179,3 +179,30 @@ def test_topk_similar(ray_session):
         rows = sorted(by_q[qid], key=lambda r: -r["jaccard"])
         assert len(rows) == 5
         assert rows[0]["image_id"] == qid and rows[0]["jaccard"] == 1.0
+
+
+def test_lean_serialization_matches_reference(reference_datasketch):
+    from raydedup.minhash import lean_deserialize, lean_serialize
+
+    toks = [f"t{i}".encode() for i in range(40)]
+    m = reference_datasketch.MinHash(num_perm=16, seed=3)
+    m.update_batch(toks)
+    lm = reference_datasketch.LeanMinHash(m)
+    for order in ("@", "<", ">"):
+        buf = bytearray(lm.bytesize(order))
+        lm.serialize(buf, order)
+        ours = lean_serialize(minhash_single(toks, num_perm=16, seed=3), seed=3, byteorder=order)
+        assert bytes(buf) == ours
+        seed, vals = lean_deserialize(ours, order)
+        assert seed == 3 and np.array_equal(vals, m.hashvalues)
+
+
+def test_remove_ids(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.dedup import remove_ids
+
+    t = pa.table({"doc_id": pa.array(range(10), pa.int64()), "x": pa.array(range(10))})
+    out = remove_ids(rd.from_arrow(t), {2, 5, 7}, "doc_id").take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 3, 4, 6, 8, 9]
