@@ -16,28 +16,98 @@ from raydedup.minhash import jaccard_estimate
 from raydedup.schema import sig_to_numpy
 
 
+def _attach_side(pairs_ds, slim, side: str, num_partitions: int):
+    """Reduce-side join on the engine's own bucket-shuffle primitive:
+    union pair rows (tag 0) with signature rows (tag 1) keyed on one pair
+    side, hash-partition, and within each key run hand the (single)
+    signature blob to every pair row. (``Dataset.join`` exists but
+    chaining two joins is broken in ray 2.49 — the second join loses the
+    left key; this path also reuses the one shuffle machinery we already
+    trust at scale.)"""
+    from raydedup.stages.grouped import map_key_runs
+
+    other = "id_b" if side == "id_a" else "id_a"
+    out_col = "minhash_a" if side == "id_a" else "minhash_b"
+    schema = pairs_ds.schema()
+    carry = [c for c in schema.names if c not in ("id_a", "id_b")]
+    carry_types = {c: schema.base_schema.field(c).type for c in carry}
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        cols = {
+            "key": batch.column(side),
+            "other": batch.column(other),
+            "blob": pa.array([None] * len(batch), pa.binary()),
+            "tag": pa.array(np.zeros(len(batch), dtype=np.int8)),
+        }
+        for c in carry:
+            cols[f"c_{c}"] = batch.column(c)
+        return pa.table(cols)
+
+    def tag_sigs(batch: pa.Table) -> pa.Table:
+        cols = {
+            "key": batch.column("image_key"),
+            "other": pa.array([None] * len(batch), batch.column("image_key").type),
+            "blob": batch.column("sigblob"),
+            "tag": pa.array(np.ones(len(batch), dtype=np.int8)),
+        }
+        for c in carry:
+            cols[f"c_{c}"] = pa.array([None] * len(batch), carry_types[c])
+        return pa.table(cols)
+
+    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        slim.map_batches(tag_sigs, batch_format="pyarrow")
+    )
+
+    def emit(block: pa.Table, starts, ends) -> pa.Table:
+        tags = block.column("tag").to_numpy(zero_copy_only=False)
+        keys = block.column("key")
+        others = block.column("other")
+        blobs = block.column("blob").to_pylist()
+        carries = {c: block.column(f"c_{c}").to_pylist() for c in carry}
+        out = {side: [], other: [], out_col: []}
+        out_c = {c: [] for c in carry}
+        for s, e in zip(starts, ends):
+            seg = tags[s:e]
+            sig_idx = np.nonzero(seg == 1)[0]
+            if len(sig_idx) == 0:
+                continue
+            blob = blobs[s + int(sig_idx[0])]
+            for k in range(s, e):
+                if tags[k] == 0:
+                    out[side].append(keys[k].as_py())
+                    out[other].append(others[k].as_py())
+                    out[out_col].append(blob)
+                    for c in carry:
+                        out_c[c].append(carries[c][k])
+        cols = {
+            side: pa.array(out[side], keys.type),
+            other: pa.array(out[other], keys.type),
+            out_col: pa.array(out[out_col], pa.binary()),
+        }
+        for c in carry:
+            cols[c] = pa.array(out_c[c], carry_types[c])
+        return pa.table(cols)
+
+    return map_key_runs(tagged, "key", emit, num_partitions)
+
+
 def attach_signatures(pairs_ds, sig_ds, id_col: str, num_partitions: int = 16):
-    """pairs (id_a, id_b) ⋈ signatures on both sides → adds
-    ``minhash_a`` / ``minhash_b`` columns (hash-partitioned joins)."""
-    slim = sig_ds.select_columns([id_col, "minhash"])
-    a = pairs_ds.join(
-        slim, join_type="inner", num_partitions=num_partitions, on=("id_a",), right_on=(id_col,), right_suffix="_a"
-    )
-    a = a.map_batches(
-        lambda t: t.rename_columns(
-            {c: ("minhash_a" if c == "minhash" else c) for c in t.column_names}
-        ),
-        batch_format="pyarrow",
-    )
-    b = a.join(
-        slim, join_type="inner", num_partitions=num_partitions, on=("id_b",), right_on=(id_col,), right_suffix="_b"
-    )
-    return b.map_batches(
-        lambda t: t.rename_columns(
-            {c: ("minhash_b" if c == "minhash" else c) for c in t.column_names}
-        ),
-        batch_format="pyarrow",
-    )
+    """pairs (id_a, id_b) → adds packed ``minhash_a`` / ``minhash_b``
+    binary columns via two reduce-side joins against the signature
+    table. Only ids + 1 KB blobs transit the shuffle."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        sig = np.ascontiguousarray(sig_to_numpy(batch.column("minhash")), dtype=np.uint64)
+        buf = sig.tobytes()
+        w = sig.shape[1] * 8
+        blobs = [buf[i * w : (i + 1) * w] for i in range(sig.shape[0])]
+        return pa.table(
+            {"image_key": batch.column(id_col), "sigblob": pa.array(blobs, pa.binary())}
+        )
+
+    slim = sig_ds.select_columns([id_col, "minhash"]).map_batches(pack, batch_format="pyarrow")
+    a = _attach_side(pairs_ds, slim, "id_a", num_partitions)
+    return _attach_side(a, slim, "id_b", num_partitions)
 
 
 def jaccard_filter(pairs_with_sigs, threshold: float, num_perm: int = 128, keep_estimate: bool = True):
@@ -47,8 +117,8 @@ def jaccard_filter(pairs_with_sigs, threshold: float, num_perm: int = 128, keep_
         if len(batch) == 0:
             out = batch.select(["id_a", "id_b"])
             return out.append_column("jaccard", pa.array([], pa.float64())) if keep_estimate else out
-        sa = sig_to_numpy(batch.column("minhash_a"), num_perm)
-        sb = sig_to_numpy(batch.column("minhash_b"), num_perm)
+        sa = np.frombuffer(b"".join(batch.column("minhash_a").to_pylist()), dtype=np.uint64).reshape(-1, num_perm)
+        sb = np.frombuffer(b"".join(batch.column("minhash_b").to_pylist()), dtype=np.uint64).reshape(-1, num_perm)
         est = jaccard_estimate(sa, sb)
         keep = est >= threshold
         out = batch.select(["id_a", "id_b"]).filter(pa.array(keep))

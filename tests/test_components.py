@@ -1,0 +1,74 @@
+"""Connected components: distributed min-label propagation must equal
+driver DSU; Jaccard verification stage; bucket stats."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _random_edges(n_nodes=300, n_edges=500, seed=11):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    keep = a != b
+    lo = np.minimum(a[keep], b[keep])
+    hi = np.maximum(a[keep], b[keep])
+    return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi)})
+
+
+def test_distributed_components_equal_dsu(ray_session):
+    import ray.data as rd
+
+    from raydedup.stages.components import components_distributed, components_driver
+
+    edges = _random_edges()
+    want = components_driver(rd.from_arrow(edges))
+    got = (
+        components_distributed(rd.from_arrow(edges), num_partitions=4)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    want_df = want.to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert got["image_id"].tolist() == want_df["image_id"].tolist()
+    assert got["cluster_id"].tolist() == want_df["cluster_id"].tolist()
+
+
+def test_verify_pairs_filters_by_jaccard(ray_session):
+    import ray.data as rd
+
+    from raydedup.hashing import generate_permutations
+    from raydedup.minhash import jaccard_estimate, minhash_batch
+    from raydedup.schema import numpy_to_sig
+    from raydedup.stages.verify import verify_pairs
+
+    a, b = generate_permutations(128, 1)
+    base = [f"t{i}".encode() for i in range(40)]
+    docs = [base, base[:35] + [b"x%d" % i for i in range(5)], [b"z%d" % i for i in range(40)]]
+    sig = minhash_batch(docs, a, b)
+    sig_t = pa.table(
+        {"image_id": pa.array(["a", "b", "c"]), "minhash": numpy_to_sig(sig)}
+    )
+    pairs_t = pa.table({"id_a": pa.array(["a", "a"]), "id_b": pa.array(["b", "c"])})
+    out = verify_pairs(
+        rd.from_arrow(pairs_t), rd.from_arrow(sig_t), "image_id", threshold=0.5, num_partitions=2
+    ).take_all()
+    kept = {(r["id_a"], r["id_b"]) for r in out}
+    assert ("a", "b") in kept and ("a", "c") not in kept
+    (ab,) = [r for r in out if r["id_b"] == "b"]
+    assert ab["jaccard"] == pytest.approx(float(jaccard_estimate(sig[0], sig[1])))
+
+
+def test_bucket_stats(ray_session):
+    import ray.data as rd
+
+    from raydedup.stages.bands import bucket_stats
+
+    t = pa.table(
+        {
+            "image_id": pa.array([f"i{k}" for k in range(6)]),
+            "bucket": pa.array([1, 1, 1, 2, 2, 3], pa.uint64()),
+        }
+    )
+    got = {r["bucket"]: r["size"] for r in bucket_stats(rd.from_arrow(t)).take_all()}
+    assert got == {1: 3, 2: 2, 3: 1}

@@ -170,3 +170,29 @@ def test_decode_invariant(corpus):
                 if p != float("inf"):
                     n_lossy += 1
     assert n_lossy >= 0  # lossy slice is small and probabilistic at this n
+
+
+def test_pipeline_with_jaccard_verification(ray_session, corpus):
+    """verify_jaccard=True prunes candidate pairs below the threshold
+    (precision mode; the reference leaves candidates unfiltered)."""
+    import ray.data as rd
+
+    table, _ = corpus
+    base = DedupConfig(
+        use_simhash=False,
+        use_substring=False,
+        use_exact=False,
+        signature_concurrency=2,
+        num_partitions=4,
+    )
+    strict = DedupConfig(
+        use_simhash=False,
+        use_substring=False,
+        use_exact=False,
+        signature_concurrency=2,
+        num_partitions=4,
+        verify_jaccard=True,
+    )
+    raw = dedup_pipeline(rd.from_arrow(table), base)["pairs"].count()
+    verified = dedup_pipeline(rd.from_arrow(table), strict)["pairs"].count()
+    assert 0 < verified <= raw
