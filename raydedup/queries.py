@@ -643,3 +643,70 @@ QUERIES.update(
         "ensemble_containment_docs": q_ensemble_containment_docs,
     }
 )
+
+
+# ------------------------------------------------ image-payload pipelines
+def _synth_images_path(n_base: int = 400) -> str:
+    """Deterministic synthetic image+caption table (input_hint schema),
+    cached under /tmp — the image-payload profile of the flagship
+    pipeline, independent of sf_dir."""
+    import os
+
+    path = f"/tmp/raydedup_bench/images_q_{n_base}.parquet"
+    if not os.path.exists(path):
+        os.makedirs("/tmp/raydedup_bench", exist_ok=True)
+        import pyarrow.parquet as pq
+
+        from raydedup.synth import make_images_table
+
+        table, _ = make_images_table(n_base=n_base)
+        pq.write_table(table, path + ".tmp", row_group_size=4096)
+        os.rename(path + ".tmp", path)
+    return path
+
+
+def q_image_dedup_synth(sf_dir: str):
+    """Full fused image pipeline (MinHash captions ∪ SimHash phash ∪
+    exact ∪ substring → components) over the synthetic image corpus;
+    returns (image_id, cluster_id). Deterministic; rows-only."""
+    import ray.data as rd
+
+    from raydedup.pipeline import DedupConfig, dedup_pipeline
+    from raydedup.stages.grouped import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = rd.read_parquet(_synth_images_path(), columns=["image_id", "caption", "phash"])
+    out = dedup_pipeline(ds, DedupConfig(signature_concurrency=4, num_partitions=8))
+    clusters = out["clusters"]
+    if not isinstance(clusters, pa.Table):
+        clusters = pa.concat_tables(list(clusters.iter_batches(batch_format="pyarrow")))
+    return clusters
+
+
+def q_image_features_synth(sf_dir: str):
+    """Multimodal decode path: actor-pool decode of every payload
+    (raw + PNG codecs) emitting phash recheck + channel means; asserts
+    the stored phash column is reproduced bit-exactly. Rows-only."""
+    import ray.data as rd
+
+    from raydedup.stages.grouped import ensure_hash_shuffle
+    from raydedup.stages.media import DecodeFeaturesStage
+
+    ensure_hash_shuffle()
+    ds = rd.read_parquet(_synth_images_path())
+    feats = ds.map_batches(
+        DecodeFeaturesStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return feats.select_columns(["image_id", "phash_check", "decode_ok"])
+
+
+QUERIES.update(
+    {
+        "image_dedup_synth": q_image_dedup_synth,
+        "image_features_synth": q_image_features_synth,
+    }
+)
