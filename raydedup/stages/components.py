@@ -119,6 +119,31 @@ def components_distributed(pairs_ds, num_partitions: int = 32, max_rounds: int =
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
+        # pointer jumping (shortcutting): label[x] ← label[label[x]].
+        # Neighbor-min alone needs O(diameter) rounds — a path graph
+        # would exceed any fixed round cap; with shortcutting the
+        # combination converges in O(log n) rounds.
+        hop = new_labels.join(
+            new_labels,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("label",),
+            right_on=("node",),
+            left_suffix="_l",
+            right_suffix="_r",
+        )
+        new_labels = hop.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node" if "node" in t.column_names else "node_l"),
+                    "label": pc.min_element_wise(
+                        t.column("label_l" if "label_l" in t.column_names else "label"),
+                        t.column("label_r"),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
         # converged when no label changed: compare via anti-join-free check
         joined = new_labels.join(
             labels,

@@ -72,3 +72,41 @@ def test_bucket_stats(ray_session):
     )
     got = {r["bucket"]: r["size"] for r in bucket_stats(rd.from_arrow(t)).take_all()}
     assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_distributed_components_chain(ray_session):
+    """Worst-case diameter: a 300-node path converges via pointer
+    jumping (would exceed any fixed round cap with plain neighbor-min)."""
+    import ray.data as rd
+
+    from raydedup.stages.components import components_distributed
+
+    edges = pa.table({"id_a": pa.array(range(299)), "id_b": pa.array(range(1, 300))})
+    got = components_distributed(rd.from_arrow(edges), num_partitions=4).to_pandas()
+    assert len(got) == 300
+    assert (got["cluster_id"] == 0).all()
+
+
+def test_bucket_cap_star_is_component_equivalent(ray_session):
+    """Buckets above bucket_cap emit a star instead of O(m²) pairs —
+    same connected components, far fewer edges."""
+    import ray.data as rd
+
+    from raydedup.stages.bands import candidate_pairs
+    from raydedup.stages.components import components_driver
+
+    m = 60
+    band = pa.table(
+        {
+            "image_id": pa.array([f"x{i:03d}" for i in range(m)] + ["y0", "y1"]),
+            "bucket": pa.array([7] * m + [9, 9], pa.uint64()),
+        }
+    )
+    full = candidate_pairs(rd.from_arrow(band), "image_id", bucket_cap=512, num_partitions=2)
+    star = candidate_pairs(rd.from_arrow(band), "image_id", bucket_cap=8, num_partitions=2)
+    n_full, n_star = full.count(), star.count()
+    assert n_full == m * (m - 1) // 2 + 1
+    assert n_star == (m - 1) + 1  # star + the small bucket pair
+    lab_full = components_driver(full).to_pandas()
+    lab_star = components_driver(star).to_pandas()
+    assert lab_full.equals(lab_star)
