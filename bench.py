@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "window_counts",
     "hll_users_per_type",
     "top_terms",
+    "image_dedup_synth",
 ]
 
 

@@ -75,6 +75,27 @@ def test_minhash_lsh_matches_reference(ray_session, reference_datasketch, corpus
         assert same(ours, a, b), f"reference co-clusters {(a, b)}, we don't"
 
 
+def test_minhash_lsh_matches_reference_threshold05(ray_session, reference_datasketch, corpus):
+    """Same parity at threshold 0.5 → (b, r) = (25, 5): exercises the
+    parameter plumbing end-to-end."""
+    import ray.data as rd
+
+    table, _ = corpus
+    ref_pairs, _ = _reference_clusters(reference_datasketch, table, threshold=0.5)
+    cfg = DedupConfig(
+        threshold=0.5,
+        use_simhash=False,
+        use_substring=False,
+        use_exact=False,
+        signature_concurrency=2,
+        num_partitions=4,
+    )
+    assert cfg.band_params == (25, 5)
+    out = dedup_pipeline(rd.from_arrow(table), cfg)
+    our_pairs = {tuple(sorted((r["id_a"], r["id_b"]))) for r in out["pairs"].take_all()}
+    assert our_pairs == ref_pairs
+
+
 def test_fused_pipeline_covers_planted_structure(ray_session, corpus):
     """The full pipeline (minhash ∪ simhash ∪ exact ∪ substring) finds
     every *detectable* planted pair: exact dups, substring dups (≥window
