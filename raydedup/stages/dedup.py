@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -257,42 +258,50 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: f
             if not sh:
                 continue
             plen = int(len(sh) * (1.0 - threshold)) + 1
+            joined = "\x1f".join(sh)
             for s in sh[:plen]:
                 ids.append(i)
-                anchors.append(s)
-                sets.append("\x1f".join(sh))
+                # 64-bit anchor hash → slim uint64 shuffle key (a
+                # collision only merges two groups, adding candidate
+                # checks, never losing a pair)
+                anchors.append(struct.unpack("<Q", hashlib.sha1(s.encode("utf-8")).digest()[:8])[0])
+                sets.append(joined)
         return pa.table(
             {
                 id_col: pa.array(ids, batch.column(id_col).type),
-                "anchor": pa.array(anchors, pa.string()),
+                "anchor": pa.array(anchors, pa.uint64()),
                 "shset": pa.array(sets, pa.string()),
             }
         )
 
     exploded = slim.map_batches(prefix_explode, batch_format="pyarrow")
 
-    def pairs_in_group(group: pa.Table) -> pa.Table:
-        typ = group.column(id_col).type
-        ids = group.column(id_col).to_pylist()
-        sets = group.column("shset").to_pylist()
-        uniq = {}
-        for i, s in zip(ids, sets):
-            uniq[i] = s
-        items = sorted(uniq.items())
+    from raydedup.stages.grouped import map_key_runs, unique_rows_partitioned
+
+    def pairs_in_runs(block: pa.Table, starts, ends) -> pa.Table:
+        typ = block.column(id_col).type
+        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        sets = None
         a_out, b_out, j_out = [], [], []
-        for x in range(len(items) - 1):
-            ia, sa = items[x]
-            seta = set(sa.split("\x1f"))
-            for y in range(x + 1, len(items)):
-                ib, sb = items[y]
-                setb = set(sb.split("\x1f"))
-                inter = len(seta & setb)
-                union = len(seta | setb)
-                j = inter / union if union else 0.0
-                if j >= threshold:
-                    a_out.append(ia)
-                    b_out.append(ib)
-                    j_out.append(j)
+        for s, e in zip(starts, ends):
+            if sets is None:
+                sets = block.column("shset").to_pylist()
+            uniq = {}
+            for k in range(s, e):
+                uniq[ids[k]] = sets[k]
+            items = sorted(uniq.items())
+            for x in range(len(items) - 1):
+                ia, sa = items[x]
+                seta = set(sa.split("\x1f"))
+                for y in range(x + 1, len(items)):
+                    ib, sb = items[y]
+                    setb = set(sb.split("\x1f"))
+                    union = len(seta | setb)
+                    j = len(seta & setb) / union if union else 0.0
+                    if j >= threshold:
+                        a_out.append(ia)
+                        b_out.append(ib)
+                        j_out.append(j)
         return pa.table(
             {
                 "id_a": pa.array(a_out, typ),
@@ -301,14 +310,9 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: f
             }
         )
 
-    pairs = exploded.groupby("anchor").map_groups(pairs_in_group, batch_format="pyarrow")
-    from ray.data.aggregate import Max
-
-    return (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Max("jaccard", alias_name="jaccard"))
-        .select_columns(["id_a", "id_b", "jaccard"])
-    )
+    pairs = map_key_runs(exploded, "anchor", pairs_in_runs, 32)
+    # jaccard is exact, so duplicates across anchors agree — row-unique
+    return unique_rows_partitioned(pairs, ["id_a", "id_b", "jaccard"], 32)
 
 
 # ------------------------------------------- exact embedding cosine near-dups

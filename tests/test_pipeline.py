@@ -217,3 +217,32 @@ def test_pipeline_with_jaccard_verification(ray_session, corpus):
     raw = dedup_pipeline(rd.from_arrow(table), base)["pairs"].count()
     verified = dedup_pipeline(rd.from_arrow(table), strict)["pairs"].count()
     assert 0 < verified <= raw
+
+
+def test_docs_query_matches_reference(ray_session, reference_datasketch):
+    """The driver-graded documents query (lsh_candidate_pairs_docs at
+    sf0.001) equals the reference's candidate pairs on the real table."""
+    import duckdb
+
+    from raydedup.queries import q_lsh_candidate_pairs_docs
+    from raydedup.hashing import word_ngram_shingles
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')").fetchall()
+    lsh = reference_datasketch.MinHashLSH(threshold=0.8, num_perm=128)
+    sigs = {}
+    for doc_id, text in rows:
+        m = reference_datasketch.MinHash(num_perm=128, seed=1)
+        m.update_batch(sorted(word_ngram_shingles(text, n=3)))
+        sigs[doc_id] = m
+        lsh.insert(doc_id, m, check_duplication=False)
+    ref_pairs = set()
+    for doc_id, _ in rows:
+        for cand in lsh.query(sigs[doc_id]):
+            if cand != doc_id:
+                ref_pairs.add(tuple(sorted((doc_id, cand))))
+    ours = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in q_lsh_candidate_pairs_docs(sf).take_all()
+    }
+    assert ours == ref_pairs
