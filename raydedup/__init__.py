@@ -57,6 +57,7 @@ from raydedup.minhash import (
     merge_signatures,
 )
 from raydedup.params import optimal_param
+from raydedup.pipeline import DedupConfig, dedup_pipeline
 from raydedup.simhash import simhash_from_phash, simhash_from_tokens, hamming_distance64
 from raydedup.hll import HllSketch, hll_aggregate_fn
 
@@ -75,6 +76,8 @@ __all__ = [
     "band_keys",
     "merge_signatures",
     "optimal_param",
+    "DedupConfig",
+    "dedup_pipeline",
     "simhash_from_phash",
     "simhash_from_tokens",
     "hamming_distance64",
