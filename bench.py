@@ -125,6 +125,7 @@ def run_bench() -> dict:
     clusters = out["clusters"]
     n_clustered = clusters.num_rows if hasattr(clusters, "num_rows") else clusters.count()
     flagship_sec = time.perf_counter() - t0
+    stage_walls = {m["stage"]: m.get("wall_sec") for m in out["metrics"] if "stage" in m}
 
     # per-query timings over the shared sf tables
     from raydedup.queries import QUERIES
@@ -149,6 +150,7 @@ def run_bench() -> dict:
         "n_clustered": int(n_clustered),
         "signatures_per_sec": round(n_rows / sig_sec, 1),
         "signature_stage_sec": round(sig_sec, 3),
+        "stage_walls": stage_walls,
     }
 
 
