@@ -163,3 +163,30 @@ def test_hamming_band_pigeonhole():
     _, v1 = hamming_band_keys(np.array([base]), num_bands=4)
     _, v2 = hamming_band_keys(np.array([flipped]), num_bands=4)
     assert (v1 == v2).any()
+
+
+def test_lsh_micro_anchor(reference_datasketch):
+    """FIXTURES F2 anchor (reference test_lsh.py:109-125): at
+    threshold 0.5 / 32 perms over [a,b,c]/[a,b,d]/[x,y,z], querying set 0
+    must return candidates {0, 1} — reproduced by our band-bucket fold."""
+    from raydedup.params import optimal_param
+    from raydedup.stages.bands import fold_band_buckets
+    from raydedup.minhash import minhash_batch
+    from raydedup.hashing import generate_permutations
+
+    sets = [[b"a", b"b", b"c"], [b"a", b"b", b"d"], [b"x", b"y", b"z"]]
+    a, bp = generate_permutations(32, 1)
+    sig = minhash_batch(sets, a, bp)
+    b_, r_ = optimal_param(0.5, 32)
+    buckets = fold_band_buckets(sig, b_, r_).reshape(3, b_)
+    cands = {j for j in range(3) if j != 0 and (buckets[0] == buckets[j]).any()}
+    assert cands | {0} == {0, 1}
+    # cross-check against the live reference
+    lsh = reference_datasketch.MinHashLSH(threshold=0.5, num_perm=32)
+    ms = []
+    for i, s in enumerate(sets):
+        m = reference_datasketch.MinHash(num_perm=32, seed=1)
+        m.update_batch(s)
+        ms.append(m)
+        lsh.insert(i, m)
+    assert set(lsh.query(ms[0])) == {0, 1}
