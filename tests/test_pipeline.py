@@ -246,3 +246,38 @@ def test_docs_query_matches_reference(ray_session, reference_datasketch):
         for r in q_lsh_candidate_pairs_docs(sf).take_all()
     }
     assert ours == ref_pairs
+
+
+def test_partial_checkpoint_resume(ray_session, corpus, tmp_path):
+    """Simulates a run killed mid-pipeline: later stage checkpoints are
+    missing, earlier ones present → earlier stages reused, rest rebuilt."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    table, _ = corpus
+    cfg = DedupConfig(
+        use_simhash=False,
+        use_substring=False,
+        signature_concurrency=2,
+        num_partitions=4,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    out1 = dedup_pipeline(rd.from_arrow(table), cfg)
+    c1 = out1["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
+
+    # "crash" after the signature stage: drop every pair checkpoint
+    for name in ("pairs_bands", "pairs"):
+        shutil.rmtree(tmp_path / "ck" / name, ignore_errors=True)
+        m = tmp_path / "ck" / f"{name}.manifest.json"
+        if m.exists():
+            os.remove(m)
+
+    out2 = dedup_pipeline(rd.from_arrow(table), cfg)
+    c2 = out2["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
+    reused = {m["stage"] for m in out2["metrics"] if m.get("reused")}
+    rebuilt = {m["stage"] for m in out2["metrics"] if "stage" in m and not m.get("reused", False)}
+    assert "signatures" in reused
+    assert {"pairs_bands", "pairs"} <= rebuilt
+    assert c1.equals(c2)
