@@ -180,7 +180,7 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
     # short-query completeness path: collect docs with < window tokens
     short = ds.select_columns([id_col, text_col]).map_batches(
         lambda t: t.filter(
-            pc.less(pc.list_value_length(pc.split_pattern_regex(t.column(text_col), r"\s+")), window)
+            pc.less(pc.count_substring_regex(t.column(text_col), r"\S+"), window)
         ),
         batch_format="pyarrow",
     )
