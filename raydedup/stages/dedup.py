@@ -51,12 +51,13 @@ def exact_dedup(ds, key_cols: list[str], id_col: str, keep_payload: bool = True,
 
     ensure_hash_shuffle()
     parted = hashed.repartition(
-        effective_partitions(num_partitions), keys=["content_hash"], sort=True
+        effective_partitions(num_partitions), keys=["content_hash"]
     )
 
     def keep_min_per_run(block: pa.Table) -> pa.Table:
         if len(block) == 0:
             return block
+        block = block.sort_by([("content_hash", "ascending")])
         h = block.column("content_hash").to_numpy(zero_copy_only=False)
         ids = block.column(id_col).to_numpy(zero_copy_only=False)
         change = np.nonzero(h[1:] != h[:-1])[0] + 1

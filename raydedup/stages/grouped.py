@@ -4,8 +4,10 @@
 Arrow table per group — ruinous when the grouping key has millions of
 tiny groups (LSH buckets, anchor windows). This helper instead:
 
-1. ``repartition(P, keys=[...], sort=True)`` under the HASH_SHUFFLE
-   strategy — every group lands wholly inside one sorted block;
+1. ``repartition(P, keys=[...])`` under the HASH_SHUFFLE strategy —
+   every group lands wholly inside one block (sorted per-block in the
+   UDF; finalize-time sort is unsafe on empty partitions, see
+   ``map_key_runs``);
 2. ``map_batches(fn, batch_size=None)`` — fn sees a whole partition and
    detects group runs with one ``np.unique`` call, skipping singleton
    runs without touching Python per group.
@@ -96,16 +98,26 @@ def map_key_runs(ds, keys: str | list[str], run_fn, num_partitions: int, **map_k
     are numpy index arrays delimiting runs with ≥ 2 rows (singleton
     groups are pre-filtered — the common case for LSH buckets).
     ``run_fn`` returns a pyarrow.Table.
+
+    The keyed repartition deliberately does NOT use ``sort=True``: the
+    hash-shuffle aggregator's finalize-time ``sort_by`` crashes on
+    partitions that received no schema (ray 2.49 skips the map UDF on
+    empty blocks AND skips the schema broadcast when the first shuffled
+    block is empty → a zero-column empty partition has no key columns
+    to sort). Sorting inside ``per_block`` is the same work, runs only
+    on non-empty partitions, and makes every keyed shuffle in the
+    engine safe against empty upstream partitions.
     """
     if isinstance(keys, str):
         keys = [keys]
     ensure_hash_shuffle()
     tune_for_session(ds)
-    parted = ds.repartition(effective_partitions(num_partitions), keys=keys, sort=True)
+    parted = ds.repartition(effective_partitions(num_partitions), keys=keys)
 
     def per_block(block: pa.Table) -> pa.Table:
         if len(block) == 0:
             return run_fn(block, np.empty(0, np.int64), np.empty(0, np.int64))
+        block = block.sort_by([(k, "ascending") for k in keys])
         starts, ends = _run_bounds(block, keys)
         multi = (ends - starts) >= 2
         return run_fn(block, starts[multi], ends[multi])
@@ -115,16 +127,18 @@ def map_key_runs(ds, keys: str | list[str], run_fn, num_partitions: int, **map_k
 
 def unique_rows_partitioned(ds, keys: list[str], num_partitions: int):
     """Distinct rows over ``keys`` (projection included): hash-partition
-    + sort + keep first of each run — the vectorized replacement for
-    ``groupby(keys).count()``-style dedupe."""
+    + per-block sort + keep first of each run — the vectorized
+    replacement for ``groupby(keys).count()``-style dedupe. Sort happens
+    inside the block UDF, never in shuffle finalize (see map_key_runs)."""
     ensure_hash_shuffle()
     tune_for_session(ds)
-    parted = ds.repartition(effective_partitions(num_partitions), keys=keys, sort=True)
+    parted = ds.repartition(effective_partitions(num_partitions), keys=keys)
 
     def per_block(block: pa.Table) -> pa.Table:
         block = block.select(keys)
         if len(block) <= 1:
             return block
+        block = block.sort_by([(k, "ascending") for k in keys])
         starts, _ = _run_bounds(block, keys)
         return block.take(pa.array(starts))
 
