@@ -96,12 +96,15 @@ def char_shingles(text: str, k: int = 3, lower: bool = True) -> set[bytes]:
 
 def word_ngram_shingles(text: str, n: int = 3, lower: bool = True) -> set[bytes]:
     """Word n-gram shingles (space-joined, utf-8). ``n=1`` is a plain
-    token set (the reference examples' style, ``examples/lsh_examples.py``)."""
+    token set (the reference examples' style, ``examples/lsh_examples.py``).
+
+    Docs with fewer than ``n`` words yield an EMPTY set — matching the
+    SQL oracle semantics (generate_series over len-n+1 produces nothing)
+    so a pair of identical short docs is not a Jaccard-1 pair on one
+    engine only."""
     if lower:
         text = text.lower()
     words = text.split()
-    if not words:
-        return set()
     if len(words) < n:
-        return {" ".join(words).encode("utf-8")}
+        return set()
     return {" ".join(words[i : i + n]).encode("utf-8") for i in range(len(words) - n + 1)}

@@ -21,6 +21,29 @@ import struct
 import numpy as np
 
 
+def _bit_length_u64(bits: np.ndarray) -> np.ndarray:
+    """Exact integer bit length of uint64 values, vectorized.
+
+    float64 log2 on a full 64-bit value can round across an integer
+    boundary (e.g. values within ~2^-53 relative distance of a power of
+    two), skewing the rank by one vs the reference. Splitting into
+    32-bit halves makes every input exactly representable in float64,
+    where ``floor(log2(v))`` is provably exact: the gap between
+    ``log2(2^k - 1)`` and ``k`` is ≥ 2^-33, far above the 1-ulp kernel
+    error."""
+    bits = np.asarray(bits, dtype=np.uint64)
+    hi = (bits >> np.uint64(32)).astype(np.int64)
+    lo = (bits & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    bl = np.zeros(len(bits), dtype=np.int64)
+    m = hi > 0
+    if m.any():
+        bl[m] = 33 + np.floor(np.log2(hi[m].astype(np.float64))).astype(np.int64)
+    m2 = (~m) & (lo > 0)
+    if m2.any():
+        bl[m2] = 1 + np.floor(np.log2(lo[m2].astype(np.float64))).astype(np.int64)
+    return bl
+
+
 def _alpha(p: int) -> float:
     if p == 4:
         return 0.673
@@ -44,15 +67,11 @@ class HllSketch:
         self.alpha = _alpha(p)
 
     def update_hashes(self, hv: np.ndarray) -> None:
-        """Vectorized update from precomputed 32-bit hash values."""
+        """Vectorized update from precomputed 32/64-bit hash values."""
         hv = np.asarray(hv, dtype=np.uint64)
         idx = (hv & np.uint64(self.m - 1)).astype(np.int64)
         bits = (hv >> np.uint64(self.p)).astype(np.uint64)
-        # bit_length via log2-free trick: 64 - clz; numpy lacks clz, use
-        # float log2 on bits+0 guarded for zeros (values < 2^32 → exact)
-        bl = np.zeros(len(bits), dtype=np.int64)
-        nz = bits > 0
-        bl[nz] = np.floor(np.log2(bits[nz].astype(np.float64))).astype(np.int64) + 1
+        bl = _bit_length_u64(bits)
         rank = (self.max_rank - bl + 1).astype(np.int8)
         np.maximum.at(self.reg, idx, rank)
 

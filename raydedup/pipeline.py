@@ -22,6 +22,7 @@ import os
 import time
 from dataclasses import dataclass, field, asdict
 
+import numpy as np
 import pyarrow as pa
 
 from raydedup.params import optimal_param
@@ -207,13 +208,27 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
         dedupe=False,  # deduped globally below, together with substring pairs
     )
     if cfg.use_substring:
-        branches["pairs_substring"] = lambda: substring_pairs(
-            signatures,
-            cfg.id_col,
-            cfg.text_col,
-            window=cfg.substring_window,
-            num_partitions=cfg.num_partitions,
-        )
+
+        def build_substring():
+            import pyarrow as _pa
+
+            pairs = substring_pairs(
+                signatures,
+                cfg.id_col,
+                cfg.text_col,
+                window=cfg.substring_window,
+                num_partitions=cfg.num_partitions,
+            )
+            # tag with source mode 3 so the optional Jaccard filter
+            # never drops substring containments with dissimilar captions
+            return pairs.map_batches(
+                lambda t: t.append_column(
+                    "mode", _pa.array(np.full(len(t), 3, dtype=np.int8))
+                ),
+                batch_format="pyarrow",
+            )
+
+        branches["pairs_substring"] = build_substring
 
     pair_sets = [ck.run(name, build) for name, build in branches.items()]
 
@@ -223,12 +238,28 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
             pairs = pairs.union(e)
         from raydedup.stages.grouped import unique_rows_partitioned
 
-        pairs = unique_rows_partitioned(pairs, ["id_a", "id_b"], cfg.num_partitions)
         if cfg.verify_jaccard:
-            pairs = verify_pairs(
-                pairs, signatures, cfg.id_col, cfg.threshold, cfg.num_perm, cfg.num_partitions
+            # The caption-MinHash Jaccard filter applies ONLY to
+            # MinHash-band candidates (mode 0); SimHash, exact and
+            # substring pairs are already verified in their own metric
+            # (Hamming distance / content equality / containment) and
+            # pass through unfiltered.
+            import pyarrow.compute as pc
+
+            mh = pairs.map_batches(
+                lambda t: t.filter(pc.equal(t.column("mode"), 0)).select(["id_a", "id_b"]),
+                batch_format="pyarrow",
+            )
+            other = pairs.map_batches(
+                lambda t: t.filter(pc.not_equal(t.column("mode"), 0)).select(["id_a", "id_b"]),
+                batch_format="pyarrow",
+            )
+            mh = unique_rows_partitioned(mh, ["id_a", "id_b"], cfg.num_partitions)
+            verified = verify_pairs(
+                mh, signatures, cfg.id_col, cfg.threshold, cfg.num_perm, cfg.num_partitions
             ).select_columns(["id_a", "id_b"])
-        return pairs
+            pairs = verified.union(other)
+        return unique_rows_partitioned(pairs, ["id_a", "id_b"], cfg.num_partitions)
 
     # the pair table is tiny relative to the corpus (near-dup edges only);
     # ck.run pins it so components' count + iterate don't re-run the shuffle

@@ -217,8 +217,12 @@ def fused_band_explode(
         rendered = [pc.cast(batch.column(c), pa.string()).to_pylist() for c in exact_cols]
         lo = np.empty(n, dtype=np.uint64)
         hi = np.empty(n, dtype=np.uint64)
+        # NULL → \x00 sentinel, value → \x01-prefixed: NULL never
+        # collides with '' (SQL GROUP BY keeps them separate groups)
         for i, row in enumerate(zip(*rendered)):
-            d = hashlib.sha1("\x1f".join("" if v is None else v for v in row).encode("utf-8")).digest()
+            d = hashlib.sha1(
+                "\x1f".join("\x00" if v is None else "\x01" + v for v in row).encode("utf-8")
+            ).digest()
             lo[i] = int.from_bytes(d[:8], "little")
             hi[i] = int.from_bytes(d[8:16], "little")
         bucket = (lo ^ np.uint64(0x5DEECE66D)) * _FNV_PRIME
@@ -276,21 +280,22 @@ def fused_candidate_pairs(
         ids = block.column(id_col).to_numpy(zero_copy_only=False)
         aux = block.column("aux").to_numpy(zero_copy_only=False)
         modes = block.column("mode").to_numpy(zero_copy_only=False)
-        out_a, out_b = [], []
+        out_a, out_b, out_m = [], [], []
         for s, e in zip(starts, ends):
             mode = modes[s]
             run_ids, first = np.unique(ids[s:e], return_index=True)
             m = len(run_ids)
             if m < 2:
                 continue
+            run_a, run_b = [], []
             if mode == 0:  # minhash band bucket
                 if m <= bucket_cap:
                     iu = np.triu_indices(m, 1)
-                    out_a.append(run_ids[iu[0]])
-                    out_b.append(run_ids[iu[1]])
+                    run_a.append(run_ids[iu[0]])
+                    run_b.append(run_ids[iu[1]])
                 else:  # star — component-equivalent for a clique
-                    out_a.append(np.repeat(run_ids[:1], m - 1))
-                    out_b.append(run_ids[1:])
+                    run_a.append(np.repeat(run_ids[:1], m - 1))
+                    run_b.append(run_ids[1:])
             elif mode == 1:  # simhash: verify true Hamming distance
                 if m > bucket_cap * 8:
                     continue  # degenerate constant-phash flood; exact path covers it
@@ -298,21 +303,33 @@ def fused_candidate_pairs(
                 d = hamming_distance64(w[:, None], w[None, :])
                 iu = np.triu_indices(m, 1)
                 keep = d[iu] <= max_hamming
-                out_a.append(run_ids[iu[0][keep]])
-                out_b.append(run_ids[iu[1][keep]])
+                run_a.append(run_ids[iu[0][keep]])
+                run_b.append(run_ids[iu[1][keep]])
             else:  # exact: sub-group by the second hash word, star each
                 w = aux[s:e][first]
                 for word in np.unique(w):
                     grp = run_ids[w == word]
                     if len(grp) >= 2:
-                        out_a.append(np.repeat(grp[:1], len(grp) - 1))
-                        out_b.append(grp[1:])
+                        run_a.append(np.repeat(grp[:1], len(grp) - 1))
+                        run_b.append(grp[1:])
+            n_new = sum(len(x) for x in run_a)
+            if n_new:
+                out_a.extend(run_a)
+                out_b.extend(run_b)
+                out_m.append(np.full(n_new, mode, dtype=np.int8))
         if out_a:
             a = np.concatenate(out_a)
             bb = np.concatenate(out_b)
+            mm = np.concatenate(out_m)
         else:
-            a = bb = []
-        return pa.table({"id_a": pa.array(a, typ), "id_b": pa.array(bb, typ)})
+            a = bb = mm = []
+        return pa.table(
+            {
+                "id_a": pa.array(a, typ),
+                "id_b": pa.array(bb, typ),
+                "mode": pa.array(mm, pa.int8()),
+            }
+        )
 
     pairs = map_key_runs(band_ds, "bucket", emit, num_partitions)
     if dedupe:

@@ -24,10 +24,17 @@ import pyarrow.compute as pc
 def add_content_hash(batch: pa.Table, cols: list[str], out_col: str = "content_hash") -> pa.Table:
     """Vectorized-ish content hash (SHA1 hex of the concatenated column
     reprs). SHA1 must run per row; columns are pre-rendered with Arrow
-    kernels so the loop touches plain bytes only."""
+    kernels so the loop touches plain bytes only.
+
+    NULL values render as a type-prefix sentinel (``\\x00``) distinct
+    from any real string (``\\x01`` + value), so a NULL cell and an
+    empty string never hash together — matching SQL GROUP BY semantics
+    where NULLs form their own group separate from ''."""
     rendered = [pc.cast(batch.column(c), pa.string()).to_pylist() for c in cols]
     hashes = [
-        hashlib.sha1("\x1f".join("" if v is None else v for v in row).encode("utf-8")).hexdigest()
+        hashlib.sha1(
+            "\x1f".join("\x00" if v is None else "\x01" + v for v in row).encode("utf-8")
+        ).hexdigest()
         for row in zip(*rendered)
     ]
     return batch.append_column(out_col, pa.array(hashes, pa.string()))

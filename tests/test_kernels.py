@@ -190,3 +190,35 @@ def test_lsh_micro_anchor(reference_datasketch):
         ms.append(m)
         lsh.insert(i, m)
     assert set(lsh.query(ms[0])) == {0, 1}
+
+
+def test_bit_length_u64_exact_vs_python():
+    from raydedup.hll import _bit_length_u64
+
+    edge = []
+    for k in range(1, 64):
+        edge += [(1 << k) - 1, 1 << k, (1 << k) + 1]
+    edge += [0, 1, (1 << 64) - 1]
+    vals = np.array([v & ((1 << 64) - 1) for v in edge], dtype=np.uint64)
+    got = _bit_length_u64(vals)
+    want = np.array([int(v).bit_length() for v in vals], dtype=np.int64)
+    assert (got == want).all()
+
+
+def test_content_hash_null_vs_empty_distinct():
+    import pyarrow as pa
+
+    from raydedup.stages.dedup import add_content_hash
+
+    t = pa.table({"text": pa.array([None, "", "\x00"], pa.string()), "id": [1, 2, 3]})
+    out = add_content_hash(t, ["text"])
+    h = out.column("content_hash").to_pylist()
+    assert len(set(h)) == 3  # NULL, '' and literal '\x00' all distinct
+
+
+def test_short_doc_shingles_empty():
+    from raydedup.hashing import word_ngram_shingles
+
+    assert word_ngram_shingles("one two", n=3) == set()
+    assert word_ngram_shingles("", n=3) == set()
+    assert word_ngram_shingles("a b c", n=3) == {b"a b c"}

@@ -281,3 +281,38 @@ def test_partial_checkpoint_resume(ray_session, corpus, tmp_path):
     assert "signatures" in reused
     assert {"pairs_bands", "pairs"} <= rebuilt
     assert c1.equals(c2)
+
+
+def test_jaccard_verification_keeps_non_minhash_pairs(ray_session, corpus):
+    """The optional Jaccard filter applies only to MinHash-band pairs:
+    substring containments and exact dups with dissimilar captions must
+    survive verify_jaccard=True (source-mode tagging)."""
+    import ray.data as rd
+
+    table, _ = corpus
+    ids = table.column("image_id").to_pylist()
+    caps = table.column("caption").to_pylist()
+    # plant a substring pair with completely dissimilar remainder: the
+    # contained caption is a 5-token slice of a much longer container
+    contained = "zq zw ze zr zt"
+    container = contained + " " + " ".join(f"w{i}" for i in range(60))
+    t = pa.table(
+        {
+            "image_id": pa.array(ids + ["subA", "subB"], pa.string()),
+            "caption": pa.array(caps + [contained, container], pa.string()),
+            "phash": pa.array(
+                table.column("phash").to_pylist() + [1, 1 << 40], pa.int64()
+            ),
+        }
+    )
+    cfg = DedupConfig(
+        use_simhash=False,
+        use_substring=True,
+        use_exact=True,
+        verify_jaccard=True,
+        signature_concurrency=2,
+        num_partitions=4,
+    )
+    pairs = dedup_pipeline(rd.from_arrow(t), cfg)["pairs"].take_all()
+    pset = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("subA", "subB") in pset or ("subB", "subA") in pset
