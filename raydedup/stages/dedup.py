@@ -111,79 +111,214 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
     """(contained_id → id_a, container_id → id_b) pairs where one
     caption is a strict token-slice of another.
 
-    Shape: every doc emits one *query* row (anchor = its first
-    ``window``-token window) and one *container* row per token window;
-    groupby(anchor) co-locates candidates; per-group containment runs a
-    generalized suffix array (large groups) or direct find. Docs shorter
-    than ``window`` tokens are collected to the driver (tiny) and
-    broadcast-checked — completeness, not a hot path."""
+    Scale shape (round-2 redesign — the round-1 version shipped the full
+    text once per token window, O(len²) bytes/doc through the shuffle):
+
+    1. *explode* (slim): every doc emits one ~40-byte **query** row —
+       anchor = the MIN window-hash over its token windows (min, not
+       leading, so templated prefixes don't flood one anchor), plus
+       (offset of that window, token count, whole-doc polynomial hash,
+       char count) — and one ~25-byte **container** row per window
+       (anchor, position). No text transits.
+    2. *anchor shuffle*: per anchor run, queries are grouped into
+       whole-doc-hash equivalence classes. Containers belonging to the
+       query's own class are EXCLUDED up front (identical text can
+       never *strictly* contain — this is what defuses the m² exact-
+       duplicate flood), then each class member × external container
+       row becomes a slim candidate (member, cid, start = pos-offset).
+    3. *verify shuffle* (keyed by container id): candidates union the
+       docs table, each text travels ONCE; a prefix-sum polynomial hash
+       checks tokens[start : start+qlen] == query hash in O(1) per
+       candidate, plus the strict char-length condition. Each (query,
+       container) class lives in exactly one anchor run, so verified
+       pairs are already globally unique — no final dedupe shuffle.
+
+    Docs shorter than ``window`` tokens are collected to the driver
+    (tiny) and broadcast-checked — completeness, not a hot path."""
     import ray
-    from raydedup.stages.grouped import map_key_runs, unique_rows_partitioned
-    from raydedup.suffix import containment_pairs_in_group, window_anchor_hashes
+    from raydedup.stages.grouped import map_key_runs
+    from raydedup.suffix import (
+        poly_hash_all,
+        poly_powers,
+        poly_prefix_sums,
+        token_hashes64,
+        window_anchor_hashes,
+    )
+
+    id_type = ds.schema().base_schema.field(id_col).type
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         memo: dict = {}
-        a_ids, a_anchor, a_role, a_text = [], [], [], []
+        max_len = max((len((t or "").split()) for t in texts), default=1)
+        bpow, _ = poly_powers(max_len)
+        r_anchor, r_role, r_id, r_pos, r_qlen, r_qhash, r_qchars = [], [], [], [], [], [], []
         for i, t in zip(ids, texts):
             toks = (t or "").split()
-            if len(toks) < window:
+            L = len(toks)
+            if L < window:
                 continue  # short docs via the broadcast path
+            hv = token_hashes64(toks, memo)
             anchors = window_anchor_hashes(toks, window, memo)
-            a_ids.append(i)
-            a_anchor.append(anchors[0])  # query row: leading window
-            a_role.append(0)
-            a_text.append(t)
-            a_ids.extend([i] * len(anchors))
-            a_anchor.extend(anchors.tolist())
-            a_role.extend([1] * len(anchors))
-            a_text.extend([t] * len(anchors))
+            qoff = int(anchors.argmin())
+            qhash = int(poly_hash_all(hv, bpow))
+            # query row
+            r_anchor.append(int(anchors[qoff]))
+            r_role.append(0)
+            r_id.append(i)
+            r_pos.append(qoff)
+            r_qlen.append(L)
+            r_qhash.append(qhash)
+            r_qchars.append(len(t))
+            # container rows: one per window, position only
+            r_anchor.extend(anchors.tolist())
+            r_role.extend([1] * len(anchors))
+            r_id.extend([i] * len(anchors))
+            r_pos.extend(range(len(anchors)))
+            r_qlen.extend([0] * len(anchors))
+            r_qhash.extend([0] * len(anchors))
+            r_qchars.extend([0] * len(anchors))
         return pa.table(
             {
-                "anchor": pa.array(a_anchor, pa.uint64()),
-                "role": pa.array(a_role, pa.int8()),
-                id_col: pa.array(a_ids, batch.column(id_col).type),
-                text_col: pa.array(a_text, pa.string()),
+                "anchor": pa.array(r_anchor, pa.uint64()),
+                "role": pa.array(r_role, pa.int8()),
+                id_col: pa.array(r_id, id_type),
+                "pos": pa.array(r_pos, pa.int32()),
+                "qlen": pa.array(r_qlen, pa.int32()),
+                "qhash": pa.array(r_qhash, pa.uint64()),
+                "qchars": pa.array(r_qchars, pa.int32()),
             }
         )
 
     exploded = ds.select_columns([id_col, text_col]).map_batches(explode, batch_format="pyarrow")
 
-    def per_runs(block: pa.Table, starts, ends) -> pa.Table:
-        typ = block.column(id_col).type
+    def emit_candidates(block: pa.Table, starts, ends) -> pa.Table:
         roles = block.column("role").to_numpy(zero_copy_only=False)
         ids = block.column(id_col).to_numpy(zero_copy_only=False)
-        out_a, out_b = [], []
-        texts = None
+        pos = block.column("pos").to_numpy(zero_copy_only=False)
+        qlen = block.column("qlen").to_numpy(zero_copy_only=False)
+        qhash = block.column("qhash").to_numpy(zero_copy_only=False)
+        qchars = block.column("qchars").to_numpy(zero_copy_only=False)
+        o_key, o_qid, o_start, o_qlen, o_qhash, o_qchars = [], [], [], [], [], []
         for s, e in zip(starts, ends):
             rr = roles[s:e]
-            if not (rr == 0).any() or len(np.unique(ids[s:e])) < 2:
-                continue  # no query in this anchor group, or single doc
-            if texts is None:  # lazy — most blocks never need the strings
-                texts = block.column(text_col).to_pylist()
-            # Dedupe by DISTINCT text before matching: exact-duplicate
-            # floods (the skew probe) otherwise turn one run into an
-            # m×m suffix-array scan. Verified (qtext, ctext) pairs are
-            # expanded back to all id combinations afterwards.
-            q_ids: dict = {}
-            c_ids: dict = {}
-            for k in range(s, e):
-                t = texts[k]
-                bucket = q_ids if roles[k] == 0 else c_ids
-                bucket.setdefault(t, set()).add(ids[k])
-            tpairs = containment_pairs_in_group(
-                sorted((t, t) for t in q_ids), sorted((t, t) for t in c_ids)
-            )
-            for qt, ct in tpairs:
-                for qi in q_ids[qt]:
-                    for ci in c_ids[ct]:
-                        if qi != ci:
-                            out_a.append(qi)
-                            out_b.append(ci)
-        return pa.table({"id_a": pa.array(out_a, typ), "id_b": pa.array(out_b, typ)})
+            qm = rr == 0
+            cm = ~qm
+            if not qm.any() or not cm.any():
+                continue
+            run_ids = ids[s:e]
+            c_ids = run_ids[cm]
+            c_pos = pos[s:e][cm]
+            # equivalence classes of queries by whole-doc hash
+            q_hashes = qhash[s:e][qm]
+            q_ids = run_ids[qm]
+            q_offs = pos[s:e][qm]
+            q_lens = qlen[s:e][qm]
+            q_chars = qchars[s:e][qm]
+            uniq, first, inv = np.unique(q_hashes, return_index=True, return_inverse=True)
+            for u in range(len(uniq)):
+                members = np.unique(q_ids[inv == u])
+                start = c_pos - q_offs[first[u]]
+                # same-class containers (identical text) can never
+                # strictly contain — excluding them here is what keeps
+                # exact-duplicate floods from emitting m² candidates
+                ok = (start >= 0) & ~np.isin(c_ids, members)
+                if not ok.any():
+                    continue
+                n = int(ok.sum())
+                ks = c_ids[ok].tolist()
+                ss = start[ok].tolist()
+                for m in members:
+                    o_key.extend(ks)
+                    o_qid.extend([m] * n)
+                    o_start.extend(ss)
+                    o_qlen.extend([int(q_lens[first[u]])] * n)
+                    o_qhash.extend([int(q_hashes[first[u]])] * n)
+                    o_qchars.extend([int(q_chars[first[u]])] * n)
+        return pa.table(
+            {
+                "key": pa.array(o_key, id_type),
+                "qid": pa.array(o_qid, id_type),
+                "start": pa.array(o_start, pa.int32()),
+                "qlen": pa.array(o_qlen, pa.int32()),
+                "qhash": pa.array(o_qhash, pa.uint64()),
+                "qchars": pa.array(o_qchars, pa.int32()),
+            }
+        )
 
-    pairs = map_key_runs(exploded, "anchor", per_runs, num_partitions)
+    candidates = map_key_runs(exploded, "anchor", emit_candidates, num_partitions)
+
+    # ---- verify: key candidates by container id, union the docs table
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column(id_col),
+                "qid": pa.array([None] * n, id_type),
+                "start": pa.array(np.full(n, -1, np.int32)),
+                "qlen": pa.array(np.zeros(n, np.int32)),
+                "qhash": pa.array(np.zeros(n, np.uint64)),
+                "qchars": pa.array(np.zeros(n, np.int32)),
+                "text": batch.column(text_col),
+            }
+        )
+
+    def pad_candidates(batch: pa.Table) -> pa.Table:
+        return batch.append_column("text", pa.array([None] * len(batch), pa.string()))
+
+    verify_input = ds.select_columns([id_col, text_col]).map_batches(
+        tag_docs, batch_format="pyarrow"
+    ).union(candidates.map_batches(pad_candidates, batch_format="pyarrow"))
+
+    def verify(block: pa.Table, starts, ends) -> pa.Table:
+        from raydedup.suffix import poly_powers as _pp
+
+        texts = block.column("text").to_pylist()
+        keys = block.column("key").to_numpy(zero_copy_only=False)
+        # qid is nullable (None on doc rows): to_numpy would degrade
+        # int64 to float64/NaN — go through pylist
+        qids = block.column("qid").to_pylist()
+        start = block.column("start").to_numpy(zero_copy_only=False)
+        qlen = block.column("qlen").to_numpy(zero_copy_only=False)
+        qh = block.column("qhash").to_numpy(zero_copy_only=False)
+        qchars = block.column("qchars").to_numpy(zero_copy_only=False)
+        memo: dict = {}
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            doc_idx = next((k for k in range(s, e) if texts[k] is not None), None)
+            if doc_idx is None or e - s < 2:
+                continue
+            text = texts[doc_idx]
+            toks = (text or "").split()
+            L = len(toks)
+            hv = token_hashes64(toks, memo)
+            bpow, binv = poly_powers(L)
+            S = poly_prefix_sums(hv, binv)
+            cid = keys[s]
+            cchars = len(text)
+            idx = np.array([k for k in range(s, e) if k != doc_idx], dtype=np.int64)
+            st = start[idx].astype(np.int64)
+            ql = qlen[idx].astype(np.int64)
+            fin = st + ql
+            valid = (fin <= L) & (qchars[idx] < cchars)
+            if not valid.any():
+                continue
+            vi = idx[valid]
+            # H(st, fin) normalized to the query frame: exponent of the
+            # m-th window token must be ql-1-m ⇒ multiplier B^(fin-1)
+            h = (S[fin[valid]] - S[st[valid]]) * bpow[fin[valid] - 1]
+            match = h == qh[vi]
+            seen = set()  # multiple matching starts → one pair
+            for k in vi[match]:
+                q = qids[k]
+                if q not in seen:
+                    seen.add(q)
+                    out_a.append(q)
+                    out_b.append(cid)
+        return pa.table({"id_a": pa.array(out_a, id_type), "id_b": pa.array(out_b, id_type)})
+
+    pairs = map_key_runs(verify_input, "key", verify, num_partitions)
 
     # short-query completeness path: collect docs with < window tokens
     short = ds.select_columns([id_col, text_col]).map_batches(
@@ -212,7 +347,11 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
             ds.select_columns([id_col, text_col]).map_batches(scan, batch_format="pyarrow")
         )
 
-    return unique_rows_partitioned(pairs, ["id_a", "id_b"], num_partitions)
+    # pairs are globally unique by construction: each (query-class,
+    # container) is generated in exactly one anchor run, deduped per
+    # container run in verify; short-path pairs are disjoint (query has
+    # < window tokens). No dedupe shuffle needed.
+    return pairs
 
 
 # -------------------------------------------------- n-gram Jaccard (AllPairs)

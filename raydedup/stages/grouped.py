@@ -91,7 +91,7 @@ def tune_for_session(ds):
     return ds
 
 
-def map_key_runs(ds, keys: str | list[str], run_fn, num_partitions: int, **map_kwargs):
+def map_key_runs(ds, keys: str | list[str], run_fn, num_partitions: int, min_run: int = 2, **map_kwargs):
     """Apply ``run_fn(block, starts, ends)`` to every hash partition.
 
     ``block`` is a pyarrow.Table sorted by ``keys``; ``starts``/``ends``
@@ -119,7 +119,7 @@ def map_key_runs(ds, keys: str | list[str], run_fn, num_partitions: int, **map_k
             return run_fn(block, np.empty(0, np.int64), np.empty(0, np.int64))
         block = block.sort_by([(k, "ascending") for k in keys])
         starts, ends = _run_bounds(block, keys)
-        multi = (ends - starts) >= 2
+        multi = (ends - starts) >= min_run
         return run_fn(block, starts[multi], ends[multi])
 
     return parted.map_batches(per_block, batch_size=None, batch_format="pyarrow", **map_kwargs)

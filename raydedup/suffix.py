@@ -158,13 +158,15 @@ def containment_pairs_in_group(
 
 _W_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _W_FNV_PRIME = np.uint64(0x100000001B3)
+# polynomial rolling-hash base (odd → invertible mod 2^64, so substring
+# hashes decompose through a prefix array — the window anchors keep the
+# FNV fold, which is cheaper but not decomposable)
+_POLY_B = np.uint64(0x100000001B3)
+_POLY_B_INV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
 
 
-def window_anchor_hashes(tokens: list[str], window: int, memo: dict) -> np.ndarray:
-    """64-bit anchors for every ``window``-token window of ``tokens``:
-    per-token SHA1-64 (memoized) folded with FNV — vectorized over
-    windows (no per-window crypto). Returns uint64[len(tokens)-window+1];
-    anchors[0] is the doc's leading-window (query) anchor."""
+def token_hashes64(tokens: list[str], memo: dict) -> np.ndarray:
+    """Per-token SHA1-64 values (memoized across calls via ``memo``)."""
     hv = np.empty(len(tokens), dtype=np.uint64)
     for i, t in enumerate(tokens):
         h = memo.get(t)
@@ -172,9 +174,42 @@ def window_anchor_hashes(tokens: list[str], window: int, memo: dict) -> np.ndarr
             h = struct.unpack("<Q", hashlib.sha1(t.encode("utf-8")).digest()[:8])[0]
             memo[t] = h
         hv[i] = h
+    return hv
+
+
+def window_anchor_hashes(tokens: list[str], window: int, memo: dict) -> np.ndarray:
+    """64-bit anchors for every ``window``-token window of ``tokens``:
+    per-token SHA1-64 (memoized) folded with FNV — vectorized over
+    windows (no per-window crypto). Returns uint64[len(tokens)-window+1]."""
+    hv = token_hashes64(tokens, memo)
     n = len(tokens) - window + 1
     out = np.full(n, _W_FNV_OFFSET, dtype=np.uint64)
     for j in range(window):
         out ^= hv[j : j + n]
         out *= _W_FNV_PRIME
     return out
+
+
+def poly_powers(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(B^k, B^-k) for k in [0, n], uint64 wraparound — cumprod wraps."""
+    b = np.full(n + 1, _POLY_B, dtype=np.uint64)
+    b[0] = 1
+    binv = np.full(n + 1, _POLY_B_INV, dtype=np.uint64)
+    binv[0] = 1
+    return np.cumprod(b), np.cumprod(binv)
+
+
+def poly_hash_all(hv: np.ndarray, bpow: np.ndarray) -> np.uint64:
+    """H(0, n) = Σ hv[k]·B^(n-1-k) mod 2^64 — the whole-sequence hash."""
+    n = len(hv)
+    if n == 0:
+        return np.uint64(0)
+    return np.uint64((hv * bpow[n - 1 :: -1][:n]).sum(dtype=np.uint64))
+
+
+def poly_prefix_sums(hv: np.ndarray, binv_pow: np.ndarray) -> np.ndarray:
+    """S[j] = Σ_{k<j} hv[k]·B^-k; any substring hash is then
+    H(i, j) = (S[j] - S[i]) · B^(j-1) — one gather + multiply."""
+    s = np.zeros(len(hv) + 1, dtype=np.uint64)
+    np.cumsum(hv * binv_pow[: len(hv)], out=s[1:])
+    return s

@@ -100,3 +100,39 @@ def test_exact_dedup_sparse_keys_many_partitions(ray_session):
     kept = exact_dedup(ds, ["text"], "doc_id", num_partitions=64).take_all()
     ids = sorted(r["doc_id"] for r in kept)
     assert ids == [0] + list(range(20, 40))
+
+
+def test_substring_pairs_slim_path(ray_session):
+    """The two-phase substring path: min-window anchors, hash verify,
+    duplicate-class expansion — against a brute-force token-slice oracle."""
+    import itertools
+
+    from raydedup.stages.dedup import substring_pairs
+
+    docs = {
+        0: "alpha beta gamma delta epsilon zeta",
+        1: "prefix words alpha beta gamma delta epsilon zeta suffix tail",
+        2: "alpha beta gamma delta",          # contained in 0 and 1
+        3: "alpha beta gamma delta",          # exact dup of 2 (class expansion)
+        4: "unrelated text about something else entirely here",
+        5: "x y",                             # short-doc broadcast path
+        6: "wrap x y wrap2 more tokens here",  # contains 5
+        7: "beta gamma delta epsilon",        # interior slice of 0 and 1
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    ds = _ds_from_table(t, 3)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in substring_pairs(ds, "doc_id", "text", window=4, num_partitions=16).take_all()
+    }
+    want = set()
+    for a, b in itertools.permutations(docs, 2):
+        ta, tb = docs[a], docs[b]
+        if len(ta) < len(tb) and f" {ta} " in f" {tb} ":
+            want.add((a, b))
+    assert got == want
