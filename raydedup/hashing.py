@@ -65,6 +65,24 @@ def hash_tokens32(tokens, memo: dict | None = None) -> np.ndarray:
     return out
 
 
+def hash_bytes64(tokens, memo: dict | None = None) -> np.ndarray:
+    """SHA1-64 (little-endian first 8 bytes) of an iterable of bytes,
+    memoized — the shared shingle-hash for the AllPairs/containment
+    operators (CMS ordering, prefix anchors and set blobs must agree)."""
+    if memo is None:
+        memo = {}
+    out = np.empty(len(tokens), dtype=np.uint64)
+    _sha1 = hashlib.sha1
+    _unpack = struct.unpack
+    for i, tok in enumerate(tokens):
+        h = memo.get(tok)
+        if h is None:
+            h = _unpack("<Q", _sha1(tok).digest()[:8])[0]
+            memo[tok] = h
+        out[i] = h
+    return out
+
+
 def generate_permutations(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     """Seed-derived universal-hash parameters ``(a, b)``, each
     ``uint64[num_perm]``, identical to the reference's draw order

@@ -57,7 +57,7 @@ class DedupConfig:
     # classic pool, for when the stage holds genuinely heavy state
     # (models, large vocabularies).
     signature_mode: str = "tasks"
-    num_partitions: int = 16
+    num_partitions: int | None = None  # None → auto-sized from the input row count
     checkpoint_dir: str | None = None
 
     @property
@@ -140,6 +140,9 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
     from raydedup.stages.grouped import ensure_hash_shuffle
 
     ensure_hash_shuffle()
+    from raydedup.stages.grouped import auto_partitions
+
+    npart = cfg.num_partitions if cfg.num_partitions else auto_partitions(ds)
     b, r = cfg.band_params
     ck = Checkpointer(cfg.checkpoint_dir, cfg.fingerprint())
 
@@ -204,7 +207,7 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
             else ()
         ),
         bucket_cap=cfg.bucket_cap,
-        num_partitions=cfg.num_partitions,
+        num_partitions=npart,
         dedupe=False,  # deduped globally below, together with substring pairs
     )
     if cfg.use_substring:
@@ -217,7 +220,7 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
                 cfg.id_col,
                 cfg.text_col,
                 window=cfg.substring_window,
-                num_partitions=cfg.num_partitions,
+                num_partitions=npart,
             )
             # tag with source mode 3 so the optional Jaccard filter
             # never drops substring containments with dissimilar captions
@@ -254,19 +257,19 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
                 lambda t: t.filter(pc.not_equal(t.column("mode"), 0)).select(["id_a", "id_b"]),
                 batch_format="pyarrow",
             )
-            mh = unique_rows_partitioned(mh, ["id_a", "id_b"], cfg.num_partitions)
+            mh = unique_rows_partitioned(mh, ["id_a", "id_b"], npart)
             verified = verify_pairs(
-                mh, signatures, cfg.id_col, cfg.threshold, cfg.num_perm, cfg.num_partitions
+                mh, signatures, cfg.id_col, cfg.threshold, cfg.num_perm, npart
             ).select_columns(["id_a", "id_b"])
             pairs = verified.union(other)
-        return unique_rows_partitioned(pairs, ["id_a", "id_b"], cfg.num_partitions)
+        return unique_rows_partitioned(pairs, ["id_a", "id_b"], npart)
 
     # the pair table is tiny relative to the corpus (near-dup edges only);
     # ck.run pins it so components' count + iterate don't re-run the shuffle
     pairs = ck.run("pairs", build_pairs)
 
     t0 = time.perf_counter()
-    clusters = connected_components(pairs, num_partitions=cfg.num_partitions)
+    clusters = connected_components(pairs, num_partitions=npart)
     ck.metrics.append({"stage": "components", "wall_sec": round(time.perf_counter() - t0, 3)})
     ck.flush_metrics()
     return {"signatures": signatures, "pairs": pairs, "clusters": clusters, "metrics": ck.metrics}

@@ -40,7 +40,7 @@ def add_content_hash(batch: pa.Table, cols: list[str], out_col: str = "content_h
     return batch.append_column(out_col, pa.array(hashes, pa.string()))
 
 
-def exact_dedup(ds, key_cols: list[str], id_col: str, keep_payload: bool = True, num_partitions: int = 32):
+def exact_dedup(ds, key_cols: list[str], id_col: str, keep_payload: bool = True, num_partitions: int | None = None):
     """Keep one representative (min id) per identical content.
 
     hash in map_batches (cheap, parallel) → hash-partition on
@@ -48,8 +48,10 @@ def exact_dedup(ds, key_cols: list[str], id_col: str, keep_payload: bool = True,
     per partition, not per group). Only the hash + id transit the
     shuffle unless ``keep_payload`` (then whole rows minus any
     pre-dropped blobs)."""
-    from raydedup.stages.grouped import ensure_hash_shuffle, effective_partitions
+    from raydedup.stages.grouped import auto_partitions, ensure_hash_shuffle, effective_partitions
 
+    if num_partitions is None:
+        num_partitions = auto_partitions(ds)
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, key_cols), batch_format="pyarrow"
     )
@@ -78,11 +80,13 @@ def exact_dedup(ds, key_cols: list[str], id_col: str, keep_payload: bool = True,
     return parted.map_batches(keep_min_per_run, batch_size=None, batch_format="pyarrow")
 
 
-def exact_dup_pairs(ds, key_cols: list[str], id_col: str, num_partitions: int = 32):
+def exact_dup_pairs(ds, key_cols: list[str], id_col: str, num_partitions: int | None = None):
     """(id_a < id_b) pairs of rows with identical content — each group
     emits a star from its min id (component-equivalent)."""
-    from raydedup.stages.grouped import map_key_runs
+    from raydedup.stages.grouped import auto_partitions, map_key_runs
 
+    if num_partitions is None:
+        num_partitions = auto_partitions(ds)
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, key_cols), batch_format="pyarrow"
     ).select_columns(["content_hash", id_col])
@@ -107,7 +111,7 @@ def exact_dup_pairs(ds, key_cols: list[str], id_col: str, num_partitions: int = 
 
 
 # ------------------------------------------------------------ substring dedup
-def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partitions: int = 32):
+def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partitions: int | None = None):
     """(contained_id → id_a, container_id → id_b) pairs where one
     caption is a strict token-slice of another.
 
@@ -136,7 +140,7 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
     Docs shorter than ``window`` tokens are collected to the driver
     (tiny) and broadcast-checked — completeness, not a hot path."""
     import ray
-    from raydedup.stages.grouped import map_key_runs
+    from raydedup.stages.grouped import auto_partitions, map_key_runs
     from raydedup.suffix import (
         poly_hash_all,
         poly_powers,
@@ -146,6 +150,8 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
     )
 
     id_type = ds.schema().base_schema.field(id_col).type
+    if num_partitions is None:
+        num_partitions = auto_partitions(ds)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -355,111 +361,222 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
 
 
 # -------------------------------------------------- n-gram Jaccard (AllPairs)
-def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5):
-    """EXACT n-gram-Jaccard near-dup pairs via prefix filtering
-    (AllPairs / PPJoin, Bayardo et al. WWW'07): order each doc's shingle
-    set by ascending global document frequency; any pair with
-    J ≥ t must share a shingle within the first
-    ``floor(len*(1-t)) + 1`` shingles of that order. Only prefix
-    shingles are exploded into the groupby, bounding hot groups to
-    rare-ish shingles; exact Jaccard is then verified from the full
-    shingle sets carried on the candidate rows.
+def _shingle_blob_table(slim_ds, id_col: str, text_col: str, n: int):
+    """(image_key, sigblob) table: sorted-unique uint64 shingle hashes
+    packed to bytes — the per-doc set representation that transits the
+    verification joins (8 bytes/shingle, shipped once per side)."""
+    from raydedup.hashing import hash_bytes64, word_ngram_shingles
 
-    The DF table is collected to the driver and broadcast (``ray.put``):
-    it is |distinct shingles| rows — fine up to ~10^8; beyond that,
-    switch the ordering to hashed-DF buckets (documented tradeoff).
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
-    """
-    import ray
-    from ray.data.aggregate import Count
-    from raydedup.hashing import word_ngram_shingles
+    def pack(batch: pa.Table) -> pa.Table:
+        memo: dict = {}
+        blobs = []
+        for t in batch.column(text_col).to_pylist():
+            sh = word_ngram_shingles(t or "", n=n)
+            hs = np.unique(hash_bytes64(sorted(sh), memo)) if sh else np.empty(0, np.uint64)
+            blobs.append(hs.tobytes())
+        return pa.table(
+            {"image_key": batch.column(id_col), "sigblob": pa.array(blobs, pa.binary())}
+        )
 
-    slim = ds.select_columns([id_col, text_col])
+    return slim_ds.map_batches(pack, batch_format="pyarrow")
 
-    def explode_shingles(batch: pa.Table) -> pa.Table:
-        ids, sh = [], []
-        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            for s in word_ngram_shingles(t or "", n=n):
-                ids.append(i)
-                sh.append(s.decode("utf-8"))
-        return pa.table({id_col: pa.array(ids, batch.column(id_col).type), "sh": pa.array(sh, pa.string())})
 
-    df = (
-        slim.map_batches(explode_shingles, batch_format="pyarrow")
-        .groupby("sh")
-        .aggregate(Count(alias_name="df"))
-    )
-    df_rows = df.take_all()
-    # rare-first deterministic order: (df, shingle)
-    order = {r["sh"]: k for k, r in enumerate(sorted(df_rows, key=lambda r: (r["df"], r["sh"])))}
-    order_ref = ray.put(order)
+def _pair_set_verify(
+    pairs, slim_ds, id_col, text_col, n, num_partitions, score_col, score_fn, threshold
+):
+    """Exact set-overlap verification for candidate pairs in TWO keyed
+    shuffles: (1) split each pair into two *half* rows keyed by their
+    own doc id, union the packed shingle-hash blob table, and hand each
+    half its blob inside one run; (2) re-join the halves on
+    (id_a, id_b) — candidate multiplicity from multiple shared anchors
+    collapses here for free — and score both sets with ``score_fn(sa,
+    sb) -> float``, keeping rows ≥ ``threshold``. Each doc's set
+    transits once per half, never once per prefix row."""
+    from raydedup.stages.grouped import map_key_runs
 
-    def prefix_explode(batch: pa.Table) -> pa.Table:
-        rank = ray.get(order_ref)
-        ids, anchors, sets = [], [], []
-        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            sh = sorted(
-                (s.decode("utf-8") for s in word_ngram_shingles(t or "", n=n)),
-                key=lambda s: rank.get(s, 1 << 60),
-            )
-            if not sh:
-                continue
-            plen = int(len(sh) * (1.0 - threshold)) + 1
-            joined = "\x1f".join(sh)
-            for s in sh[:plen]:
-                ids.append(i)
-                # 64-bit anchor hash → slim uint64 shuffle key (a
-                # collision only merges two groups, adding candidate
-                # checks, never losing a pair)
-                anchors.append(struct.unpack("<Q", hashlib.sha1(s.encode("utf-8")).digest()[:8])[0])
-                sets.append(joined)
+    id_type = pairs.schema().base_schema.field("id_a").type
+    blobs = _shingle_blob_table(slim_ds, id_col, text_col, n)
+
+    def halves(batch: pa.Table) -> pa.Table:
+        n_rows = len(batch)
+        ida = batch.column("id_a").combine_chunks()
+        idb = batch.column("id_b").combine_chunks()
+        if isinstance(ida, pa.ChunkedArray):
+            ida = ida.chunk(0) if ida.num_chunks else pa.array([], id_type)
+        if isinstance(idb, pa.ChunkedArray):
+            idb = idb.chunk(0) if idb.num_chunks else pa.array([], id_type)
         return pa.table(
             {
-                id_col: pa.array(ids, batch.column(id_col).type),
+                "key": pa.concat_arrays([ida, idb]),
+                "id_a": pa.concat_arrays([ida, ida]),
+                "id_b": pa.concat_arrays([idb, idb]),
+                "side": pa.array(
+                    np.concatenate([np.zeros(n_rows, np.int8), np.ones(n_rows, np.int8)])
+                ),
+                "blob": pa.array([None] * (2 * n_rows), pa.binary()),
+                "tag": pa.array(np.zeros(2 * n_rows, np.int8)),
+            }
+        )
+
+    def tag_blobs(batch: pa.Table) -> pa.Table:
+        n_rows = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("image_key"),
+                "id_a": pa.array([None] * n_rows, id_type),
+                "id_b": pa.array([None] * n_rows, id_type),
+                "side": pa.array(np.zeros(n_rows, np.int8)),
+                "blob": batch.column("sigblob"),
+                "tag": pa.array(np.ones(n_rows, np.int8)),
+            }
+        )
+
+    joined_in = pairs.map_batches(halves, batch_format="pyarrow").union(
+        blobs.map_batches(tag_blobs, batch_format="pyarrow")
+    )
+
+    def attach(block: pa.Table, starts, ends) -> pa.Table:
+        tags = block.column("tag").to_numpy(zero_copy_only=False)
+        sides = block.column("side").to_numpy(zero_copy_only=False)
+        ida = block.column("id_a").to_pylist()
+        idb = block.column("id_b").to_pylist()
+        blobs_col = block.column("blob").to_pylist()
+        o_a, o_b, o_side, o_blob = [], [], [], []
+        for s, e in zip(starts, ends):
+            seg = tags[s:e]
+            bidx = np.nonzero(seg == 1)[0]
+            if len(bidx) == 0:
+                continue
+            blob = blobs_col[s + int(bidx[0])]
+            for k in range(s, e):
+                if tags[k] == 0:
+                    o_a.append(ida[k])
+                    o_b.append(idb[k])
+                    o_side.append(sides[k])
+                    o_blob.append(blob)
+        return pa.table(
+            {
+                "id_a": pa.array(o_a, id_type),
+                "id_b": pa.array(o_b, id_type),
+                "side": pa.array(o_side, pa.int8()),
+                "blob": pa.array(o_blob, pa.binary()),
+            }
+        )
+
+    half_blobs = map_key_runs(joined_in, "key", attach, num_partitions)
+
+    def score(block: pa.Table, starts, ends) -> pa.Table:
+        sides = block.column("side").to_numpy(zero_copy_only=False)
+        ida = block.column("id_a").to_pylist()
+        idb = block.column("id_b").to_pylist()
+        blobs_col = block.column("blob").to_pylist()
+        o_a, o_b, o_s = [], [], []
+        for s, e in zip(starts, ends):
+            seg = sides[s:e]
+            a_idx = np.nonzero(seg == 0)[0]
+            b_idx = np.nonzero(seg == 1)[0]
+            if len(a_idx) == 0 or len(b_idx) == 0:
+                continue
+            sa = np.frombuffer(blobs_col[s + int(a_idx[0])], dtype=np.uint64)
+            sb = np.frombuffer(blobs_col[s + int(b_idx[0])], dtype=np.uint64)
+            val = score_fn(sa, sb)
+            if val >= threshold:
+                o_a.append(ida[s])
+                o_b.append(idb[s])
+                o_s.append(val)
+        return pa.table(
+            {
+                "id_a": pa.array(o_a, id_type),
+                "id_b": pa.array(o_b, id_type),
+                score_col: pa.array(o_s, pa.float64()),
+            }
+        )
+
+    return map_key_runs(half_blobs, ["id_a", "id_b"], score, num_partitions)
+
+
+def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5, num_partitions: int | None = None):
+    """EXACT n-gram-Jaccard near-dup pairs via prefix filtering
+    (AllPairs / PPJoin, Bayardo et al. WWW'07): order each doc's shingle
+    set by ascending global document frequency; any pair with J ≥ t
+    must share a shingle within the first ``floor(len*(1-t)) + 1``
+    shingles of that order.
+
+    Scale shape (round-2 redesign): the global DF order comes from a
+    FIXED-size count-min sketch aggregated across blocks and broadcast
+    once (raydedup.cms — replaces the driver-materialized DF dict,
+    which was O(|distinct shingles|)); prefix rows carry only
+    (anchor: uint64, id) — 16 bytes, no shingle-set payload; exact
+    Jaccard is verified AFTER candidate dedupe by joining each doc's
+    packed shingle-hash set once per side (stages/verify reduce-side
+    join). Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    import ray
+
+    from raydedup.cms import CountMinSketch, shingle_df_sketch_aggregate
+    from raydedup.hashing import hash_bytes64, word_ngram_shingles
+    from raydedup.stages.grouped import auto_partitions, ensure_hash_shuffle, map_key_runs
+
+    ensure_hash_shuffle()
+    slim = ds.select_columns([id_col, text_col])
+    id_type = ds.schema().base_schema.field(id_col).type
+    if num_partitions is None:
+        num_partitions = auto_partitions(slim)
+
+    cms_counts = slim.aggregate(shingle_df_sketch_aggregate(text_col, n))["shingle_df_cms"]
+    cms_ref = ray.put(cms_counts)
+
+    def prefix_explode(batch: pa.Table) -> pa.Table:
+        cms = CountMinSketch(counts=ray.get(cms_ref))
+        memo: dict = {}
+        out_id, out_anchor = [], []
+        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            sh = word_ngram_shingles(t or "", n=n)
+            if not sh:
+                continue
+            hs = np.unique(hash_bytes64(sorted(sh), memo))
+            df = cms.estimate(hs)
+            order = np.lexsort((hs, df))  # rare-first, hash tie-break
+            plen = int(len(hs) * (1.0 - threshold)) + 1
+            pre = hs[order[:plen]]
+            out_id.extend([i] * len(pre))
+            out_anchor.append(pre)
+        anchors = np.concatenate(out_anchor) if out_anchor else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, id_type),
                 "anchor": pa.array(anchors, pa.uint64()),
-                "shset": pa.array(sets, pa.string()),
             }
         )
 
     exploded = slim.map_batches(prefix_explode, batch_format="pyarrow")
 
-    from raydedup.stages.grouped import map_key_runs, unique_rows_partitioned
-
     def pairs_in_runs(block: pa.Table, starts, ends) -> pa.Table:
-        typ = block.column(id_col).type
         ids = block.column(id_col).to_numpy(zero_copy_only=False)
-        sets = None
-        a_out, b_out, j_out = [], [], []
+        a_out, b_out = [], []
         for s, e in zip(starts, ends):
-            if sets is None:
-                sets = block.column("shset").to_pylist()
-            uniq = {}
-            for k in range(s, e):
-                uniq[ids[k]] = sets[k]
-            items = sorted(uniq.items())
-            for x in range(len(items) - 1):
-                ia, sa = items[x]
-                seta = set(sa.split("\x1f"))
-                for y in range(x + 1, len(items)):
-                    ib, sb = items[y]
-                    setb = set(sb.split("\x1f"))
-                    union = len(seta | setb)
-                    j = len(seta & setb) / union if union else 0.0
-                    if j >= threshold:
-                        a_out.append(ia)
-                        b_out.append(ib)
-                        j_out.append(j)
-        return pa.table(
-            {
-                "id_a": pa.array(a_out, typ),
-                "id_b": pa.array(b_out, typ),
-                "jaccard": pa.array(j_out, pa.float64()),
-            }
-        )
+            run = np.unique(ids[s:e])
+            if len(run) < 2:
+                continue
+            iu = np.triu_indices(len(run), 1)
+            a_out.append(run[iu[0]])
+            b_out.append(run[iu[1]])
+        if a_out:
+            a, b = np.concatenate(a_out), np.concatenate(b_out)
+        else:
+            a = b = []
+        return pa.table({"id_a": pa.array(a, id_type), "id_b": pa.array(b, id_type)})
 
-    pairs = map_key_runs(exploded, "anchor", pairs_in_runs, 32)
-    # jaccard is exact, so duplicates across anchors agree — row-unique
-    return unique_rows_partitioned(pairs, ["id_a", "id_b", "jaccard"], 32)
+    pairs = map_key_runs(exploded, "anchor", pairs_in_runs, num_partitions)
+
+    def jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        return inter / union if union else 0.0
+
+    return _pair_set_verify(
+        pairs, slim, id_col, text_col, n, num_partitions, "jaccard", jaccard, threshold
+    )
 
 
 # ------------------------------------------- exact embedding cosine near-dups

@@ -62,6 +62,19 @@ def effective_partitions(requested: int) -> int:
     return max(2, min(requested, cpus))
 
 
+def auto_partitions(ds_or_rows, requested: int | None = None, rows_per_partition: int = 512) -> int:
+    """Partition count scaled to the INPUT size, capped at the cluster
+    CPU budget. Each hash shuffle spawns one aggregator actor per
+    partition with a measurable fixed cost (~0.1s each), so small
+    inputs want few partitions; any corpus beyond ``cpus ×
+    rows_per_partition`` rows hits the CPU cap, so cluster-scale
+    behavior is unchanged. Pass a Dataset whose count() is
+    metadata-cheap (a parquet read or a materialized stage)."""
+    rows = ds_or_rows if isinstance(ds_or_rows, int) else ds_or_rows.count()
+    cap = effective_partitions(requested if requested else 1 << 30)
+    return max(2, min(cap, rows // rows_per_partition))
+
+
 def _run_bounds(block: pa.Table, keys: list[str]):
     n = len(block)
     change = np.zeros(n - 1, dtype=bool)

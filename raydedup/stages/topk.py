@@ -75,109 +75,95 @@ def topk_similar(sig_ds, query_sigs: np.ndarray, query_ids, k: int = 10, id_col:
 
 
 # -------------------------------------------- exact containment (AllPairs)
-def containment_pairs_exact(ds, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5, num_partitions: int = 32):
+def containment_pairs_exact(ds, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5, num_partitions: int | None = None):
     """EXACT pairs with shingle containment |A∩B|/|A| ≥ threshold.
 
     Prefix filter on the contained side only (containment is
     asymmetric): A must share one of its ⌊|A|(1−t)⌋+1 rarest shingles
-    with B, while B contributes every shingle. Inverted-index groupby on
-    the shingle, exact verification from carried sets, global dedupe.
-    Returns (id_a=contained, id_b=container, containment)."""
+    with B, while B contributes every shingle. Same scale shape as
+    ``ngram_jaccard_pairs``: count-min-sketch DF order (broadcast,
+    fixed size), slim (anchor: uint64, id, role) inverted-index rows,
+    and set verification AFTER candidate dedupe via the packed-blob
+    pair join (stages/dedup._pair_set_verify). Returns (id_a=contained,
+    id_b=container, containment)."""
     import ray
-    from ray.data.aggregate import Count
 
-    from raydedup.hashing import word_ngram_shingles
-    from raydedup.stages.grouped import map_key_runs, unique_rows_partitioned
+    from raydedup.cms import CountMinSketch, shingle_df_sketch_aggregate
+    from raydedup.hashing import hash_bytes64, word_ngram_shingles
+    from raydedup.stages.dedup import _pair_set_verify
+    from raydedup.stages.grouped import auto_partitions, ensure_hash_shuffle, map_key_runs
 
+    ensure_hash_shuffle()
     slim = ds.select_columns([id_col, text_col])
+    id_type = ds.schema().base_schema.field(id_col).type
+    if num_partitions is None:
+        num_partitions = auto_partitions(slim)
 
-    def explode_all(batch: pa.Table) -> pa.Table:
-        ids, sh = [], []
-        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            for s in word_ngram_shingles(t or "", n=n):
-                ids.append(i)
-                sh.append(s.decode("utf-8"))
-        return pa.table({id_col: pa.array(ids, batch.column(id_col).type), "sh": pa.array(sh, pa.string())})
-
-    df_rows = (
-        slim.map_batches(explode_all, batch_format="pyarrow")
-        .groupby("sh")
-        .aggregate(Count(alias_name="df"))
-        .take_all()
-    )
-    order = {r["sh"]: i for i, r in enumerate(sorted(df_rows, key=lambda r: (r["df"], r["sh"])))}
-    order_ref = ray.put(order)
+    cms_counts = slim.aggregate(shingle_df_sketch_aggregate(text_col, n))["shingle_df_cms"]
+    cms_ref = ray.put(cms_counts)
 
     def explode_roles(batch: pa.Table) -> pa.Table:
-        rank = ray.get(order_ref)
-        ids, anchors, roles, sets = [], [], [], []
+        cms = CountMinSketch(counts=ray.get(cms_ref))
+        memo: dict = {}
+        out_id, out_anchor, out_role = [], [], []
         for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            sh = sorted(
-                (s.decode("utf-8") for s in word_ngram_shingles(t or "", n=n)),
-                key=lambda s: rank.get(s, 1 << 60),
-            )
+            sh = word_ngram_shingles(t or "", n=n)
             if not sh:
                 continue
-            joined = "\x1f".join(sh)
-            plen = int(len(sh) * (1.0 - threshold)) + 1
-            for s in sh[:plen]:  # contained-side prefix
-                ids.append(i)
-                anchors.append(s)
-                roles.append(0)
-                sets.append(joined)
-            for s in sh:  # container-side: all shingles
-                ids.append(i)
-                anchors.append(s)
-                roles.append(1)
-                sets.append(joined)
+            hs = np.unique(hash_bytes64(sorted(sh), memo))
+            df = cms.estimate(hs)
+            order = np.lexsort((hs, df))
+            plen = int(len(hs) * (1.0 - threshold)) + 1
+            pre = hs[order[:plen]]
+            out_id.extend([i] * (len(pre) + len(hs)))
+            out_anchor.append(pre)  # contained-side prefix
+            out_anchor.append(hs)  # container-side: all shingles
+            out_role.append(np.zeros(len(pre), np.int8))
+            out_role.append(np.ones(len(hs), np.int8))
+        anchors = np.concatenate(out_anchor) if out_anchor else np.empty(0, np.uint64)
+        roles = np.concatenate(out_role) if out_role else np.empty(0, np.int8)
         return pa.table(
             {
-                "anchor": pa.array(anchors, pa.string()),
+                id_col: pa.array(out_id, id_type),
+                "anchor": pa.array(anchors, pa.uint64()),
                 "role": pa.array(roles, pa.int8()),
-                id_col: pa.array(ids, batch.column(id_col).type),
-                "shset": pa.array(sets, pa.string()),
             }
         )
 
     exploded = slim.map_batches(explode_roles, batch_format="pyarrow")
 
     def per_runs(block: pa.Table, starts, ends) -> pa.Table:
-        typ = block.column(id_col).type
         roles = block.column("role").to_numpy(zero_copy_only=False)
         ids = block.column(id_col).to_numpy(zero_copy_only=False)
-        sets = None
-        out_a, out_b, out_c = [], [], []
+        out_a, out_b = [], []
         for s, e in zip(starts, ends):
             rr = roles[s:e]
-            if not (rr == 0).any():
+            run_ids = ids[s:e]
+            qs = np.unique(run_ids[rr == 0])
+            cs = np.unique(run_ids[rr == 1])
+            if len(qs) == 0 or len(cs) == 0:
                 continue
-            if sets is None:
-                sets = block.column("shset").to_pylist()
-            queries = {}
-            containers = {}
-            for kk in range(s, e):
-                (queries if roles[kk] == 0 else containers)[ids[kk]] = sets[kk]
-            for qid, qset in queries.items():
-                qs = set(qset.split("\x1f"))
-                for cid, cset in containers.items():
-                    if cid == qid:
-                        continue
-                    cs = set(cset.split("\x1f"))
-                    c = len(qs & cs) / len(qs)
-                    if c >= threshold:
-                        out_a.append(qid)
-                        out_b.append(cid)
-                        out_c.append(c)
-        return pa.table(
-            {
-                "id_a": pa.array(out_a, typ),
-                "id_b": pa.array(out_b, typ),
-                "containment": pa.array(out_c, pa.float64()),
-            }
-        )
+            a = np.repeat(qs, len(cs))
+            b = np.tile(cs, len(qs))
+            keep = a != b
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+        if out_a:
+            a, b = np.concatenate(out_a), np.concatenate(out_b)
+        else:
+            a = b = []
+        return pa.table({"id_a": pa.array(a, id_type), "id_b": pa.array(b, id_type)})
 
     pairs = map_key_runs(exploded, "anchor", per_runs, num_partitions)
-    return unique_rows_partitioned(pairs, ["id_a", "id_b", "containment"], num_partitions)
+
+    def containment(sa: np.ndarray, sb: np.ndarray) -> float:
+        if len(sa) == 0:
+            return 0.0
+        return len(np.intersect1d(sa, sb, assume_unique=True)) / len(sa)
+
+    return _pair_set_verify(
+        pairs, slim, id_col, text_col, n, num_partitions, "containment", containment, threshold
+    )
 
 
 # ---------------------------------------- LSH-Ensemble-style approximation

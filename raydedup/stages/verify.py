@@ -16,7 +16,7 @@ from raydedup.minhash import jaccard_estimate
 from raydedup.schema import sig_to_numpy
 
 
-def _attach_side(pairs_ds, slim, side: str, num_partitions: int):
+def _attach_side(pairs_ds, slim, side: str, num_partitions: int, out_prefix: str = "minhash"):
     """Reduce-side join on the engine's own bucket-shuffle primitive:
     union pair rows (tag 0) with signature rows (tag 1) keyed on one pair
     side, hash-partition, and within each key run hand the (single)
@@ -27,7 +27,7 @@ def _attach_side(pairs_ds, slim, side: str, num_partitions: int):
     from raydedup.stages.grouped import map_key_runs
 
     other = "id_b" if side == "id_a" else "id_a"
-    out_col = "minhash_a" if side == "id_a" else "minhash_b"
+    out_col = f"{out_prefix}_a" if side == "id_a" else f"{out_prefix}_b"
     schema = pairs_ds.schema()
     carry = [c for c in schema.names if c not in ("id_a", "id_b")]
     carry_types = {c: schema.base_schema.field(c).type for c in carry}
