@@ -37,7 +37,22 @@ def _set_default_shuffle_strategy() -> None:
         pass
 
 
+def _quiet_known_benign_warnings() -> None:
+    """pyarrow Schemas carrying pandas metadata are unhashable (the
+    metadata dict breaks ``hash(schema)``), so Ray Data's schema-dedup
+    fast path logs 'Failed to hash the schemas' for every block of any
+    parquet file written by pandas — pure noise (it falls back to full
+    unification). Runs at import so worker processes (which import this
+    package to unpickle UDFs) are quieted too."""
+    import logging
+
+    logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
+        logging.ERROR
+    )
+
+
 _set_default_shuffle_strategy()
+_quiet_known_benign_warnings()
 
 from raydedup.hashing import (
     sha1_hash32,

@@ -102,6 +102,18 @@ class HllSketch:
         return float(-(1 << 32) * np.log(1.0 - e / (1 << 32)))
 
 
+def _distinct_tokens(block, column: str) -> list[bytes]:
+    """Distinct column values of a block as utf-8 bytes — HLL registers
+    only depend on the DISTINCT hash set, so deduping first (one Arrow
+    kernel) removes most of the per-value Python hashing cost."""
+    import pyarrow.compute as pc
+    from ray.data.block import BlockAccessor
+
+    col = BlockAccessor.for_block(block).to_arrow().column(column)
+    vals = pc.unique(pc.cast(col.combine_chunks(), "string"))
+    return [v.encode("utf-8") for v in vals.to_pylist() if v is not None]
+
+
 def hll_aggregate_fn(column: str, p: int = 8, alias_name: str | None = None):
     """A ``ray.data.aggregate.AggregateFn`` computing an approximate
     distinct count of ``column`` — partial register files per block,
@@ -109,15 +121,12 @@ def hll_aggregate_fn(column: str, p: int = 8, alias_name: str | None = None):
     grouped aggregation.
     """
     from ray.data.aggregate import AggregateFn
-    from ray.data.block import BlockAccessor
 
     name = alias_name or f"hll_ndv({column})"
 
     def accumulate_block(state: np.ndarray, block) -> np.ndarray:
-        col = BlockAccessor.for_block(block).to_arrow().column(column)
-        vals = col.to_pylist()
         sk = HllSketch(p, reg=state.copy())
-        sk.update_tokens([str(v).encode("utf-8") for v in vals if v is not None])
+        sk.update_tokens(_distinct_tokens(block, column))
         return sk.reg
 
     return AggregateFn(
@@ -129,24 +138,60 @@ def hll_aggregate_fn(column: str, p: int = 8, alias_name: str | None = None):
     )
 
 
+def hllpp_aggregate_fn(column: str, p: int = 12, alias_name: str | None = None):
+    """Distributed HLL++ distinct count (64-bit variant with the
+    published bias correction) — same shape as ``hll_aggregate_fn``."""
+    from ray.data.aggregate import AggregateFn
+
+    name = alias_name or f"hllpp_ndv({column})"
+
+    def accumulate_block(state: np.ndarray, block) -> np.ndarray:
+        sk = HllPlusPlusSketch(p, reg=state.copy())
+        sk.update_tokens(_distinct_tokens(block, column))
+        return sk.reg
+
+    return AggregateFn(
+        init=lambda k: np.zeros(1 << p, dtype=np.int8),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b: np.maximum(a, b),
+        finalize=lambda reg: float(HllPlusPlusSketch(p, reg=reg).count()),
+        name=name,
+    )
+
+
 # HLL++-style 64-bit variant (reference HyperLogLogPlusPlus,
 # hyperloglog.py:323-381): 64-bit hash removes the large-range
 # correction; small range uses linear counting below the published
-# per-p thresholds (HLL++ paper, appendix). The reference additionally
-# subtracts an empirically-tabulated bias for 5m > e > threshold; we
-# omit that table (public but bulky), documented deviation: estimates in
-# that narrow band carry the uncorrected ~1-2% bias.
-_HLLPP_THRESHOLDS = {
-    4: 10, 5: 20, 6: 40, 7: 80, 8: 220, 9: 400, 10: 900, 11: 1800,
-    12: 3100, 13: 6500, 14: 11500, 15: 20000, 16: 50000,
-}
+# per-p thresholds, and estimates ≤ 5m subtract the empirically
+# tabulated bias (mean of the 6 nearest raw-estimate neighbors). The
+# threshold / raw-estimate / bias vectors are the public companion data
+# of Heule et al., "HyperLogLog in Practice" (EDBT 2013), packed as a
+# binary asset (raydedup/data/hllpp_bias.npz).
+_HLLPP_CONST: dict | None = None
+
+
+def _hllpp_const() -> dict:
+    global _HLLPP_CONST
+    if _HLLPP_CONST is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data", "hllpp_bias.npz")
+        _HLLPP_CONST = dict(np.load(path))
+    return _HLLPP_CONST
 
 
 class HllPlusPlusSketch(HllSketch):
     """64-bit-hash register HLL (merge-compatible only with itself)."""
 
     def __init__(self, p: int = 8, reg: np.ndarray | None = None):
-        super().__init__(p, reg)
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18] for the 64-bit variant")
+        super().__init__(p if p <= 16 else 16, reg)
+        if p > 16:  # HllSketch guard is [4,16]; widen for HLL++
+            self.p = p
+            self.m = 1 << p
+            self.reg = np.zeros(self.m, dtype=np.int8) if reg is None else np.asarray(reg, dtype=np.int8)
+            self.alpha = _alpha(p)
         self.max_rank = 64 - p
 
     def update_tokens(self, tokens) -> None:
@@ -158,12 +203,22 @@ class HllPlusPlusSketch(HllSketch):
         if len(hv):
             self.update_hashes(hv)
 
+    def _estimate_bias(self, e: float) -> float:
+        const = _hllpp_const()
+        raw = const[f"raw_estimate_p{self.p}"]
+        bias = const[f"bias_p{self.p}"]
+        nearest = np.argsort((e - raw) ** 2)[:6]
+        return float(np.mean(bias[nearest]))
+
     def count(self) -> float:
         num_zero = self.m - np.count_nonzero(self.reg)
         if num_zero > 0:
             lc = float(self.m * np.log(self.m / float(num_zero)))
-            if lc <= _HLLPP_THRESHOLDS.get(self.p, 2.5 * self.m):
+            if lc <= float(_hllpp_const()["thresholds"][self.p - 4]):
                 return lc
-        return float(
+        e = float(
             self.alpha * float(self.m**2) / np.sum(2.0 ** (-self.reg.astype(np.float64)))
         )
+        if e <= 5 * self.m:
+            return e - self._estimate_bias(e)
+        return e

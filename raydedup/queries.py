@@ -127,12 +127,28 @@ def q_token_counts(sf_dir: str):
     )
 
 
+def _task_stage(cls):
+    """Per-worker closure cache around a stage class: state is built
+    once per worker PROCESS (same amortization as an actor pool) but
+    scheduling stays elastic tasks — right for stages whose state is
+    tiny (compiled regexes, small tables). Heavy-state stages (decode
+    codecs, models) stay real actor pools (e.g. media.DecodeFeaturesStage)."""
+    holder: dict = {}
+
+    def fn(batch):
+        if "s" not in holder:
+            holder["s"] = cls()
+        return holder["s"](batch)
+
+    return fn
+
+
 def q_doc_quality(sf_dir: str):
     from raydedup.stages.text import QualityStage
 
     return (
         _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(QualityStage, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(_task_stage(QualityStage), batch_format="pyarrow")
         .select_columns(
             ["doc_id", "q_n_chars", "q_punct_ratio", "q_digit_ratio", "q_stopword_ratio", "q_mean_word_len"]
         )
@@ -144,7 +160,7 @@ def q_langid_docs(sf_dir: str):
 
     return (
         _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(_task_stage(LangIdStage), batch_format="pyarrow")
         .select_columns(["doc_id", "lang_pred", "lang_score"])
     )
 
@@ -277,15 +293,27 @@ def q_orders_by_segment(sf_dir: str):
 
 
 # ---------------------------------------------------------------------- ANN
+def _select_rows(ds, id_col: str, wanted):
+    """Fetch a handful of rows by id WITHOUT materializing the dataset:
+    an Arrow is_in filter runs distributed and ``take`` stops the scan
+    as soon as the rows are found. Returns rows sorted by id."""
+    wanted = sorted(set(wanted))
+    vals = pa.array(wanted)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(id_col), value_set=vals))
+
+    rows = ds.map_batches(flt, batch_format="pyarrow").take(len(wanted))
+    return sorted(rows, key=lambda r: r[id_col])
+
+
 def q_ann_topk(sf_dir: str):
     """Exact cosine top-10 for query vectors vec_id ∈ {0,1,2} (self
     excluded); broadcast query matrix + per-batch matmul + global merge."""
     from raydedup.stages.ann import brute_force_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qrows = sorted(
-        (r for r in ds.take_all() if r["vec_id"] in (0, 1, 2)), key=lambda r: r["vec_id"]
-    )
+    qrows = _select_rows(ds, "vec_id", (0, 1, 2))
     qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     top = brute_force_topk(ds, qvecs, k=11)  # 11 then drop self
 
@@ -312,29 +340,63 @@ def q_ann_topk(sf_dir: str):
 
 def q_ann_lsh_topk(sf_dir: str):
     """Scale-path ANN: hyperplane-bucketed candidates then exact rerank
-    (approximate — no SQL oracle)."""
-    from raydedup.stages.ann import add_hyperplane_bucket, brute_force_topk
+    in ONE distributed pass — query (id, bucket, vector) triples are
+    broadcast, each batch scores only rows falling in a query's bucket,
+    and a small groupby merges per-query top-k. (Approximate — no SQL
+    oracle.)"""
+    import ray
+
+    from raydedup.stages.ann import _emb_matrix, _normalize, add_hyperplane_bucket
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     bucketed = add_hyperplane_bucket(ds, bits=4)
-    rows = [r for r in bucketed.take_all() if r["vec_id"] in (0, 1, 2)]
-    rows.sort(key=lambda r: r["vec_id"])
-    out = []
-    for r in rows:
-        cands = bucketed.filter(lambda x, b=r["bucket"]: x["bucket"] == b)
-        top = brute_force_topk(
-            cands, np.array([r["embedding"]], dtype=np.float64), k=11
-        ).take_all()
-        for t in top:
-            if t["vec_id"] != r["vec_id"]:
-                out.append({"query_id": r["vec_id"], "vec_id": t["vec_id"], "cos": t["cos"]})
-    t = pa.table(
-        {
-            "query_id": pa.array([o["query_id"] for o in out], pa.int64()),
-            "vec_id": pa.array([o["vec_id"] for o in out], pa.int64()),
-        }
+    qrows = _select_rows(bucketed, "vec_id", (0, 1, 2))
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qbuckets = np.array([r["bucket"] for r in qrows], dtype=np.uint64)
+    qvecs = _normalize(np.array([r["embedding"] for r in qrows], dtype=np.float64))
+    qref = ray.put((qids, qbuckets, qvecs))
+    k = 10
+
+    def score(batch: pa.Table) -> pa.Table:
+        q_ids, q_buckets, q_vecs = ray.get(qref)
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = None
+        o_q, o_id, o_cos = [], [], []
+        for qi in range(len(q_ids)):
+            in_bucket = (buckets == q_buckets[qi]) & (ids != q_ids[qi])
+            if not in_bucket.any():
+                continue
+            if m is None:
+                m = _normalize(_emb_matrix(batch, "embedding"))
+            cos = m[in_bucket] @ q_vecs[qi]
+            cand = ids[in_bucket]
+            kk = min(k, len(cand))
+            top = np.argpartition(-cos, kk - 1)[:kk] if len(cand) > kk else np.arange(len(cand))
+            o_q.extend([int(q_ids[qi])] * len(top))
+            o_id.extend(cand[top].tolist())
+            o_cos.extend(cos[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(o_q, pa.int64()),
+                "vec_id": pa.array(o_id, pa.int64()),
+                "cos": pa.array(o_cos, pa.float64()),
+            }
+        )
+
+    scored = bucketed.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+    def merge(group: pa.Table) -> pa.Table:
+        cos = group.column("cos").to_numpy(zero_copy_only=False)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -cos))[: min(k, len(cos))]
+        return group.take(pa.array(order))
+
+    return (
+        scored.groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+        .select_columns(["query_id", "vec_id"])
     )
-    return t
 
 
 # ------------------------------------------------------------------ oracles
@@ -471,9 +533,7 @@ def q_topk_similar_docs(sf_dir: str):
         concurrency=(1, 4),
         num_cpus=1,
     )
-    qrows = sorted(
-        (r for r in ds.take_all() if r["doc_id"] in (0, 1, 2, 3, 4)), key=lambda r: r["doc_id"]
-    )
+    qrows = _select_rows(ds, "doc_id", (0, 1, 2, 3, 4))
     a, b = generate_permutations(128, 1)
     qsigs = minhash_batch([sorted(word_ngram_shingles(r["text"], 3)) for r in qrows], a, b)
     return topk_similar(sig_ds, qsigs, [r["doc_id"] for r in qrows], k=10, id_col="doc_id")
@@ -541,17 +601,15 @@ def q_source_union_signatures(sf_dir: str):
 
 
 def q_hllpp_distinct_users(sf_dir: str):
-    """Global distinct users via the 64-bit HLL++-style sketch
-    (reference ``hyperloglog.py:323-381``); rows-only."""
-    import numpy as np
-
-    from raydedup.hll import HllPlusPlusSketch
+    """Global distinct users via the 64-bit bias-corrected HLL++ sketch
+    (reference ``hyperloglog.py:323-381``) as a distributed mergeable
+    AggregateFn — per-block register files, elementwise-max merge,
+    bias-corrected estimate at finalize."""
+    from raydedup.hll import hllpp_aggregate_fn
 
     ds = _read(sf_dir, "events", columns=["user_id"])
-    sk = HllPlusPlusSketch(p=12)
-    for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        sk.update_tokens([str(v).encode() for v in batch.column("user_id").to_pylist()])
-    return pa.table({"ndv_users_hllpp": pa.array([sk.count()], pa.float64())})
+    res = ds.aggregate(hllpp_aggregate_fn("user_id", p=12, alias_name="ndv_users_hllpp"))
+    return pa.table({"ndv_users_hllpp": pa.array([res["ndv_users_hllpp"]], pa.float64())})
 
 
 def q_weighted_minhash_embeddings(sf_dir: str):

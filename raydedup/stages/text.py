@@ -107,30 +107,43 @@ class LangIdStage:
 _FP_BASE = np.uint64(1099511628211)
 
 
+_FP_POWERS: dict[int, np.ndarray] = {}
+
+
+def _fp_powers(window: int) -> np.ndarray:
+    """B^(w-1), B^(w-2), …, B^0 (uint64 wraparound), cached per window."""
+    pw = _FP_POWERS.get(window)
+    if pw is None:
+        pw = np.ones(window, dtype=np.uint64)
+        for j in range(window - 2, -1, -1):
+            pw[j] = pw[j + 1] * _FP_BASE
+        _FP_POWERS[window] = pw
+    return pw
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = 16) -> pa.Table:
     """64-bit document fingerprint: min of rolling polynomial hashes over
     byte windows (a winnowing-style content fingerprint — robust to
-    doc-level reordering of large blocks, cheap to compare)."""
+    doc-level reordering of large blocks, cheap to compare).
+
+    Fully vectorized: every window hash of a doc is one strided
+    (L-w+1, w) × (w,) product-sum in uint64 (wraps mod 2^64 natively) —
+    no per-byte Python."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pw = _fp_powers(window)
     texts = batch.column(text_col).to_pylist()
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, s in enumerate(texts):
         data = (s or "").encode("utf-8")
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
         if len(data) < window:
             h = np.uint64(14695981039346656037)
-            for ch in data:
-                h = (h ^ np.uint64(ch)) * _FP_BASE
+            for v in arr:  # < window bytes — bounded tiny loop
+                h = (h ^ v) * _FP_BASE
             out[i] = h
             continue
-        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-        # rolling polynomial hash of each window, vectorized via cumulative trick
-        pw = _FP_BASE ** np.uint64(window - 1)
-        h = np.zeros(len(arr) - window + 1, dtype=np.uint64)
-        cur = np.uint64(0)
-        for j in range(window):
-            cur = cur * _FP_BASE + arr[j]
-        h[0] = cur
-        for j in range(1, len(h)):
-            cur = (cur - arr[j - 1] * pw) * _FP_BASE + arr[j + window - 1]
-            h[j] = cur
+        wins = sliding_window_view(arr, window)
+        h = (wins * pw[None, :]).sum(axis=1, dtype=np.uint64)
         out[i] = h.min()
     return batch.append_column("fingerprint", pa.array(out.view(np.int64), pa.int64()))

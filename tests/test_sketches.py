@@ -206,3 +206,33 @@ def test_remove_ids(ray_session):
     t = pa.table({"doc_id": pa.array(range(10), pa.int64()), "x": pa.array(range(10))})
     out = remove_ids(rd.from_arrow(t), {2, 5, 7}, "doc_id").take_all()
     assert sorted(r["doc_id"] for r in out) == [0, 1, 3, 4, 6, 8, 9]
+
+
+def test_hllpp_bias_band_matches_reference(reference_datasketch):
+    """Inside the bias-correction band (threshold < lc, e <= 5m) the
+    estimate must match the reference's tabulated-bias subtraction
+    exactly (tables from the published HLL++ companion data)."""
+    for n in (5_000, 9_000, 15_000):
+        items = [f"u{i}".encode() for i in range(n)]
+        ref = reference_datasketch.HyperLogLogPlusPlus(p=12)
+        for it in items:
+            ref.update(it)
+        ours = HllPlusPlusSketch(p=12)
+        ours.update_tokens(items)
+        assert np.array_equal(ours.reg, ref.reg)
+        assert ours.count() == pytest.approx(ref.count(), rel=1e-12)
+
+
+def test_hllpp_aggregate_distributed(ray_session):
+    """hllpp_aggregate_fn == single-pass sketch over the same values."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.hll import hllpp_aggregate_fn
+
+    vals = [f"user{i % 3000}" for i in range(20_000)]
+    ds = rd.from_arrow(pa.table({"u": pa.array(vals)})).repartition(8)
+    got = ds.aggregate(hllpp_aggregate_fn("u", p=12, alias_name="ndv"))["ndv"]
+    sk = HllPlusPlusSketch(p=12)
+    sk.update_tokens([v.encode() for v in set(vals)])
+    assert got == pytest.approx(sk.count(), rel=1e-12)
