@@ -197,6 +197,62 @@ def optimal_containment_param(threshold: float, num_perm: int, max_r: int, xq: f
     return best
 
 
+def optimal_partitions(sizes: np.ndarray, counts: np.ndarray, num_part: int):
+    """Size-range partitions minimizing the total expected number of
+    containment false positives (the LSH Ensemble partitioner —
+    reference ``lshensemble_partition.py:95-196``, re-derived from the
+    paper's recurrence, Zhu et al. VLDB'16 §4.2).
+
+    Using a partition's upper bound u to approximate every member size
+    s ∈ [l, u] inflates containment by (u − s)/u per set, so
+    ``NFP(l, u) = Σ counts·(s_u − s_i)/s_u`` — computed here for ALL
+    intervals at once from two prefix sums (the reference loops an
+    O(S²) Python double loop). The DP then splits the domain into
+    ``num_part`` contiguous intervals minimizing ΣNFP, vectorized with
+    a numpy min per (p, u) subproblem. Returns [(lower, upper)] with
+    inclusive bounds."""
+    sizes = np.asarray(sizes, dtype=np.float64)
+    counts = np.asarray(counts, dtype=np.float64)
+    S = len(sizes)
+    if num_part < 2 or S <= num_part:
+        if num_part >= S:
+            return [(int(x), int(x)) for x in sizes]
+        return [(int(sizes[0]), int(sizes[-1]))]
+    c_cum = np.concatenate(([0.0], np.cumsum(counts)))
+    sc_cum = np.concatenate(([0.0], np.cumsum(sizes * counts)))
+    # nfps[l, u] = ((C[u+1]-C[l])·s_u − (SC[u+1]-SC[l])) / s_u
+    l_idx = np.arange(S)[:, None]
+    u_idx = np.arange(S)[None, :]
+    nfps = (
+        (c_cum[u_idx + 1] - c_cum[l_idx]) * sizes[None, :]
+        - (sc_cum[u_idx + 1] - sc_cum[l_idx])
+    ) / sizes[None, :]
+    nfps[l_idx > u_idx] = np.inf
+
+    # cost[p][u]: min NFP splitting sizes[0..u] into p partitions
+    cost = np.full((num_part + 1, S), np.inf)
+    arg = np.zeros((num_part + 1, S), dtype=np.int64)
+    cost[1] = nfps[0]
+    for p in range(2, num_part + 1):
+        for u in range(p - 1, S):
+            # last partition starts at u1+1; previous p-1 cover 0..u1
+            cand = cost[p - 1, p - 2 : u] + nfps[p - 1 : u + 1, u]
+            k = int(np.argmin(cand))
+            cost[p, u] = cand[k]
+            arg[p, u] = k + (p - 2)
+    bounds = []
+    u = S - 1
+    for p in range(num_part, 1, -1):
+        u1 = arg[p, u]
+        bounds.append((int(sizes[u1 + 1]), int(sizes[u])))
+        u = u1
+    bounds.append((int(sizes[0]), int(sizes[u])))
+    return bounds[::-1]
+
+
+_XQ_GRID = np.exp(np.linspace(-5, 5, 10))  # reference lshensemble.py:157
+
+
 def ensemble_containment_candidates(
     sig_ds,
     id_col: str,
@@ -205,54 +261,136 @@ def ensemble_containment_candidates(
     num_perm: int = 128,
     num_part: int = 4,
     max_r: int = 8,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
+    max_hist_bins: int = 2048,
 ):
-    """Approximate containment candidate pairs (query ⊂ container):
-    containers are split into ``num_part`` log-size partitions, each
-    banded with its own (b, r) chosen at the partition's geometric-mean
-    size ratio; every document probes every partition with the matching
-    band layout. Returns (id_a=query, id_b=container) candidates."""
-    import pyarrow.compute as pc
+    """Approximate containment candidate pairs (query ⊂ container), the
+    full LSH Ensemble semantics (reference ``lshensemble.py:137-249``):
+
+    - containers are split into ``num_part`` size ranges by the
+      min-false-positive DP over the (distributed) size histogram;
+    - each container is banded at EVERY distinct row count r drawn from
+      the xq-grid parameter table (b, r) = argmin weighted FP/FN at
+      xq = upper/size_q (``lshensemble.py:155-182``);
+    - a query probes each partition with the FIRST b bands of the
+      matching r-layout, b chosen per (partition upper, query size).
+
+    The size histogram is a small groupby (|distinct sizes| rows,
+    clamped to ``max_hist_bins`` by quantile bucketing); only slim
+    (bucket, id, role) rows transit the candidate shuffle. Returns
+    (id_a=query, id_b=container) candidates."""
+    from ray.data.aggregate import Count
 
     from raydedup.schema import sig_to_numpy
     from raydedup.stages.bands import fold_band_buckets
-    from raydedup.stages.grouped import map_key_runs, unique_rows_partitioned
+    from raydedup.stages.grouped import auto_partitions, map_key_runs, unique_rows_partitioned
 
-    sizes = [r[size_col] for r in sig_ds.select_columns([size_col]).take_all()]
-    lo, hi = max(1, min(sizes)), max(sizes)
-    edges = np.unique(np.geomspace(lo, hi + 1, num_part + 1).astype(np.int64))
-    mids = np.sqrt(edges[:-1] * edges[1:]).astype(np.float64)
+    if num_partitions is None:
+        num_partitions = auto_partitions(sig_ds)
 
-    parts = []
-    for pi in range(len(edges) - 1):
-        plo, phi = int(edges[pi]), int(edges[pi + 1])
-        xq = 1.0  # container/query ratio varies per query; mid-grid default
-        b, r = optimal_containment_param(threshold, num_perm, max_r, float(mids[pi] / mids[0]))
-        if b < 1 or r < 1:
-            b, r = 2, max_r
-        parts.append((plo, phi, b, r))
+    hist = (
+        sig_ds.select_columns([size_col])
+        .groupby(size_col)
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    hist = sorted((int(r[size_col]), int(r["n"])) for r in hist if r[size_col] > 0)
+    if not hist:
+        raise ValueError("no positive set sizes to index")
+    if len(hist) > max_hist_bins:  # clamp the DP domain, keep counts exact
+        sizes_all = np.array([s for s, _ in hist])
+        counts_all = np.array([c for _, c in hist])
+        edges = np.unique(
+            np.quantile(np.repeat(sizes_all, counts_all), np.linspace(0, 1, max_hist_bins))
+        ).astype(np.int64)
+        idx = np.searchsorted(edges, sizes_all, side="left")
+        merged: dict[int, int] = {}
+        for i, c in zip(idx, counts_all):
+            key = int(edges[min(i, len(edges) - 1)])
+            merged[key] = merged.get(key, 0) + int(c)
+        hist = sorted(merged.items())
+    sizes = np.array([s for s, _ in hist], dtype=np.int64)
+    counts = np.array([c for _, c in hist], dtype=np.int64)
+    parts = optimal_partitions(sizes, counts, min(num_part, len(sizes)))
+
+    # per-xq (b, r) table; containers index at every distinct r
+    params = [
+        optimal_containment_param(threshold, num_perm, max_r, float(xq)) for xq in _XQ_GRID
+    ]
+    rs = sorted({r for _, r in params if r >= 1})
+
+    def _param_for(upper: int, q_size: int) -> tuple[int, int]:
+        i = int(np.searchsorted(_XQ_GRID, float(upper) / float(q_size), side="left"))
+        if i == len(params):
+            i -= 1
+        return params[i]
+
+    uppers = [u for (_, u) in parts]
+    lowers = [l for (l, _) in parts]
+
+    def _salt(pi: int, r: int) -> np.uint64:
+        return (
+            np.uint64(pi + 1) * np.uint64(0x9E3779B97F4A7C15)
+            ^ np.uint64(r) * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
 
     def explode(batch: pa.Table) -> pa.Table:
         sig = sig_to_numpy(batch.column("minhash"), num_perm)
         ids = batch.column(id_col)
         szs = batch.column(size_col).to_numpy(zero_copy_only=False)
+        n = len(batch)
         out_id, out_bucket, out_role = [], [], []
-        for pi, (plo, phi, b, r) in enumerate(parts):
-            buckets = fold_band_buckets(sig, b, r) ^ np.uint64(0x1000003 * (pi + 1))
-            idx = np.repeat(np.arange(len(batch), dtype=np.int64), b)
-            in_part = (szs >= plo) & (szs < phi)
-            # container rows: docs whose size falls in this partition
-            cont_mask = np.repeat(in_part, b)
-            # query rows: every doc probes every partition
-            out_id.append(ids.take(pa.array(idx)))
-            out_bucket.append(buckets)
-            out_role.append(np.where(cont_mask, 1, 0).astype(np.int8))
-            out_id.append(ids.take(pa.array(idx)))
-            out_bucket.append(buckets)
-            out_role.append(np.zeros(len(idx), dtype=np.int8))
+        # container rows: every r-layout, full band count, own partition
+        part_of = np.full(n, -1, dtype=np.int64)
+        for pi, (lo, up) in enumerate(parts):
+            m = (szs >= lo) & (szs <= up)
+            part_of[m] = pi
+        # sizes above the top partition upper clamp into the last one
+        part_of[(part_of == -1) & (szs > 0)] = len(parts) - 1
+        for r in rs:
+            b_full = num_perm // r
+            buckets = fold_band_buckets(sig, b_full, r)
+            for pi in range(len(parts)):
+                rows = np.nonzero(part_of == pi)[0]
+                if len(rows) == 0:
+                    continue
+                take = (rows[:, None] * b_full + np.arange(b_full)[None, :]).ravel()
+                idx = np.repeat(rows, b_full)
+                out_id.append(ids.take(pa.array(idx)))
+                out_bucket.append(buckets[take] ^ _salt(pi, r))
+                out_role.append(np.ones(len(idx), dtype=np.int8))
+        # query rows: probe every partition with its (b, r); docs with
+        # the same xq-grid cell share a layout → one vectorized fold per
+        # (partition, param) group instead of a per-doc loop
+        pos = szs > 0
+        for pi in range(len(parts)):
+            grid_i = np.searchsorted(
+                _XQ_GRID, float(uppers[pi]) / np.maximum(szs.astype(np.float64), 1.0), side="left"
+            )
+            grid_i = np.minimum(grid_i, len(params) - 1)
+            for gi in np.unique(grid_i[pos]):
+                b, r = params[gi]
+                if b < 1 or r < 1:
+                    continue
+                rows = np.nonzero(pos & (grid_i == gi))[0]
+                b_full = num_perm // r
+                buckets = fold_band_buckets(sig[rows], b_full, r).reshape(len(rows), b_full)[:, :b]
+                idx = np.repeat(rows, b)
+                out_id.append(ids.take(pa.array(idx)))
+                out_bucket.append(buckets.ravel() ^ _salt(pi, r))
+                out_role.append(np.zeros(len(idx), dtype=np.int8))
+        def _cat(chunks):
+            arrs = []
+            for c in chunks:
+                if isinstance(c, pa.ChunkedArray):
+                    arrs.extend(c.chunks)
+                else:
+                    arrs.append(c)
+            return pa.concat_arrays(arrs)
+
         return pa.table(
             {
-                id_col: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_id]),
+                id_col: _cat(out_id),
                 "bucket": pa.array(np.concatenate(out_bucket), pa.uint64()),
                 "role": pa.array(np.concatenate(out_role), pa.int8()),
             }
@@ -272,12 +410,16 @@ def ensemble_containment_candidates(
             cs = np.unique(run_ids[rr == 1])
             if len(qs) == 0 or len(cs) == 0:
                 continue
-            for q in qs:
-                for c in cs:
-                    if q != c:
-                        out_a.append(q)
-                        out_b.append(c)
-        return pa.table({"id_a": pa.array(out_a, typ), "id_b": pa.array(out_b, typ)})
+            a = np.repeat(qs, len(cs))
+            b = np.tile(cs, len(qs))
+            keep = a != b
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+        if out_a:
+            a, b = np.concatenate(out_a), np.concatenate(out_b)
+        else:
+            a = b = []
+        return pa.table({"id_a": pa.array(a, typ), "id_b": pa.array(b, typ)})
 
     pairs = map_key_runs(exploded, "bucket", per_runs, num_partitions)
     return unique_rows_partitioned(pairs, ["id_a", "id_b"], num_partitions)

@@ -236,3 +236,97 @@ def test_hllpp_aggregate_distributed(ray_session):
     sk = HllPlusPlusSketch(p=12)
     sk.update_tokens([v.encode() for v in set(vals)])
     assert got == pytest.approx(sk.count(), rel=1e-12)
+
+
+def test_optimal_partitions_exhaustively_optimal(reference_datasketch):
+    """Our size-partition DP must hit the exhaustive optimum of the
+    expected-false-positive objective; the reference's DP backtrack can
+    return suboptimal splits (observed on random histograms), so we
+    assert ours is never WORSE than the reference's choice."""
+    import itertools
+
+    from datasketch.lshensemble_partition import optimal_partitions as ref_parts
+
+    from raydedup.stages.topk import optimal_partitions as our_parts
+
+    rng = np.random.default_rng(7)
+
+    def nfp_total(parts, sizes, counts):
+        tot = 0.0
+        for lo, up in parts:
+            m = (sizes >= lo) & (sizes <= up)
+            tot += float(np.sum((up - sizes[m]) / up * counts[m]))
+        return tot
+
+    for _ in range(6):
+        sizes = np.unique(rng.integers(1, 100, size=int(rng.integers(5, 12))))
+        counts = rng.integers(1, 50, size=len(sizes))
+        S = len(sizes)
+        for npart in (2, 3, 4):
+            if npart >= S:
+                continue
+            best = min(
+                sum(
+                    nfp_total([(sizes[b[i] + 1] if i else sizes[0], sizes[b[i + 1]])], sizes, counts)
+                    for i in range(npart)
+                )
+                for b in (
+                    [-1] + list(c) + [S - 1]
+                    for c in itertools.combinations(range(S - 1), npart - 1)
+                )
+            )
+            ours = nfp_total(our_parts(sizes, counts, npart), sizes, counts)
+            ref = nfp_total(ref_parts(sizes, counts, npart), sizes, counts)
+            assert ours == pytest.approx(best, abs=1e-9)
+            assert ours <= ref + 1e-9
+
+
+def test_ensemble_containment_recall(ray_session):
+    """Full-semantics LSH Ensemble (DP partitions + xq-grid params):
+    every indexed set must be retrievable by an identical twin query at
+    its own size (the reference test_lshensemble acceptance), and
+    planted high-containment subsets must be found."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.hashing import generate_permutations, word_ngram_shingles
+    from raydedup.minhash import minhash_batch
+    from raydedup.stages.topk import ensemble_containment_candidates
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(2000)]
+    docs = {}
+    planted = []
+    for i in range(60):
+        size = int(rng.integers(8, 200))
+        words = list(rng.choice(vocab, size=size, replace=False))
+        docs[2 * i] = " ".join(words)
+        docs[2 * i + 1] = " ".join(words)  # identical twin
+        if size >= 20:
+            sub = words[: size // 2]  # containment 1.0 subset
+            docs[1000 + i] = " ".join(sub)
+            planted.append((1000 + i, 2 * i))
+
+    ids = sorted(docs)
+    shingles = [sorted(word_ngram_shingles(docs[i], n=1)) for i in ids]
+    a, b = generate_permutations(128, 1)
+    sigs = minhash_batch(shingles, a, b)
+    from raydedup.schema import numpy_to_sig
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "minhash": numpy_to_sig(np.asarray(sigs)),
+            "set_size": pa.array([len(s) for s in shingles], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    pairs = ensemble_containment_candidates(
+        ds, "doc_id", "set_size", threshold=0.5, num_perm=128, num_part=4, max_r=8
+    ).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # twins: containment 1.0 both directions
+    twin_hits = sum(1 for i in range(60) if (2 * i, 2 * i + 1) in got or (2 * i + 1, 2 * i) in got)
+    assert twin_hits >= 59  # ≥ 0.98 recall on exact twins
+    planted_hits = sum(1 for q, c in planted if (q, c) in got)
+    assert planted_hits / max(len(planted), 1) >= 0.9
