@@ -101,6 +101,95 @@ def add_hyperplane_bucket(ds, emb_col: str = "embedding", bits: int = 8, seed: i
     return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
+class ShardedHnsw:
+    """Distributed HNSW: one graph index per shard actor (the
+    shared-mutable-index case where raw actors beat the Dataset API),
+    queries fan out to every shard and merge top-k on the caller.
+
+    Build path never routes vectors through the driver: the dataset's
+    materialized block refs are handed to shard actors round-robin and
+    each actor pulls its blocks straight from the object store."""
+
+    def __init__(self, actors, id_col: str, emb_col: str):
+        self.actors = actors
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    @staticmethod
+    def build(ds, id_col: str = "vec_id", emb_col: str = "embedding", num_shards: int = 4, m: int = 16, ef_construction: int = 100, seed: int = 1):
+        import ray
+
+        @ray.remote
+        class _Shard:
+            def __init__(self, id_col, emb_col, m, efc, seed):
+                from raydedup.hnsw import HnswIndex
+
+                self.id_col, self.emb_col = id_col, emb_col
+                self.index = HnswIndex(m=m, ef_construction=efc, seed=seed)
+
+            def add_blocks(self, block_refs):
+                import ray
+
+                from raydedup.stages.ann import _emb_matrix
+
+                # refs nested in a list are not auto-dereferenced — the
+                # actor pulls its blocks from the object store itself
+                for b in ray.get(list(block_refs)):
+                    if len(b) == 0:
+                        continue
+                    self.index.add_batch(
+                        b.column(self.id_col).to_pylist(), _emb_matrix(b, self.emb_col)
+                    )
+                return True
+
+            def build(self):
+                self.index.build()
+                return len(self.index.ids)
+
+            def query(self, qvecs, k, ef):
+                out = []
+                for q in qvecs:
+                    out.append(self.index.search(q, k=k, ef=ef))
+                return out
+
+            def n_dist(self):
+                return self.index.n_dist
+
+        mat = ds.select_columns([id_col, emb_col]).materialize()
+        actors = [
+            _Shard.remote(id_col, emb_col, m, ef_construction, seed + i)
+            for i in range(num_shards)
+        ]
+        assignments: list[list] = [[] for _ in range(num_shards)]
+        i = 0
+        for bundle in mat.iter_internal_ref_bundles():
+            for block_ref, _meta in bundle.blocks:
+                assignments[i % num_shards].append(block_ref)
+                i += 1
+        import ray
+
+        ray.get([a.add_blocks.remote(refs) for a, refs in zip(actors, assignments)])
+        ray.get([a.build.remote() for a in actors])
+        return ShardedHnsw(actors, id_col, emb_col)
+
+    def query(self, query_vecs: np.ndarray, k: int = 10, ef: int | None = None):
+        """Merged top-k per query across shards: list of (id, cos) lists."""
+        import ray
+
+        per_shard = ray.get([a.query.remote(query_vecs, k, ef) for a in self.actors])
+        merged = []
+        for qi in range(len(query_vecs)):
+            all_hits = [h for shard in per_shard for h in shard[qi]]
+            all_hits.sort(key=lambda t: (-t[1], t[0]))
+            merged.append(all_hits[:k])
+        return merged
+
+    def total_dist_computations(self) -> int:
+        import ray
+
+        return int(sum(ray.get([a.n_dist.remote() for a in self.actors])))
+
+
 def embedding_near_dup_pairs(
     ds,
     threshold: float = 0.95,

@@ -177,13 +177,15 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
             r_qlen.append(L)
             r_qhash.append(qhash)
             r_qchars.append(len(t))
-            # container rows: one per window, position only
+            # container rows: one per window; the whole-doc hash rides
+            # along so exact-duplicate container floods collapse into
+            # one class inside the anchor run
             r_anchor.extend(anchors.tolist())
             r_role.extend([1] * len(anchors))
             r_id.extend([i] * len(anchors))
             r_pos.extend(range(len(anchors)))
             r_qlen.extend([0] * len(anchors))
-            r_qhash.extend([0] * len(anchors))
+            r_qhash.extend([qhash] * len(anchors))
             r_qchars.extend([0] * len(anchors))
         return pa.table(
             {
@@ -207,16 +209,58 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
         qhash = block.column("qhash").to_numpy(zero_copy_only=False)
         qchars = block.column("qchars").to_numpy(zero_copy_only=False)
         o_key, o_qid, o_start, o_qlen, o_qhash, o_qchars = [], [], [], [], [], []
+        # vectorized run prefilter: a run yields candidates only when it
+        # holds ≥1 query row AND ≥1 container row. Most runs are
+        # container-only (a doc's min window is 1 of its ~L windows), so
+        # this drops the vast majority before the per-run Python loop.
+        if len(starts):
+            q_cum = np.concatenate(([0], np.cumsum(roles == 0)))
+            nq = q_cum[ends] - q_cum[starts]
+            both = (nq > 0) & (nq < (ends - starts))
+            starts, ends = starts[both], ends[both]
+        small_k, small_q, small_st, small_ql, small_qh, small_qc = [], [], [], [], [], []
         for s, e in zip(starts, ends):
+            if e - s <= 16:
+                # fast path: tiny runs dominate (dup pairs sharing one
+                # window); plain-Python beats six np.unique calls ~10×
+                qrows = [k for k in range(s, e) if roles[k] == 0]
+                crows = [k for k in range(s, e) if roles[k] != 0]
+                for kq in qrows:
+                    qh_u = qhash[kq]
+                    qoff = pos[kq]
+                    for kc in crows:
+                        if qhash[kc] == qh_u:
+                            continue
+                        st = pos[kc] - qoff
+                        if st < 0 or ids[kc] == ids[kq]:
+                            continue
+                        small_k.append(ids[kc])
+                        small_q.append(ids[kq])
+                        small_st.append(st)
+                        small_ql.append(qlen[kq])
+                        small_qh.append(qh_u)
+                        small_qc.append(qchars[kq])
+                continue
             rr = roles[s:e]
             qm = rr == 0
             cm = ~qm
-            if not qm.any() or not cm.any():
-                continue
             run_ids = ids[s:e]
+            # container classes by whole-doc hash: an exact-duplicate
+            # flood (m identical docs) collapses to ONE class with m
+            # members and a small distinct-position list, so the
+            # class × class loop below is per-distinct-TEXT, never
+            # per-row — the m² flood cost disappears on both sides
             c_ids = run_ids[cm]
             c_pos = pos[s:e][cm]
-            # equivalence classes of queries by whole-doc hash
+            c_hash = qhash[s:e][cm]
+            uc, c_inv = np.unique(c_hash, return_inverse=True)
+            c_members = []
+            c_positions = []
+            for v in range(len(uc)):
+                sel = c_inv == v
+                c_members.append(np.unique(c_ids[sel]))
+                c_positions.append(np.unique(c_pos[sel]))
+            # query classes by whole-doc hash
             q_hashes = qhash[s:e][qm]
             q_ids = run_ids[qm]
             q_offs = pos[s:e][qm]
@@ -225,35 +269,59 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
             uniq, first, inv = np.unique(q_hashes, return_index=True, return_inverse=True)
             for u in range(len(uniq)):
                 members = np.unique(q_ids[inv == u])
-                start = c_pos - q_offs[first[u]]
-                # same-class containers (identical text) can never
-                # strictly contain — excluding them here is what keeps
-                # exact-duplicate floods from emitting m² candidates
-                ok = (start >= 0) & ~np.isin(c_ids, members)
-                if not ok.any():
-                    continue
-                n = int(ok.sum())
-                ks = c_ids[ok].tolist()
-                ss = start[ok].tolist()
-                for m in members:
-                    o_key.extend(ks)
-                    o_qid.extend([m] * n)
-                    o_start.extend(ss)
-                    o_qlen.extend([int(q_lens[first[u]])] * n)
-                    o_qhash.extend([int(q_hashes[first[u]])] * n)
-                    o_qchars.extend([int(q_chars[first[u]])] * n)
+                qoff = int(q_offs[first[u]])
+                ql_u = int(q_lens[first[u]])
+                qh_u = int(q_hashes[first[u]])
+                qc_u = int(q_chars[first[u]])
+                for v in range(len(uc)):
+                    if uc[v] == uniq[u]:
+                        continue  # identical text can never strictly contain
+                    st = c_positions[v] - qoff
+                    st = st[st >= 0]
+                    if len(st) == 0:
+                        continue
+                    mv = c_members[v]
+                    # (query member × container member × start) product,
+                    # vectorized — proportional to true candidate volume
+                    n_cand = len(members) * len(mv) * len(st)
+                    o_key.append(np.tile(np.repeat(mv, len(st)), len(members)))
+                    o_qid.append(np.repeat(members, len(mv) * len(st)))
+                    o_start.append(np.tile(st, len(members) * len(mv)))
+                    o_qlen.append(np.full(n_cand, ql_u, dtype=np.int64))
+                    o_qhash.append(np.full(n_cand, qh_u, dtype=np.uint64))
+                    o_qchars.append(np.full(n_cand, qc_u, dtype=np.int64))
+        if small_k:
+            o_key.append(np.asarray(small_k))
+            o_qid.append(np.asarray(small_q))
+            o_start.append(np.asarray(small_st, dtype=np.int64))
+            o_qlen.append(np.asarray(small_ql, dtype=np.int64))
+            o_qhash.append(np.asarray(small_qh, dtype=np.uint64))
+            o_qchars.append(np.asarray(small_qc, dtype=np.int64))
+        if o_key:
+            key_arr = np.concatenate(o_key)
+            qid_arr = np.concatenate(o_qid)
+            start_arr = np.concatenate(o_start)
+            qlen_arr = np.concatenate(o_qlen)
+            qhash_arr = np.concatenate(o_qhash)
+            qchars_arr = np.concatenate(o_qchars)
+        else:
+            key_arr = qid_arr = np.empty(0, dtype=object)
+            start_arr = qlen_arr = qchars_arr = np.empty(0, dtype=np.int64)
+            qhash_arr = np.empty(0, dtype=np.uint64)
         return pa.table(
             {
-                "key": pa.array(o_key, id_type),
-                "qid": pa.array(o_qid, id_type),
-                "start": pa.array(o_start, pa.int32()),
-                "qlen": pa.array(o_qlen, pa.int32()),
-                "qhash": pa.array(o_qhash, pa.uint64()),
-                "qchars": pa.array(o_qchars, pa.int32()),
+                "key": pa.array(key_arr, id_type),
+                "qid": pa.array(qid_arr, id_type),
+                "start": pa.array(start_arr.astype(np.int32)),
+                "qlen": pa.array(qlen_arr.astype(np.int32)),
+                "qhash": pa.array(qhash_arr, pa.uint64()),
+                "qchars": pa.array(qchars_arr.astype(np.int32)),
             }
         )
 
-    candidates = map_key_runs(exploded, "anchor", emit_candidates, num_partitions)
+    from raydedup.stages.grouped import staged
+
+    candidates = staged(map_key_runs(exploded, "anchor", emit_candidates, num_partitions))
 
     # ---- verify: key candidates by container id, union the docs table
     def tag_docs(batch: pa.Table) -> pa.Table:
@@ -392,8 +460,9 @@ def _pair_set_verify(
     collapses here for free — and score both sets with ``score_fn(sa,
     sb) -> float``, keeping rows ≥ ``threshold``. Each doc's set
     transits once per half, never once per prefix row."""
-    from raydedup.stages.grouped import map_key_runs
+    from raydedup.stages.grouped import map_key_runs, staged
 
+    pairs = staged(pairs)  # candidate shuffle finishes before the joins start
     id_type = pairs.schema().base_schema.field("id_a").type
     blobs = _shingle_blob_table(slim_ds, id_col, text_col, n)
 
@@ -463,7 +532,7 @@ def _pair_set_verify(
             }
         )
 
-    half_blobs = map_key_runs(joined_in, "key", attach, num_partitions)
+    half_blobs = staged(map_key_runs(joined_in, "key", attach, num_partitions))
 
     def score(block: pa.Table, starts, ends) -> pa.Table:
         sides = block.column("side").to_numpy(zero_copy_only=False)

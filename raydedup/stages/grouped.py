@@ -75,6 +75,18 @@ def auto_partitions(ds_or_rows, requested: int | None = None, rows_per_partition
     return max(2, min(cap, rows // rows_per_partition))
 
 
+def staged(ds):
+    """Execute-and-pin a stage output (object-store blocks, spillable).
+
+    Ray 2.49's streaming executor degrades badly when several
+    HashShuffleOperators are live in one plan (measured 2× wall on the
+    substring pipeline; GCS function-export contention — see round-1
+    notes). Sequential staged executions are both safer and faster, and
+    the barrier is free in practice: every consumer of these outputs is
+    itself an all-to-all."""
+    return ds.materialize()
+
+
 def _run_bounds(block: pa.Table, keys: list[str]):
     n = len(block)
     change = np.zeros(n - 1, dtype=bool)

@@ -421,5 +421,7 @@ def ensemble_containment_candidates(
             a = b = []
         return pa.table({"id_a": pa.array(a, typ), "id_b": pa.array(b, typ)})
 
-    pairs = map_key_runs(exploded, "bucket", per_runs, num_partitions)
+    from raydedup.stages.grouped import staged
+
+    pairs = staged(map_key_runs(exploded, "bucket", per_runs, num_partitions))
     return unique_rows_partitioned(pairs, ["id_a", "id_b"], num_partitions)

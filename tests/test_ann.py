@@ -1,0 +1,76 @@
+"""Recall-measured ANN tests (mirrors the reference test_hnsw strategy:
+approximate search must reach high recall against brute force, at a
+fraction of the distance computations)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _corpus(n=20_000, d=32, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d))
+    return vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+
+def test_hnsw_single_shard_recall():
+    from raydedup.hnsw import HnswIndex
+
+    vecs = _corpus(20_000)
+    idx = HnswIndex(m=12, ef_construction=64, seed=1)
+    idx.add_batch(list(range(len(vecs))), vecs)
+    idx.build()
+    rng = np.random.default_rng(9)
+    qs = vecs[rng.choice(len(vecs), size=20, replace=False)] + 0.01 * rng.standard_normal((20, vecs.shape[1]))
+    build_comps = idx.n_dist
+    hits = 0
+    for q in qs:
+        got = {i for i, _ in idx.search(q, k=10, ef=64)}
+        true = set(np.argsort(-(vecs @ (q / np.linalg.norm(q))))[:10].tolist())
+        hits += len(got & true)
+    recall = hits / (10 * len(qs))
+    query_comps = idx.n_dist - build_comps
+    brute_comps = len(qs) * len(vecs)
+    assert recall >= 0.9, recall
+    assert query_comps * 10 <= brute_comps, (query_comps, brute_comps)
+
+
+def test_sharded_hnsw_recall_and_cost(ray_session):
+    import ray.data as rd
+
+    from raydedup.stages.ann import ShardedHnsw
+
+    vecs = _corpus(20_000)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8)
+    index = ShardedHnsw.build(ds, num_shards=4, m=12, ef_construction=64)
+    build_comps = index.total_dist_computations()
+
+    rng = np.random.default_rng(11)
+    qidx = rng.choice(len(vecs), size=25, replace=False)
+    qs = vecs[qidx]
+    results = index.query(qs, k=10, ef=64)
+    query_comps = index.total_dist_computations() - build_comps
+    brute_comps = len(qs) * len(vecs)
+
+    hits = 0
+    for qi, res in zip(qidx, results):
+        got = {i for i, _ in res}
+        true = set(np.argsort(-(vecs @ vecs[qi]))[:10].tolist())
+        hits += len(got & true)
+    recall = hits / (10 * len(qs))
+    assert recall >= 0.9, recall
+    # every shard is probed, so total comps = shards x O(ef·m·log n_shard);
+    # the ratio vs brute force grows with shard SIZE — at the 5k-vector
+    # test shards we bound it at 4x, the single-shard test holds the 10x
+    # bar at 20k vectors, and production shards (10^7+) dwarf both.
+    assert query_comps * 4 <= brute_comps, (query_comps, brute_comps)
+    # self-hit sanity: the query point itself is always found
+    assert all(qi in {i for i, _ in res} for qi, res in zip(qidx, results))
