@@ -38,28 +38,48 @@ def sha1_hash64(data: bytes) -> int:
     return struct.unpack("<Q", hashlib.sha1(data).digest()[:8])[0]
 
 
-def hash_tokens32(tokens, memo: dict | None = None) -> np.ndarray:
-    """Hash an iterable of token ``bytes`` to a uint64 array of 32-bit
-    SHA1 hash values.
+def md5_hash64(data: bytes) -> int:
+    """Bytes 8..16 of MD5 as little-endian uint64 — identical to
+    DuckDB's ``md5_number_lower``, so sketches built with this hashfunc
+    are SQL-reproducible (custom hashfuncs are a first-class reference
+    feature, ``datasketch/hashfunc.py``)."""
+    return struct.unpack("<Q", hashlib.md5(data).digest()[8:16])[0]
 
-    SHA1 itself cannot be vectorized with numpy, so the hot-path trick is
-    memoization: within a batch (and across batches inside one actor)
-    most shingles repeat, and each unique shingle is hashed exactly once.
+
+def md5_hash32(data: bytes) -> int:
+    """Low 32 bits of :func:`md5_hash64` (DuckDB:
+    ``md5_number_lower(x) & 4294967295``)."""
+    return struct.unpack("<I", hashlib.md5(data).digest()[8:12])[0]
+
+
+HASH32_FUNCS = {"sha1": sha1_hash32, "md5": md5_hash32}
+HASH64_FUNCS = {"sha1": sha1_hash64, "md5": md5_hash64}
+
+
+def hash_tokens32(tokens, memo: dict | None = None, hashfunc: str = "sha1") -> np.ndarray:
+    """Hash an iterable of token ``bytes`` to a uint64 array of 32-bit
+    hash values (``sha1`` default for reference bit-parity; ``md5`` is
+    DuckDB-reproducible for oracled queries).
+
+    The digest itself cannot be vectorized with numpy, so the hot-path
+    trick is memoization: within a batch (and across batches inside one
+    actor) most shingles repeat, and each unique shingle is hashed
+    exactly once.
 
     Args:
         tokens: iterable of bytes.
         memo: optional persistent dict (token -> int) owned by the
-            calling actor; amortizes hashing across batches.
+            calling actor; amortizes hashing across batches. Use one
+            memo per hashfunc.
     """
     if memo is None:
         memo = {}
     out = np.empty(len(tokens), dtype=np.uint64)
-    _sha1 = hashlib.sha1
-    _unpack = struct.unpack
+    fn = HASH32_FUNCS[hashfunc]
     for i, tok in enumerate(tokens):
         h = memo.get(tok)
         if h is None:
-            h = _unpack("<I", _sha1(tok).digest()[:4])[0]
+            h = fn(tok)
             memo[tok] = h
         out[i] = h
     return out

@@ -57,9 +57,10 @@ def _alpha(p: int) -> float:
 class HllSketch:
     """Register-file HLL with vectorized batch updates."""
 
-    def __init__(self, p: int = 8, reg: np.ndarray | None = None):
+    def __init__(self, p: int = 8, reg: np.ndarray | None = None, hashfunc: str = "sha1"):
         if not 4 <= p <= 16:
             raise ValueError("p must be in [4, 16]")
+        self.hashfunc = hashfunc
         self.p = p
         self.m = 1 << p
         self.reg = np.zeros(self.m, dtype=np.int8) if reg is None else np.asarray(reg, dtype=np.int8)
@@ -76,11 +77,10 @@ class HllSketch:
         np.maximum.at(self.reg, idx, rank)
 
     def update_tokens(self, tokens) -> None:
-        hv = np.fromiter(
-            (struct.unpack("<I", hashlib.sha1(t).digest()[:4])[0] for t in tokens),
-            dtype=np.uint64,
-            count=len(tokens),
-        )
+        from raydedup.hashing import HASH32_FUNCS
+
+        fn = HASH32_FUNCS[self.hashfunc]
+        hv = np.fromiter((fn(t) for t in tokens), dtype=np.uint64, count=len(tokens))
         if len(hv):
             self.update_hashes(hv)
 
@@ -114,7 +114,7 @@ def _distinct_tokens(block, column: str) -> list[bytes]:
     return [v.encode("utf-8") for v in vals.to_pylist() if v is not None]
 
 
-def hll_aggregate_fn(column: str, p: int = 8, alias_name: str | None = None):
+def hll_aggregate_fn(column: str, p: int = 8, alias_name: str | None = None, hashfunc: str = "sha1"):
     """A ``ray.data.aggregate.AggregateFn`` computing an approximate
     distinct count of ``column`` — partial register files per block,
     elementwise-max merge, estimate at finalize. Works for global and
@@ -125,7 +125,7 @@ def hll_aggregate_fn(column: str, p: int = 8, alias_name: str | None = None):
     name = alias_name or f"hll_ndv({column})"
 
     def accumulate_block(state: np.ndarray, block) -> np.ndarray:
-        sk = HllSketch(p, reg=state.copy())
+        sk = HllSketch(p, reg=state.copy(), hashfunc=hashfunc)
         sk.update_tokens(_distinct_tokens(block, column))
         return sk.reg
 
@@ -138,7 +138,7 @@ def hll_aggregate_fn(column: str, p: int = 8, alias_name: str | None = None):
     )
 
 
-def hllpp_aggregate_fn(column: str, p: int = 12, alias_name: str | None = None):
+def hllpp_aggregate_fn(column: str, p: int = 12, alias_name: str | None = None, hashfunc: str = "sha1"):
     """Distributed HLL++ distinct count (64-bit variant with the
     published bias correction) — same shape as ``hll_aggregate_fn``."""
     from ray.data.aggregate import AggregateFn
@@ -146,7 +146,7 @@ def hllpp_aggregate_fn(column: str, p: int = 12, alias_name: str | None = None):
     name = alias_name or f"hllpp_ndv({column})"
 
     def accumulate_block(state: np.ndarray, block) -> np.ndarray:
-        sk = HllPlusPlusSketch(p, reg=state.copy())
+        sk = HllPlusPlusSketch(p, reg=state.copy(), hashfunc=hashfunc)
         sk.update_tokens(_distinct_tokens(block, column))
         return sk.reg
 
@@ -183,10 +183,10 @@ def _hllpp_const() -> dict:
 class HllPlusPlusSketch(HllSketch):
     """64-bit-hash register HLL (merge-compatible only with itself)."""
 
-    def __init__(self, p: int = 8, reg: np.ndarray | None = None):
+    def __init__(self, p: int = 8, reg: np.ndarray | None = None, hashfunc: str = "sha1"):
         if not 4 <= p <= 18:
             raise ValueError("p must be in [4, 18] for the 64-bit variant")
-        super().__init__(p if p <= 16 else 16, reg)
+        super().__init__(p if p <= 16 else 16, reg, hashfunc=hashfunc)
         if p > 16:  # HllSketch guard is [4,16]; widen for HLL++
             self.p = p
             self.m = 1 << p
@@ -195,11 +195,10 @@ class HllPlusPlusSketch(HllSketch):
         self.max_rank = 64 - p
 
     def update_tokens(self, tokens) -> None:
-        hv = np.fromiter(
-            (struct.unpack("<Q", hashlib.sha1(t).digest()[:8])[0] for t in tokens),
-            dtype=np.uint64,
-            count=len(tokens),
-        )
+        from raydedup.hashing import HASH64_FUNCS
+
+        fn = HASH64_FUNCS[self.hashfunc]
+        hv = np.fromiter((fn(t) for t in tokens), dtype=np.uint64, count=len(tokens))
         if len(hv):
             self.update_hashes(hv)
 

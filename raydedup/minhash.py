@@ -33,6 +33,7 @@ def minhash_batch(
     b: np.ndarray,
     memo: dict | None = None,
     chunk_tokens: int = 262_144,
+    hashfunc: str = "sha1",
 ) -> np.ndarray:
     """Compute MinHash signatures for a batch of documents.
 
@@ -58,7 +59,7 @@ def minhash_batch(
     if not flat:
         return sig
 
-    hv = hash_tokens32(flat, memo)
+    hv = hash_tokens32(flat, memo, hashfunc=hashfunc)
     # rows with ≥1 token, in flat order; segment starts into hv
     nz = np.nonzero(counts)[0]
     starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
@@ -206,3 +207,15 @@ def lean_deserialize(buf: bytes, byteorder: str = "@") -> tuple[int, np.ndarray]
     off = struct.calcsize("%sqi" % byteorder)
     vals = struct.unpack_from("%s%dI" % (byteorder, n), buf, off)
     return seed, np.array(vals, dtype=np.uint64)
+
+
+def cardinality_estimate_exact(sig: np.ndarray) -> np.ndarray:
+    """Reference cardinality estimator (``minhash.py:326-335``)
+    rearranged to ``P·MAX/Σhv − 1``: mathematically identical, but the
+    float result is one exact product over one exact integer sum —
+    order-independent, hence SQL-reproducible (see raydedup/oracles.py).
+    """
+    sig = np.atleast_2d(np.asarray(sig, dtype=np.uint64))
+    num_perm = sig.shape[1]
+    s = sig.sum(axis=1).astype(np.float64)  # ≤ P·2^32 — exact in f64
+    return (float(num_perm) * float(int(MAX_HASH))) / s - 1.0

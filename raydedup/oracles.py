@@ -1,0 +1,243 @@
+"""DuckDB oracle-SQL generators for the sketch queries.
+
+The sketches themselves are deterministic functions of (hashfunc,
+permutation seed), so with ``hashfunc="md5"`` (DuckDB's
+``md5_number_lower``) every MinHash slot, SimHash bit and HLL register
+is reproducible in ANSI SQL — the permutation constants are inlined
+into the generated statement. The reference library treats the hash
+function as a user-pluggable parameter (``datasketch/hashfunc.py``),
+so the md5 profile is first-class, while pytest keeps verifying the
+sha1 profile bit-exactly against the reference.
+
+Floating-point notes (the correctness driver hashes values):
+- every emitted float is either a single division/multiplication chain
+  of exactly representable values (slot estimates, cardinalities) or a
+  single libm call (linear-counting log), identical in both engines;
+- MinHash slot arithmetic needs uint64 wrap-around, emulated with
+  HUGEINT modulo 2^64 before the Mersenne reduction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raydedup.hashing import MAX_HASH, MERSENNE_PRIME, generate_permutations
+
+# shared CTE: distinct word-3gram shingles per doc with md5-based hashes
+_SHINGLES = r"""
+words AS (
+  SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         ))) AS s
+  FROM words
+),
+hashed AS (
+  SELECT doc_id,
+         md5_number_lower(s) AS h64,
+         md5_number_lower(s) & 4294967295 AS h32
+  FROM sh
+)
+"""
+
+
+def _perm_values(num_perm: int = 128, seed: int = 1) -> str:
+    a, b = generate_permutations(num_perm, seed)
+    rows = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(num_perm))
+    return f"perms(j, a, b) AS (VALUES {rows})"
+
+
+def _sig_cte(num_perm: int = 128, seed: int = 1) -> str:
+    """CTE chain ending in ``sig(doc_id, j, hv)`` — the md5-profile
+    MinHash signature of every document (empty docs = MAX_HASH)."""
+    return f"""{_SHINGLES},
+{_perm_values(num_perm, seed)},
+slots AS (
+  SELECT doc_id, j,
+         min((((a::HUGEINT * h32 + b) % 18446744073709551616)::UBIGINT
+              % {int(MERSENNE_PRIME)}) & {int(MAX_HASH)}) AS hv
+  FROM hashed CROSS JOIN perms
+  GROUP BY doc_id, j
+),
+sig AS (
+  SELECT d.doc_id, p.j, coalesce(s.hv, {int(MAX_HASH)}) AS hv
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN perms p
+  LEFT JOIN slots s ON s.doc_id = d.doc_id AND s.j = p.j
+)"""
+
+
+def minhash_cardinality_sql(num_perm: int = 128, seed: int = 1) -> str:
+    """Per-doc distinct-shingle estimate from the MinHash signature:
+    ``P·MAX/Σhv − 1`` — the reference estimator (minhash.py:326-335)
+    rearranged so the float result is one exact product over one exact
+    integer sum (order-independent in both engines)."""
+    return f"""WITH {_sig_cte(num_perm, seed)}
+SELECT doc_id,
+       ({float(num_perm)} * {float(int(MAX_HASH))}) / CAST(sum(hv) AS DOUBLE) - 1.0
+         AS cardinality_est
+FROM sig GROUP BY doc_id"""
+
+
+def source_union_sql(num_perm: int = 128, seed: int = 1) -> str:
+    """Group-level union signature (elementwise min per source) and its
+    cardinality estimate."""
+    return f"""WITH {_sig_cte(num_perm, seed)},
+by_source AS (
+  SELECT d.source, s.j, min(s.hv) AS hv
+  FROM sig s JOIN documents d USING (doc_id)
+  GROUP BY d.source, s.j
+)
+SELECT source,
+       ({float(num_perm)} * {float(int(MAX_HASH))}) / CAST(sum(hv) AS DOUBLE) - 1.0
+         AS ndv_shingles_est
+FROM by_source GROUP BY source"""
+
+
+def topk_similar_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10, num_perm: int = 128, seed: int = 1) -> str:
+    """Estimated-Jaccard top-k per query id: slot-equality count / P,
+    ties broken by doc_id (self-matches kept, as in the engine)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""WITH {_sig_cte(num_perm, seed)},
+q AS (SELECT doc_id AS query_id, j, hv FROM sig WHERE doc_id IN ({ids})),
+est AS (
+  SELECT q.query_id, s.doc_id,
+         CAST(count(*) FILTER (WHERE q.hv = s.hv) AS DOUBLE) / {float(num_perm)} AS jaccard
+  FROM q JOIN sig s USING (j)
+  GROUP BY q.query_id, s.doc_id
+)
+SELECT query_id, doc_id, jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY jaccard DESC, doc_id ASC) AS rk
+  FROM est
+) WHERE rk <= {k}"""
+
+
+def simhash_sql() -> str:
+    """Charikar simhash over the md5-64 shingle hashes: bit b set iff
+    2·(count of set bits) > shingle count; packed to signed int64."""
+    return f"""WITH {_SHINGLES},
+bits AS (
+  SELECT doc_id, b.b AS b,
+         sum(CAST((h64 >> b.b) & 1 AS HUGEINT)) AS ones,
+         count(*) AS n
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+words64 AS (
+  SELECT doc_id,
+         sum(CASE WHEN 2 * ones > n THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS uw
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN coalesce(w.uw, 0) >= 9223372036854775808::HUGEINT
+                 THEN coalesce(w.uw, 0) - 18446744073709551616::HUGEINT
+                 ELSE coalesce(w.uw, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN words64 w USING (doc_id)"""
+
+
+def lsh_candidate_pairs_sql(b: int = 9, r: int = 13, num_perm: int = 128, seed: int = 1) -> str:
+    """Banded-LSH candidate pairs: two docs are candidates iff some band
+    of r consecutive slots is identical (the engine's uint64 bucket fold
+    is injective w.h.p., so grouping on the exact slot tuple gives the
+    same pair set)."""
+    return f"""WITH {_sig_cte(num_perm, seed)},
+bands AS (
+  SELECT doc_id, j // {r} AS band,
+         string_agg(CAST(hv AS VARCHAR), ',' ORDER BY j) AS key
+  FROM sig WHERE j < {b * r}
+  GROUP BY doc_id, j // {r}
+)
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id"""
+
+
+def langid_sql(profiles: dict[str, str]) -> str:
+    """Language-ID oracle: per-language profile-hit counting with
+    non-overlapping substring counts ((len − len(replace))/len(gram) —
+    the same semantics as Python ``str.count``), scored by hits/len,
+    first-language-wins ties, 'und' when no profile hits."""
+    selects = []
+    for rank, (lang, grams) in enumerate(profiles.items()):
+        gs = grams.split("|")
+        hit_terms = " + ".join(
+            f"(length(lt) - length(replace(lt, '{g}', ''))) / {len(g)}" for g in gs
+        )
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, {rank} AS pri, "
+            f"CAST({hit_terms} AS DOUBLE) / greatest(length(lt), 1) AS score FROM lt"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""WITH lt AS (SELECT doc_id, lower(text) AS lt FROM documents),
+scores AS ({union}),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pri ASC) AS rk
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       CASE WHEN score > 0 THEN score ELSE 0.0 END AS lang_score
+FROM best WHERE rk = 1"""
+
+
+def _hll_registers(table: str, key_expr: str, group_cols: str, p: int, word_bits: int) -> str:
+    """CTE chain ending in ``regs({group_cols,} idx, rank)``: the HLL
+    register file of md5-hashed distinct keys. rank uses DuckDB's
+    ``bin()`` for an exact integer bit length."""
+    m = 1 << p
+    max_rank = word_bits - p
+    h = "md5_number_lower(" + key_expr + ")"
+    if word_bits == 32:
+        h = f"({h} & 4294967295)"
+    grp = f"{group_cols}, " if group_cols else ""
+    return f"""keys AS (
+  SELECT DISTINCT {grp}{key_expr} AS kv FROM {table}
+),
+hashes AS (
+  SELECT {grp}{h.replace(key_expr, 'kv')} AS h FROM keys
+),
+regs AS (
+  SELECT {grp}h & {m - 1} AS idx,
+         max(CASE WHEN (h >> {p}) = 0 THEN {max_rank + 1}
+                  ELSE {max_rank} - length(bin(h >> {p})) + 1 END) AS rank
+  FROM hashes
+  GROUP BY {grp}h & {m - 1}
+)"""
+
+
+def _hll_estimate(p: int, word_bits: int, grp: str) -> str:
+    """Estimate select over ``regs``: linear counting when zero
+    registers exist and the raw estimate is small — the only branch
+    exercised at driver scale (documented; both engines share it)."""
+    m = 1 << p
+    alpha = f"(0.7213 / (1.0 + 1.079 / {float(m)}))"
+    grp_sel = f"{grp}, " if grp else ""
+    grp_by = f"GROUP BY {grp}" if grp else ""
+    return f"""est AS (
+  SELECT {grp_sel}
+         {m} - count(*) AS zeros,
+         {alpha} * {float(m * m)} / ({m} - count(*) + sum(power(2.0, -rank))) AS e_raw
+  FROM regs {grp_by}
+)
+SELECT {grp_sel}
+       round(CASE WHEN e_raw <= {2.5 * m} AND zeros > 0
+                  THEN {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE))
+                  ELSE e_raw END, 6) AS __EST__
+FROM est"""
+
+
+def hll_users_per_type_sql(p: int = 12) -> str:
+    regs = _hll_registers("events", "CAST(user_id AS VARCHAR)", "event_type", p, 32)
+    est = _hll_estimate(p, 32, "event_type").replace("__EST__", "ndv_users")
+    return f"WITH {regs},\n{est}"
+
+
+def hllpp_distinct_users_sql(p: int = 12) -> str:
+    regs = _hll_registers("events", "CAST(user_id AS VARCHAR)", "", p, 64)
+    est = _hll_estimate(p, 64, "").replace("__EST__", "ndv_users_hllpp")
+    return f"WITH {regs},\n{est}"

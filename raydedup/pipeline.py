@@ -57,6 +57,10 @@ class DedupConfig:
     # classic pool, for when the stage holds genuinely heavy state
     # (models, large vocabularies).
     signature_mode: str = "tasks"
+    # "sha1" = reference-bit-exact profile; "md5" = DuckDB-reproducible
+    # profile (md5_number_lower) for oracled queries — the reference
+    # treats hashfunc as pluggable (datasketch/hashfunc.py)
+    hashfunc: str = "sha1"
     num_partitions: int | None = None  # None → auto-sized from the input row count
     checkpoint_dir: str | None = None
 
@@ -153,6 +157,7 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
             shingle=cfg.shingle,
             text_col=cfg.text_col,
             phash_col=cfg.phash_col if cfg.use_simhash else None,
+            hashfunc=cfg.hashfunc,
         )
         if cfg.signature_mode == "actors":
             return ds.map_batches(

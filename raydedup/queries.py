@@ -73,6 +73,7 @@ def q_lsh_candidate_pairs_docs(sf_dir: str):
         use_substring=False,
         use_exact=False,
         signature_concurrency=4,
+        hashfunc="md5",  # SQL-reproducible band buckets
     )
     return dedup_pipeline(ds, cfg)["pairs"]
 
@@ -93,13 +94,14 @@ def q_ngram_jaccard_docs(sf_dir: str):
 
 def q_simhash_docs(sf_dir: str):
     """64-bit Charikar simhash per document over word-trigram features
-    (stored as signed int64 for parquet/SQL friendliness)."""
+    (stored as signed int64 for parquet/SQL friendliness). md5 hash
+    profile — SQL-reproducible (raydedup/oracles.py)."""
     from raydedup.hashing import word_ngram_shingles
     from raydedup.simhash import simhash_from_tokens
 
     def fn(batch: pa.Table) -> pa.Table:
         toks = [sorted(word_ngram_shingles(t or "", n=3)) for t in batch.column("text").to_pylist()]
-        sh = simhash_from_tokens(toks)
+        sh = simhash_from_tokens(toks, hashfunc="md5")
         return pa.table(
             {"doc_id": batch.column("doc_id"), "simhash": pa.array(sh.view(np.int64), pa.int64())}
         )
@@ -232,10 +234,15 @@ def q_hll_users_per_type(sf_dir: str):
     AggregateFn (p=12) — reference semantics ``hyperloglog.py:103-183``."""
     from raydedup.hll import hll_aggregate_fn
 
+    def round6(batch: pa.Table) -> pa.Table:
+        col = pc.round(batch.column("ndv_users"), 6)
+        return batch.set_column(batch.schema.get_field_index("ndv_users"), "ndv_users", col)
+
     return (
         _read(sf_dir, "events", columns=["event_type", "user_id"])
         .groupby("event_type")
-        .aggregate(hll_aggregate_fn("user_id", p=12, alias_name="ndv_users"))
+        .aggregate(hll_aggregate_fn("user_id", p=12, alias_name="ndv_users", hashfunc="md5"))
+        .map_batches(round6, batch_format="pyarrow")
     )
 
 
@@ -527,7 +534,9 @@ def q_topk_similar_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     sig_ds = ds.map_batches(
         SignatureStage,
-        fn_constructor_kwargs=dict(num_perm=128, seed=1, shingle="word3", text_col="text", phash_col=None),
+        fn_constructor_kwargs=dict(
+            num_perm=128, seed=1, shingle="word3", text_col="text", phash_col=None, hashfunc="md5"
+        ),
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=(1, 4),
@@ -535,7 +544,9 @@ def q_topk_similar_docs(sf_dir: str):
     )
     qrows = _select_rows(ds, "doc_id", (0, 1, 2, 3, 4))
     a, b = generate_permutations(128, 1)
-    qsigs = minhash_batch([sorted(word_ngram_shingles(r["text"], 3)) for r in qrows], a, b)
+    qsigs = minhash_batch(
+        [sorted(word_ngram_shingles(r["text"], 3)) for r in qrows], a, b, hashfunc="md5"
+    )
     return topk_similar(sig_ds, qsigs, [r["doc_id"] for r in qrows], k=10, id_col="doc_id")
 
 
@@ -544,7 +555,7 @@ def q_minhash_cardinality_docs(sf_dir: str):
     signature (reference ``minhash.py:326-335``); rows-only."""
     import numpy as np
 
-    from raydedup.minhash import cardinality_estimate
+    from raydedup.minhash import cardinality_estimate_exact
     from raydedup.schema import sig_to_numpy
     from raydedup.stages.signatures import SignatureStage
 
@@ -555,13 +566,15 @@ def q_minhash_cardinality_docs(sf_dir: str):
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "cardinality_est": pa.array(cardinality_estimate(sig), pa.float64()),
+                "cardinality_est": pa.array(cardinality_estimate_exact(sig), pa.float64()),
             }
         )
 
     return ds.map_batches(
         SignatureStage,
-        fn_constructor_kwargs=dict(num_perm=128, seed=1, shingle="word3", text_col="text", phash_col=None),
+        fn_constructor_kwargs=dict(
+            num_perm=128, seed=1, shingle="word3", text_col="text", phash_col=None, hashfunc="md5"
+        ),
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=(1, 4),
@@ -573,14 +586,16 @@ def q_source_union_signatures(sf_dir: str):
     """Group-level MinHash union signatures per source (mergeable-sketch
     aggregate, reference ``minhash.py:337-359``); emits the estimated
     distinct-shingle count per source. Rows-only."""
-    from raydedup.minhash import cardinality_estimate, minhash_union_aggregate
+    from raydedup.minhash import cardinality_estimate_exact, minhash_union_aggregate
     from raydedup.stages.signatures import SignatureStage
     import numpy as np
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
     sig_ds = ds.map_batches(
         SignatureStage,
-        fn_constructor_kwargs=dict(num_perm=128, seed=1, shingle="word3", text_col="text", phash_col=None),
+        fn_constructor_kwargs=dict(
+            num_perm=128, seed=1, shingle="word3", text_col="text", phash_col=None, hashfunc="md5"
+        ),
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=(1, 4),
@@ -593,7 +608,7 @@ def q_source_union_signatures(sf_dir: str):
         return pa.table(
             {
                 "source": batch.column("source"),
-                "ndv_shingles_est": pa.array(cardinality_estimate(sigs), pa.float64()),
+                "ndv_shingles_est": pa.array(cardinality_estimate_exact(sigs), pa.float64()),
             }
         )
 
@@ -608,8 +623,12 @@ def q_hllpp_distinct_users(sf_dir: str):
     from raydedup.hll import hllpp_aggregate_fn
 
     ds = _read(sf_dir, "events", columns=["user_id"])
-    res = ds.aggregate(hllpp_aggregate_fn("user_id", p=12, alias_name="ndv_users_hllpp"))
-    return pa.table({"ndv_users_hllpp": pa.array([res["ndv_users_hllpp"]], pa.float64())})
+    res = ds.aggregate(
+        hllpp_aggregate_fn("user_id", p=12, alias_name="ndv_users_hllpp", hashfunc="md5")
+    )
+    return pa.table(
+        {"ndv_users_hllpp": pa.array([round(res["ndv_users_hllpp"], 6)], pa.float64())}
+    )
 
 
 def q_weighted_minhash_embeddings(sf_dir: str):
@@ -768,3 +787,30 @@ QUERIES.update(
         "image_features_synth": q_image_features_synth,
     }
 )
+
+
+# ---------------------------------------------- generated sketch oracles
+# The md5-profile sketch queries are fully SQL-reproducible; their
+# oracle statements are generated with the permutation constants
+# inlined (raydedup/oracles.py).
+def _install_generated_oracles() -> None:
+    from raydedup import oracles as og
+    from raydedup.params import optimal_param
+    from raydedup.stages.text import LangIdStage
+
+    b, r = optimal_param(0.8, 128)
+    ORACLES.update(
+        {
+            "langid_docs": og.langid_sql(LangIdStage.PROFILES),
+            "simhash_docs": og.simhash_sql(),
+            "minhash_cardinality_docs": og.minhash_cardinality_sql(),
+            "source_union_signatures": og.source_union_sql(),
+            "topk_similar_docs": og.topk_similar_sql(),
+            "lsh_candidate_pairs_docs": og.lsh_candidate_pairs_sql(b=b, r=r),
+            "hll_users_per_type": og.hll_users_per_type_sql(),
+            "hllpp_distinct_users": og.hllpp_distinct_users_sql(),
+        }
+    )
+
+
+_install_generated_oracles()

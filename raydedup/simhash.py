@@ -24,10 +24,14 @@ import struct
 import numpy as np
 
 
-def simhash_from_tokens(token_lists: list, memo: dict | None = None) -> np.ndarray:
+def simhash_from_tokens(token_lists: list, memo: dict | None = None, hashfunc: str = "sha1") -> np.ndarray:
     """Charikar simhash: for each document, sum ±1 per bit over the
     64-bit hashes of its tokens; the sign of each bit-sum is the output
-    bit. Returns uint64[N]."""
+    bit. Returns uint64[N]. ``hashfunc="md5"`` makes the fingerprint
+    DuckDB-reproducible (md5_number_lower)."""
+    from raydedup.hashing import HASH64_FUNCS
+
+    hash64 = HASH64_FUNCS[hashfunc]
     if memo is None:
         memo = {}
     n = len(token_lists)
@@ -40,7 +44,7 @@ def simhash_from_tokens(token_lists: list, memo: dict | None = None) -> np.ndarr
         for j, t in enumerate(toks):
             h = memo.get(t)
             if h is None:
-                h = struct.unpack("<Q", hashlib.sha1(t).digest()[:8])[0]
+                h = hash64(t)
                 memo[t] = h
             hv[j] = h
         # bits (ntok, 64) in {0,1} → counts per bit

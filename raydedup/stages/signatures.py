@@ -53,6 +53,7 @@ class SignatureStage:
         simhash_text: bool = False,
         drop_cols: tuple[str, ...] = ("bytes",),
         memo_cap: int = 2_000_000,
+        hashfunc: str = "sha1",
     ):
         self.num_perm = num_perm
         self.a, self.b = generate_permutations(num_perm, seed)
@@ -63,13 +64,14 @@ class SignatureStage:
         self.drop_cols = drop_cols
         self.memo: dict = {}
         self.memo_cap = memo_cap
+        self.hashfunc = hashfunc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(self.memo) > self.memo_cap:  # bound actor heap on hostile corpora
             self.memo.clear()
         texts = batch.column(self.text_col).to_pylist()
         token_lists = [sorted(self.shingler(t or "")) for t in texts]
-        sig = minhash_batch(token_lists, self.a, self.b, memo=self.memo)
+        sig = minhash_batch(token_lists, self.a, self.b, memo=self.memo, hashfunc=self.hashfunc)
         out = batch
         for c in self.drop_cols:
             if c in out.column_names:

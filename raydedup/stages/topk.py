@@ -51,7 +51,9 @@ def topk_similar(sig_ds, query_sigs: np.ndarray, query_ids, k: int = 10, id_col:
         kk = min(k, len(ids))
         for qi in range(qm.shape[0]):
             est = np.mean(sig == qm[qi], axis=1)
-            top = np.argpartition(-est, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+            # deterministic per-batch tie-break (est desc, id asc): an
+            # argpartition could drop a tying id that wins globally
+            top = np.lexsort((ids, -est))[:kk]
             out_q.extend([qids[qi]] * len(top))
             out_id.extend(ids[top].tolist())
             out_j.extend(est[top].tolist())
