@@ -246,6 +246,11 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
             pairs = pairs.union(e)
         from raydedup.stages.grouped import unique_rows_partitioned
 
+        # pair tables are pinned (checkpointed/materialized) → count is
+        # free; the dedupe shuffle is sized by PAIR volume, not corpus
+        n_pairs = sum(p.count() for p in pair_sets)
+        npart_pairs = auto_partitions(n_pairs)
+
         if cfg.verify_jaccard:
             # The caption-MinHash Jaccard filter applies ONLY to
             # MinHash-band candidates (mode 0); SimHash, exact and
@@ -262,12 +267,12 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
                 lambda t: t.filter(pc.not_equal(t.column("mode"), 0)).select(["id_a", "id_b"]),
                 batch_format="pyarrow",
             )
-            mh = unique_rows_partitioned(mh, ["id_a", "id_b"], npart)
+            mh = unique_rows_partitioned(mh, ["id_a", "id_b"], npart_pairs)
             verified = verify_pairs(
-                mh, signatures, cfg.id_col, cfg.threshold, cfg.num_perm, npart
+                mh, signatures, cfg.id_col, cfg.threshold, cfg.num_perm, npart_pairs
             ).select_columns(["id_a", "id_b"])
             pairs = verified.union(other)
-        return unique_rows_partitioned(pairs, ["id_a", "id_b"], npart)
+        return unique_rows_partitioned(pairs, ["id_a", "id_b"], npart_pairs)
 
     # the pair table is tiny relative to the corpus (near-dup edges only);
     # ck.run pins it so components' count + iterate don't re-run the shuffle

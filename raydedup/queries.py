@@ -18,12 +18,19 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from raydedup.stages.grouped import ensure_hash_shuffle
 
     ensure_hash_shuffle()  # datasets snapshot the context at creation
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    # pass an explicit metadata-free schema: pandas-written parquet
+    # carries schema metadata that makes pa.Schema unhashable, which
+    # defeats Ray Data's schema-dedup fast path (a warning per block)
+    full = pq.read_schema(path).remove_metadata()
+    schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    return rd.read_parquet(path, schema=schema, columns=columns)
 
 
 # --------------------------------------------------------------------- dedup
@@ -720,6 +727,50 @@ QUERIES.update(
         "ensemble_containment_docs": q_ensemble_containment_docs,
     }
 )
+
+
+def q_hnsw_topk(sf_dir: str):
+    """Graph-index ANN: sharded HNSW actors (raydedup/hnsw.py), top-10
+    per query vec_id ∈ {0,1,2} — SELF-VERIFYING: asserts recall ≥ 0.9
+    against the exact distributed brute-force top-10 before returning.
+    Rows-only (graph search order is not SQL-expressible)."""
+    import ray
+
+    from raydedup.stages.ann import ShardedHnsw
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    index = ShardedHnsw.build(ds, num_shards=2, m=12, ef_construction=64)
+    qrows = _select_rows(ds, "vec_id", (0, 1, 2))
+    qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    try:
+        results = index.query(qvecs, k=11, ef=96)  # 11 then drop self
+    finally:
+        index.shutdown()
+    # exact ground truth for the self-check (reuses the oracled path)
+    from raydedup.stages.ann import brute_force_topk
+
+    truth = brute_force_topk(ds, qvecs, k=11).take_all()
+    true_sets = {}
+    for r in truth:
+        true_sets.setdefault(r["query_idx"], []).append(r["vec_id"])
+    o_q, o_id = [], []
+    hits = total = 0
+    for qi, (qrow, res) in enumerate(zip(qrows, results)):
+        qid = qrow["vec_id"]
+        got = [i for i, _ in res if i != qid][:10]
+        true10 = [v for v in true_sets[qi] if v != qid][:10]
+        hits += len(set(got) & set(true10))
+        total += 10
+        o_q.extend([qid] * len(got))
+        o_id.extend(got)
+    recall = hits / max(total, 1)
+    assert recall >= 0.9, f"HNSW recall {recall} < 0.9 vs brute force"
+    return pa.table(
+        {"query_id": pa.array(o_q, pa.int64()), "vec_id": pa.array(o_id, pa.int64())}
+    )
+
+
+QUERIES["hnsw_topk"] = q_hnsw_topk
 
 
 # ------------------------------------------------ image-payload pipelines

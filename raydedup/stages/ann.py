@@ -189,6 +189,13 @@ class ShardedHnsw:
 
         return int(sum(ray.get([a.n_dist.remote() for a in self.actors])))
 
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
 
 def embedding_near_dup_pairs(
     ds,
