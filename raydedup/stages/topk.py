@@ -76,6 +76,156 @@ def topk_similar(sig_ds, query_sigs: np.ndarray, query_ids, k: int = 10, id_col:
     return scored.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
+# ------------------------------------------------- forest prefix index
+def forest_prefix_table(sig_ds, id_col: str = "image_id", l: int = 8, k: int = 16, num_perm: int = 128, num_partitions: int | None = None):
+    """The MinHashLSHForest index re-expressed as a TABLE (reference
+    ``lshforest.py:30-72``): ``l`` prefix trees over ``k`` consecutive
+    slots each; every (tree, depth r ∈ 1..k) prefix becomes one slim
+    (bucket: uint64, id) row, where bucket folds (tree, r, slot prefix).
+    Build once (stage/write the result), probe many times with
+    :func:`forest_topk` — the indexed path for repeated top-k queries
+    that the exact-scan :func:`topk_similar` does not provide."""
+    from raydedup.schema import sig_to_numpy
+    from raydedup.stages.bands import fold_band_buckets
+    from raydedup.stages.grouped import auto_partitions, staged
+
+    if l * k > num_perm:
+        raise ValueError("l*k must be ≤ num_perm")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = sig_to_numpy(batch.column("minhash"), num_perm)
+        ids = batch.column(id_col)
+        n = len(batch)
+        out_id, out_bucket = [], []
+        for t in range(l):
+            tree = sig[:, t * k : (t + 1) * k]
+            for r in range(1, k + 1):
+                h = fold_band_buckets(tree[:, :r], 1, r)
+                h ^= (np.uint64(t * 1315423911) ^ np.uint64(r * 2654435761)) * np.uint64(
+                    0x100000001B3
+                )
+                out_id.append(ids)
+                out_bucket.append(h)
+        def _cat(chunks):
+            arrs = []
+            for c in chunks:
+                if isinstance(c, pa.ChunkedArray):
+                    arrs.extend(c.chunks)
+                else:
+                    arrs.append(c)
+            return pa.concat_arrays(arrs)
+
+        return pa.table(
+            {
+                id_col: _cat(out_id),
+                "bucket": pa.array(np.concatenate(out_bucket), pa.uint64()),
+            }
+        )
+
+    return sig_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def forest_topk(prefix_ds, query_sigs: np.ndarray, query_ids, topk: int = 10, id_col: str = "image_id", l: int = 8, k: int = 16, num_partitions: int | None = None):
+    """Probe the forest prefix table: query prefixes join index rows on
+    the bucket key; candidates are ranked by their DEEPEST matching
+    prefix (reference ``lshforest.py:121-128`` descends r = k..1 and
+    stops at ~k results — ranking by max depth is the same preference
+    order, made deterministic with an id tie-break). Returns a Dataset
+    (query_id, {id_col}) of ≤ topk rows per query."""
+    import ray
+
+    from raydedup.stages.bands import fold_band_buckets
+    from raydedup.stages.grouped import auto_partitions, map_key_runs, staged
+
+    if num_partitions is None:
+        num_partitions = auto_partitions(prefix_ds)
+    q = np.ascontiguousarray(query_sigs, dtype=np.uint64)
+    qids = list(query_ids)
+    id_type = prefix_ds.schema().base_schema.field(id_col).type
+
+    # query prefix rows (tiny: |Q|·l·k) — built driver-side, shipped once
+    rows_q, rows_b, rows_r = [], [], []
+    for qi in range(q.shape[0]):
+        for t in range(l):
+            tree = q[qi : qi + 1, t * k : (t + 1) * k]
+            for r in range(1, k + 1):
+                h = fold_band_buckets(tree[:, :r], 1, r)
+                h ^= (np.uint64(t * 1315423911) ^ np.uint64(r * 2654435761)) * np.uint64(
+                    0x100000001B3
+                )
+                rows_q.append(qids[qi])
+                rows_b.append(int(h[0]))
+                rows_r.append(r)
+    import ray.data as rd
+
+    qtable = pa.table(
+        {
+            "qid": pa.array(rows_q),
+            "bucket": pa.array(rows_b, pa.uint64()),
+            "r": pa.array(rows_r, pa.int8()),
+            id_col: pa.array([None] * len(rows_q), id_type),
+        }
+    )
+
+    def tag_index(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "qid": pa.array([None] * n, qtable.column("qid").type),
+                "bucket": batch.column("bucket"),
+                "r": pa.array(np.zeros(n, np.int8)),
+                id_col: batch.column(id_col),
+            }
+        )
+
+    joined = rd.from_arrow(qtable).union(
+        prefix_ds.map_batches(tag_index, batch_format="pyarrow")
+    )
+
+    def emit(block: pa.Table, starts, ends) -> pa.Table:
+        qcol = block.column("qid").to_pylist()
+        icol = block.column(id_col).to_pylist()
+        rr = block.column("r").to_numpy(zero_copy_only=False)
+        o_q, o_c, o_r = [], [], []
+        for s, e in zip(starts, ends):
+            qs = [(qcol[i], rr[i]) for i in range(s, e) if qcol[i] is not None]
+            if not qs:
+                continue
+            cands = {icol[i] for i in range(s, e) if icol[i] is not None}
+            for qv, rv in qs:
+                for c in cands:
+                    o_q.append(qv)
+                    o_c.append(c)
+                    o_r.append(rv)
+        return pa.table(
+            {
+                "qid": pa.array(o_q),
+                id_col: pa.array(o_c, id_type),
+                "r": pa.array(o_r, pa.int8()),
+            }
+        )
+
+    matches = staged(map_key_runs(joined, "bucket", emit, num_partitions))
+
+    def rank(block: pa.Table, starts, ends) -> pa.Table:
+        qcol = block.column("qid").to_pylist()
+        icol = block.column(id_col).to_pylist()
+        rr = block.column("r").to_numpy(zero_copy_only=False)
+        o_q, o_c = [], []
+        for s, e in zip(starts, ends):
+            best: dict = {}
+            for i in range(s, e):
+                c = icol[i]
+                if best.get(c, 0) < rr[i]:
+                    best[c] = rr[i]
+            top = sorted(best.items(), key=lambda t: (-t[1], t[0]))[:topk]
+            o_q.extend([qcol[s]] * len(top))
+            o_c.extend(c for c, _ in top)
+        return pa.table({"query_id": pa.array(o_q), id_col: pa.array(o_c, id_type)})
+
+    return map_key_runs(matches, "qid", rank, num_partitions, min_run=1)
+
+
 # -------------------------------------------- exact containment (AllPairs)
 def containment_pairs_exact(ds, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5, num_partitions: int | None = None):
     """EXACT pairs with shingle containment |A∩B|/|A| ≥ threshold.

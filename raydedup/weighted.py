@@ -82,6 +82,43 @@ def bbit_compress(sig: np.ndarray, b: int = 1) -> np.ndarray:
     return out.astype(np.uint8 if b <= 8 else np.uint32)
 
 
+def _bbit_slot_size(b: int) -> int:
+    """Smallest power-of-two slot width ≥ b (reference
+    ``b_bit_minhash.py:147-159``) — slots never straddle block edges."""
+    for s in (1, 2, 4, 8, 16, 32):
+        if b <= s:
+            return s
+    raise ValueError("b must be ≤ 32")
+
+
+def bbit_pack(hv: np.ndarray, b: int) -> np.ndarray:
+    """Pack b-bit hash values into uint64 blocks with the reference's
+    wire layout (``b_bit_minhash.py:78-101``): ``n = 64/slot`` values
+    per block, value ``j`` at shift ``(n-1-j)·slot`` (big-endian within
+    the block). Vectorized — no per-value Python loop. This is the
+    memory win: 128 1-bit slots pack to two uint64 words."""
+    slot = _bbit_slot_size(b)
+    n = 64 // slot
+    hv = np.asarray(hv, dtype=np.uint64)
+    pad = (-len(hv)) % n
+    if pad:
+        hv = np.concatenate([hv, np.zeros(pad, dtype=np.uint64)])
+    shifts = ((n - 1 - np.arange(n, dtype=np.uint64)) * np.uint64(slot))[None, :]
+    return np.bitwise_or.reduce(hv.reshape(-1, n) << shifts, axis=1)
+
+
+def bbit_unpack(blocks: np.ndarray, num_perm: int, b: int) -> np.ndarray:
+    """Inverse of :func:`bbit_pack` (reference ``__setstate__``,
+    ``b_bit_minhash.py:103-125``); returns uint32[num_perm]."""
+    slot = _bbit_slot_size(b)
+    n = 64 // slot
+    blocks = np.asarray(blocks, dtype=np.uint64)
+    shifts = ((n - 1 - np.arange(n, dtype=np.uint64)) * np.uint64(slot))[None, :]
+    mask = np.uint64((1 << slot) - 1)
+    vals = ((blocks[:, None] >> shifts) & mask).reshape(-1)
+    return vals[:num_perm].astype(np.uint32)
+
+
 def _calc_a(r: float, b: int) -> float:
     if r == 0.0:
         return 1.0 / (1 << b)
