@@ -117,6 +117,35 @@ SELECT query_id, doc_id, jaccard FROM (
 ) WHERE rk <= {k}"""
 
 
+def forest_topk_sql(query_ids=(0, 1, 2, 3, 4), topk: int = 10, l: int = 8, k: int = 16, num_perm: int = 128, seed: int = 1) -> str:
+    """Forest top-k oracle: candidate rank = deepest common slot prefix
+    over the ``l`` trees (LCP per tree = count of depths r whose whole
+    r-prefix matches, since prefix equality is monotone in r), ties by
+    doc_id. Only candidates sharing ≥ 1 first-slot value (depth ≥ 1)
+    are retrievable — identical to the prefix-table semantics."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""WITH {_sig_cte(num_perm, seed)},
+tree_slots AS (
+  SELECT doc_id, j // {k} AS t, j % {k} AS jj, hv
+  FROM sig WHERE j < {l * k}
+),
+q AS (SELECT doc_id AS query_id, t, jj, hv FROM tree_slots WHERE doc_id IN ({ids})),
+mismatch AS (
+  SELECT q.query_id, s.doc_id, q.t,
+         coalesce(min(CASE WHEN q.hv <> s.hv THEN q.jj END), {k}) AS lcp
+  FROM q JOIN tree_slots s ON q.t = s.t AND q.jj = s.jj
+  GROUP BY q.query_id, s.doc_id, q.t
+),
+depth AS (
+  SELECT query_id, doc_id, max(lcp) AS d FROM mismatch GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d DESC, doc_id ASC) AS rk
+  FROM depth WHERE d >= 1
+) WHERE rk <= {topk}"""
+
+
 def simhash_sql() -> str:
     """Charikar simhash over the md5-64 shingle hashes: bit b set iff
     2·(count of set bits) > shingle count; packed to signed int64."""

@@ -773,6 +773,41 @@ def q_hnsw_topk(sf_dir: str):
 QUERIES["hnsw_topk"] = q_hnsw_topk
 
 
+def q_forest_topk_docs(sf_dir: str):
+    """MinHashLSHForest-style indexed top-10 (deepest-common-prefix
+    ranking over l=8 trees of k=16 slots) for doc_ids 0..4, md5 hash
+    profile — the prefix TABLE is built once and probed by a keyed
+    join, never a full scan (stages/topk.forest_prefix_table)."""
+    from raydedup.hashing import generate_permutations, word_ngram_shingles
+    from raydedup.minhash import minhash_batch
+    from raydedup.stages.signatures import SignatureStage
+    from raydedup.stages.topk import forest_prefix_table, forest_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sig_ds = ds.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs=dict(
+            num_perm=128, seed=1, shingle="word3", text_col="text", phash_col=None, hashfunc="md5"
+        ),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    table = forest_prefix_table(sig_ds, "doc_id", l=8, k=16)
+    qrows = _select_rows(ds, "doc_id", (0, 1, 2, 3, 4))
+    a, b = generate_permutations(128, 1)
+    qsigs = minhash_batch(
+        [sorted(word_ngram_shingles(r["text"], 3)) for r in qrows], a, b, hashfunc="md5"
+    )
+    return forest_topk(
+        table, qsigs, [r["doc_id"] for r in qrows], topk=10, id_col="doc_id", l=8, k=16
+    )
+
+
+QUERIES["forest_topk_docs"] = q_forest_topk_docs
+
+
 # ------------------------------------------------ image-payload pipelines
 def _synth_images_path(n_base: int = 400) -> str:
     """Deterministic synthetic image+caption table (input_hint schema),
@@ -860,6 +895,7 @@ def _install_generated_oracles() -> None:
             "lsh_candidate_pairs_docs": og.lsh_candidate_pairs_sql(b=b, r=r),
             "hll_users_per_type": og.hll_users_per_type_sql(),
             "hllpp_distinct_users": og.hllpp_distinct_users_sql(),
+            "forest_topk_docs": og.forest_topk_sql(),
         }
     )
 
