@@ -582,7 +582,7 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: f
     """
     import ray
 
-    from raydedup.cms import CountMinSketch, shingle_df_sketch_aggregate
+    from raydedup.cms import CountMinSketch, build_df_sketch
     from raydedup.hashing import hash_bytes64, word_ngram_shingles
     from raydedup.stages.grouped import auto_partitions, ensure_hash_shuffle, map_key_runs
 
@@ -592,7 +592,7 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: f
     if num_partitions is None:
         num_partitions = auto_partitions(slim)
 
-    cms_counts = slim.aggregate(shingle_df_sketch_aggregate(text_col, n))["shingle_df_cms"]
+    cms_counts = build_df_sketch(slim, text_col, n)
     cms_ref = ray.put(cms_counts)
 
     def prefix_explode(batch: pa.Table) -> pa.Table:
