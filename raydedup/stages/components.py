@@ -53,9 +53,16 @@ class DSU:
 
 def components_driver(pairs_ds) -> pa.Table:
     """Collect the (small) edge list and run DSU. Returns an Arrow table
-    (image_id, cluster_id) covering every node that appears in an edge."""
+    (image_id, cluster_id) covering every node that appears in an edge.
+    Tolerates duplicate edges (band multiplicity): each batch is
+    deduped with one Arrow kernel before the Python union loop."""
+    import pyarrow.compute as pc
+
     dsu = DSU()
     for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if len(batch) == 0:
+            continue
+        batch = batch.select(["id_a", "id_b"]).group_by(["id_a", "id_b"]).aggregate([])
         for a, b in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()):
             dsu.union(a, b)
     lab = dsu.labels()
