@@ -450,21 +450,72 @@ def _shingle_blob_table(slim_ds, id_col: str, text_col: str, n: int):
 
 
 def _pair_set_verify(
-    pairs, slim_ds, id_col, text_col, n, num_partitions, score_col, score_fn, threshold
+    pairs,
+    slim_ds,
+    id_col,
+    text_col,
+    n,
+    num_partitions,
+    score_col,
+    score_fn,
+    threshold,
+    broadcast_limit_rows: int = 100_000,
 ):
-    """Exact set-overlap verification for candidate pairs in TWO keyed
-    shuffles: (1) split each pair into two *half* rows keyed by their
-    own doc id, union the packed shingle-hash blob table, and hand each
-    half its blob inside one run; (2) re-join the halves on
-    (id_a, id_b) — candidate multiplicity from multiple shared anchors
-    collapses here for free — and score both sets with ``score_fn(sa,
-    sb) -> float``, keeping rows ≥ ``threshold``. Each doc's set
-    transits once per half, never once per prefix row."""
-    from raydedup.stages.grouped import map_key_runs, staged
+    """Exact set-overlap verification for candidate pairs.
+
+    Small corpora (≤ ``broadcast_limit_rows`` docs): the packed
+    shingle-hash blob table is broadcast once via ``ray.put`` and every
+    candidate batch scores in-map — zero extra shuffles (the
+    small-side-broadcast pattern; one dedupe shuffle collapses
+    candidate multiplicity).
+
+    Larger corpora: TWO keyed shuffles — (1) split each pair into two
+    *half* rows keyed by their own doc id, union the blob table, and
+    hand each half its blob inside one run; (2) re-join the halves on
+    (id_a, id_b) — candidate multiplicity collapses here for free — and
+    score both sets with ``score_fn(sa, sb) -> float``, keeping rows ≥
+    ``threshold``. Each doc's set transits once per half, never once
+    per prefix row."""
+    import ray
+
+    from raydedup.stages.grouped import map_key_runs, staged, unique_rows_partitioned
 
     pairs = staged(pairs)  # candidate shuffle finishes before the joins start
     id_type = pairs.schema().base_schema.field("id_a").type
     blobs = _shingle_blob_table(slim_ds, id_col, text_col, n)
+
+    if slim_ds.count() <= broadcast_limit_rows:
+        blob_ref = ray.put(
+            {r["image_key"]: r["sigblob"] for r in blobs.take_all()}
+        )
+
+        def score_map(batch: pa.Table) -> pa.Table:
+            d = ray.get(blob_ref)
+            ida = batch.column("id_a").to_pylist()
+            idb = batch.column("id_b").to_pylist()
+            o_a, o_b, o_s = [], [], []
+            seen = set()
+            for a, b in zip(ida, idb):
+                if (a, b) in seen:  # batch-local dedupe; global below
+                    continue
+                seen.add((a, b))
+                sa = np.frombuffer(d.get(a, b""), dtype=np.uint64)
+                sb = np.frombuffer(d.get(b, b""), dtype=np.uint64)
+                val = score_fn(sa, sb)
+                if val >= threshold:
+                    o_a.append(a)
+                    o_b.append(b)
+                    o_s.append(val)
+            return pa.table(
+                {
+                    "id_a": pa.array(o_a, id_type),
+                    "id_b": pa.array(o_b, id_type),
+                    score_col: pa.array(o_s, pa.float64()),
+                }
+            )
+
+        scored = pairs.map_batches(score_map, batch_format="pyarrow")
+        return unique_rows_partitioned(scored, ["id_a", "id_b", score_col], num_partitions)
 
     def halves(batch: pa.Table) -> pa.Table:
         n_rows = len(batch)
