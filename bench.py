@@ -185,7 +185,7 @@ def run_scaling() -> dict:
     # min over repeats per leg: the host is time-shared and individual
     # runs absorb up to ~20% steal; the minimum estimates the
     # noise-free wall time (both legs get the same treatment)
-    repeats = int(os.environ.get("RAYDEDUP_SCALE_REPEATS", "2"))
+    repeats = int(os.environ.get("RAYDEDUP_SCALE_REPEATS", "3"))
     lo = min((run(lo_n) for _ in range(repeats)), key=lambda d: d["value"])
     hi = min((run(hi_n) for _ in range(repeats)), key=lambda d: d["value"])
     t_lo, t_hi = lo["value"], hi["value"]

@@ -808,6 +808,37 @@ def q_forest_topk_docs(sf_dir: str):
 QUERIES["forest_topk_docs"] = q_forest_topk_docs
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF coarse-quantizer ANN: k-means cells from a bounded sample,
+    nprobe-cell candidate scan, exact rerank — SELF-VERIFYING (recall
+    ≥ 0.8 vs distributed brute force asserted in-query). Rows-only
+    (k-means iteration floats are not SQL-reproducible)."""
+    from raydedup.stages.ann import brute_force_topk, ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = _select_rows(ds, "vec_id", (0, 1, 2))
+    qvecs = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    res = ivf_topk(ds, qvecs, k=10, nprobe=10, n_centroids=16).take_all()
+    truth = brute_force_topk(ds, qvecs, k=10).take_all()
+    true_by_q: dict = {}
+    for r in truth:
+        true_by_q.setdefault(r["query_idx"], set()).add(r["vec_id"])
+    got_by_q: dict = {}
+    for r in res:
+        got_by_q.setdefault(r["query_idx"], set()).add(r["vec_id"])
+    hits = sum(len(got_by_q.get(q, set()) & s) for q, s in true_by_q.items())
+    total = sum(len(s) for s in true_by_q.values())
+    assert hits / max(total, 1) >= 0.8, f"IVF recall {hits/total} < 0.8"
+    o_q = [r["query_idx"] for r in res]
+    o_id = [r["vec_id"] for r in res]
+    return pa.table(
+        {"query_idx": pa.array(o_q, pa.int64()), "vec_id": pa.array(o_id, pa.int64())}
+    )
+
+
+QUERIES["ivf_topk"] = q_ivf_topk
+
+
 # ------------------------------------------------ image-payload pipelines
 def _synth_images_path(n_base: int = 400) -> str:
     """Deterministic synthetic image+caption table (input_hint schema),

@@ -197,6 +197,98 @@ class ShardedHnsw:
         self.actors = []
 
 
+def build_ivf_centroids(ds, emb_col: str = "embedding", n_centroids: int = 64, sample_rows: int = 20_000, iters: int = 10, seed: int = 5) -> np.ndarray:
+    """IVF coarse quantizer: k-means over a bounded SAMPLE (never the
+    full table) on the driver — centroids are tiny and broadcast. Lloyd
+    iterations on normalized vectors (spherical k-means-ish: cosine
+    assignment, mean re-center)."""
+    sample = ds.select_columns([emb_col]).limit(sample_rows).take_all()
+    m = _normalize(np.asarray([r[emb_col] for r in sample], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv:
+                    cent[c] = v / nv
+    return cent
+
+
+def add_ivf_cell(ds, centroids: np.ndarray, emb_col: str = "embedding"):
+    """Adds a ``cell`` column = nearest-centroid id (the IVF inverted
+    list key). Centroids are broadcast once via ``ray.put``."""
+    import ray
+
+    cref = ray.put(np.ascontiguousarray(centroids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cref)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        cell = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell, pa.int32()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_topk(ds, query_vecs: np.ndarray, k: int = 10, nprobe: int = 4, n_centroids: int = 64, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF approximate top-k: assign the corpus to inverted cells once,
+    probe the ``nprobe`` nearest cells per query, exact-rerank only the
+    candidates in those cells (the classic coarse-quantizer scale path;
+    candidate fraction ≈ nprobe/n_centroids). Returns a Dataset
+    (query_idx, {id_col}, cos) of ≤ k rows per query."""
+    import ray
+
+    from raydedup.stages.grouped import tune_for_session
+
+    tune_for_session(ds)
+    cent = build_ivf_centroids(ds, emb_col, n_centroids)
+    celled = add_ivf_cell(ds.select_columns([id_col, emb_col]), cent, emb_col)
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qcells = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe].astype(np.int32)
+    qref = ray.put((q, qcells))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm, qc = ray.get(qref)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = None
+        o_q, o_id, o_cos = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cells, qc[qi])
+            if not mask.any():
+                continue
+            if m is None:
+                m = _normalize(_emb_matrix(batch, emb_col))
+            cos = m[mask] @ qm[qi]
+            cand = ids[mask]
+            kk = min(k, len(cand))
+            top = np.lexsort((cand, -cos))[:kk]
+            o_q.extend([qi] * len(top))
+            o_id.extend(cand[top].tolist())
+            o_cos.extend(cos[top].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(o_q, pa.int64()),
+                id_col: pa.array(o_id),
+                "cos": pa.array(o_cos, pa.float64()),
+            }
+        )
+
+    scored = celled.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+    def merge(group: pa.Table) -> pa.Table:
+        cos = group.column("cos").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -cos))[: min(k, len(cos))]
+        return group.take(pa.array(order))
+
+    return scored.groupby("query_idx").map_groups(merge, batch_format="pyarrow")
+
+
 def embedding_near_dup_pairs(
     ds,
     threshold: float = 0.95,

@@ -74,3 +74,39 @@ def test_sharded_hnsw_recall_and_cost(ray_session):
     assert query_comps * 4 <= brute_comps, (query_comps, brute_comps)
     # self-hit sanity: the query point itself is always found
     assert all(qi in {i for i, _ in res} for qi, res in zip(qidx, results))
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF coarse-quantizer path: ≥0.85 recall@10 probing nprobe/n_cells
+    = 8/64 of the corpus (≈8x fewer exact distance evaluations)."""
+    import ray.data as rd
+
+    from raydedup.stages.ann import ivf_topk
+
+    # mixture-of-gaussians corpus: embedding spaces are clustered, and
+    # that structure is exactly what the coarse quantizer exploits
+    # (uniform random vectors are IVF's worst case and unrepresentative)
+    rng0 = np.random.default_rng(6)
+    centers = rng0.standard_normal((40, 32)) * 3.0
+    assign0 = rng0.integers(0, 40, size=8000)
+    vecs = centers[assign0] + rng0.standard_normal((8000, 32)) * 0.6
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    rng = np.random.default_rng(2)
+    qidx = rng.choice(len(vecs), size=20, replace=False)
+    res = ivf_topk(ds, vecs[qidx], k=10, nprobe=8, n_centroids=64).take_all()
+    by_q: dict = {}
+    for r in res:
+        by_q.setdefault(r["query_idx"], []).append(r["vec_id"])
+    hits = 0
+    for qi, q in enumerate(qidx):
+        true = set(np.argsort(-(vecs @ vecs[q]))[:10].tolist())
+        hits += len(set(by_q.get(qi, [])) & true)
+    recall = hits / (10 * len(qidx))
+    assert recall >= 0.85, recall
