@@ -185,6 +185,38 @@ SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
 FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id"""
 
 
+def fingerprint_sql(window: int = 16, base: int = 0x100000001B3) -> str:
+    """Winnowing fingerprint oracle: min over byte windows of the
+    polynomial hash Σ byte·B^(w-1-j) mod 2^64. Valid for ASCII corpora
+    (codepoint == utf-8 byte — true of the test tables; the engine
+    hashes utf-8 bytes) with every doc ≥ ``window`` bytes (the short-doc
+    FNV branch is unreachable on these tables, min length 48)."""
+    m64 = 1 << 64
+    pows = [(j, pow(base, window - 1 - j, m64)) for j in range(window)]
+    vals = ", ".join(f"({j}, {p}::HUGEINT)" for j, p in pows)
+    return f"""WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents
+),
+chars AS (
+  SELECT doc_id, i, unicode(substr(text, CAST(i AS INTEGER), 1)) AS c FROM pos
+),
+offs(j, pw) AS (VALUES {vals}),
+terms AS (
+  SELECT doc_id, i - j AS p, CAST(c AS HUGEINT) * pw AS term
+  FROM chars CROSS JOIN offs
+),
+wh AS (
+  SELECT doc_id, p, CAST(sum(term) % {m64} AS UBIGINT) AS h
+  FROM terms WHERE p >= 1
+  GROUP BY doc_id, p HAVING count(*) = {window}
+),
+fp AS (SELECT doc_id, min(h) AS uh FROM wh GROUP BY doc_id)
+SELECT doc_id,
+       CAST(CASE WHEN uh >= 9223372036854775808 THEN uh::HUGEINT - 18446744073709551616::HUGEINT
+                 ELSE uh::HUGEINT END AS BIGINT) AS fingerprint
+FROM fp"""
+
+
 def langid_sql(profiles: dict[str, str]) -> str:
     """Language-ID oracle: per-language profile-hit counting with
     non-overlapping substring counts ((len − len(replace))/len(gram) —

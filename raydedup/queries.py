@@ -927,6 +927,7 @@ def _install_generated_oracles() -> None:
             "hll_users_per_type": og.hll_users_per_type_sql(),
             "hllpp_distinct_users": og.hllpp_distinct_users_sql(),
             "forest_topk_docs": og.forest_topk_sql(),
+            "fingerprint_docs": og.fingerprint_sql(),
         }
     )
 
