@@ -71,15 +71,29 @@ from raydedup.minhash import (
     band_keys,
     merge_signatures,
 )
+from raydedup.hashing import md5_hash32, md5_hash64, hash_bytes64
 from raydedup.params import optimal_param
 from raydedup.pipeline import DedupConfig, dedup_pipeline
 from raydedup.simhash import simhash_from_phash, simhash_from_tokens, hamming_distance64
-from raydedup.hll import HllSketch, hll_aggregate_fn
+from raydedup.hll import HllSketch, HllPlusPlusSketch, hll_aggregate_fn, hllpp_aggregate_fn
+from raydedup.hnsw import HnswIndex
+from raydedup.cms import CountMinSketch
+from raydedup.minhash import cardinality_estimate, cardinality_estimate_exact, minhash_union_aggregate
+from raydedup.weighted import (
+    WeightedMinHashGenerator,
+    bbit_compress,
+    bbit_jaccard,
+    bbit_pack,
+    bbit_unpack,
+)
 
 __all__ = [
     "sha1_hash32",
     "sha1_hash64",
+    "md5_hash32",
+    "md5_hash64",
     "hash_tokens32",
+    "hash_bytes64",
     "generate_permutations",
     "char_shingles",
     "word_ngram_shingles",
@@ -88,6 +102,9 @@ __all__ = [
     "minhash_batch",
     "minhash_single",
     "jaccard_estimate",
+    "cardinality_estimate",
+    "cardinality_estimate_exact",
+    "minhash_union_aggregate",
     "band_keys",
     "merge_signatures",
     "optimal_param",
@@ -97,5 +114,14 @@ __all__ = [
     "simhash_from_tokens",
     "hamming_distance64",
     "HllSketch",
+    "HllPlusPlusSketch",
     "hll_aggregate_fn",
+    "hllpp_aggregate_fn",
+    "HnswIndex",
+    "CountMinSketch",
+    "WeightedMinHashGenerator",
+    "bbit_compress",
+    "bbit_jaccard",
+    "bbit_pack",
+    "bbit_unpack",
 ]

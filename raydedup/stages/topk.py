@@ -2,12 +2,15 @@
 
 Re-expresses the reference's two query-time indexes Ray-Data-first:
 
-- ``MinHashLSHForest`` top-k (``lshforest.py:74-128``): prefix-match
-  candidate generation + ranking. Here: broadcast the query signatures
-  once, scan the signature table with a vectorized slot-equality
-  estimate per batch, keep per-batch top-k, merge globally — exact
-  top-k under the MinHash estimate (a strict superset of the forest's
-  prefix recall), one pass, no index build.
+- ``MinHashLSHForest`` top-k (``lshforest.py:74-128``) — TWO paths:
+  (a) ``topk_similar``: broadcast the query signatures once, scan the
+  signature table with a vectorized slot-equality estimate per batch,
+  keep per-batch top-k, merge globally — exact top-k under the MinHash
+  estimate (a strict superset of the forest's prefix recall), one
+  pass, no index build; (b) ``forest_prefix_table``/``forest_topk``:
+  the reference's actual index shape — a build-once prefix TABLE
+  (l trees × k depths) probed by a keyed join and ranked by deepest
+  matching prefix, for repeated queries over a large corpus.
 - ``MinHashLSHEnsemble`` containment (``lshensemble.py:137-249``):
   size-partitioned banded LSH with per-partition (b, r) tuned to the
   containment threshold (integrals ``lshensemble.py:17-58``). Here the
@@ -470,12 +473,6 @@ def ensemble_containment_candidates(
         optimal_containment_param(threshold, num_perm, max_r, float(xq)) for xq in _XQ_GRID
     ]
     rs = sorted({r for _, r in params if r >= 1})
-
-    def _param_for(upper: int, q_size: int) -> tuple[int, int]:
-        i = int(np.searchsorted(_XQ_GRID, float(upper) / float(q_size), side="left"))
-        if i == len(params):
-            i -= 1
-        return params[i]
 
     uppers = [u for (_, u) in parts]
     lowers = [l for (l, _) in parts]
