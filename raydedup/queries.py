@@ -271,6 +271,45 @@ def q_window_counts(sf_dir: str):
     )
 
 
+def q_sliding_window_counts(sf_dir: str):
+    """Sliding-window aggregate (1-hour window, 15-minute slide): each
+    event belongs to 4 overlapping windows, exploded in-map (4 slim
+    rows/event) and pre-counted per batch before the small groupby —
+    the streaming-shaped custom operator pattern."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    slide_us = 900_000_000  # 15 min
+    n_windows = 4  # 1 h / 15 min
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        base = us // slide_us
+        c: Counter = Counter()
+        for k in range(n_windows):
+            # window w covers [w*slide, w*slide + 1h) → event in windows
+            # base-3 .. base
+            for u, w in zip(users, base - k):
+                c[(int(u), int(w))] += 1
+        ks = list(c.keys())
+        return pa.table(
+            {
+                "user_id": pa.array([a for a, _ in ks], pa.int64()),
+                "win": pa.array([b for _, b in ks], pa.int64()),
+                "n_part": pa.array([c[k] for k in ks], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["user_id", "win"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -446,6 +485,11 @@ ORACLES: dict[str, str] = {
         "SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS win, count(*) AS n "
         "FROM events GROUP BY 1, 2"
     ),
+    "sliding_window_counts": (
+        "SELECT user_id, CAST(floor(epoch(ts)/900) AS BIGINT) - k.k AS win, count(*) AS n "
+        "FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k "
+        "GROUP BY 1, 2"
+    ),
     "lineitem_agg": (
         "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n "
         "FROM lineitem GROUP BY 1, 2"
@@ -512,6 +556,7 @@ QUERIES = {
     "distinct_users_exact": q_distinct_users_exact,
     "hll_users_per_type": q_hll_users_per_type,
     "window_counts": q_window_counts,
+    "sliding_window_counts": q_sliding_window_counts,
     "lineitem_agg": q_lineitem_agg,
     "orders_by_segment": q_orders_by_segment,
     "ann_topk": q_ann_topk,
