@@ -217,6 +217,40 @@ SELECT doc_id,
 FROM fp"""
 
 
+def minhash_clusters_sql(b: int = 9, r: int = 13, num_perm: int = 128, seed: int = 1) -> str:
+    """End-to-end dedup CLUSTER oracle: edges = banded-LSH candidate
+    pairs (md5 profile) ∪ exact-duplicate stars (md5(text) groups);
+    cluster id = min reachable doc id via a recursive transitive
+    closure — exactly the engine's union-find semantics."""
+    return f"""WITH RECURSIVE {_sig_cte(num_perm, seed)},
+bands AS (
+  SELECT doc_id, j // {r} AS band,
+         string_agg(CAST(hv AS VARCHAR), ',' ORDER BY j) AS key
+  FROM sig WHERE j < {b * r}
+  GROUP BY doc_id, j // {r}
+),
+lsh_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+exact_groups AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents
+),
+exact_pairs AS (
+  SELECT rep AS a, doc_id AS b FROM exact_groups WHERE doc_id <> rep
+),
+edges AS (
+  SELECT a, b FROM lsh_pairs UNION SELECT b, a FROM lsh_pairs
+  UNION SELECT a, b FROM exact_pairs UNION SELECT b, a FROM exact_pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"""
+
+
 def langid_sql(profiles: dict[str, str]) -> str:
     """Language-ID oracle: per-language profile-hit counting with
     non-overlapping substring counts ((len − len(replace))/len(gram) —

@@ -884,6 +884,37 @@ def q_ivf_topk(sf_dir: str):
 QUERIES["ivf_topk"] = q_ivf_topk
 
 
+def q_minhash_clusters_md5(sf_dir: str):
+    """End-to-end near-dup CLUSTERING with a full SQL oracle: the
+    flagship text profile (MinHash bands ∪ exact content groups →
+    connected components) under the md5 hash profile, so the oracle
+    reproduces the candidate edges in SQL and closes them with a
+    recursive transitive closure. The sha1-profile flagship
+    (minhash_dedup_docs) stays reference-bit-exact and is verified by
+    pytest pair-for-pair against the live reference instead."""
+    from raydedup.pipeline import DedupConfig, dedup_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cfg = DedupConfig(
+        id_col="doc_id",
+        text_col="text",
+        phash_col=None,
+        use_simhash=False,
+        use_substring=False,
+        use_exact=True,
+        signature_concurrency=4,
+        hashfunc="md5",
+    )
+    out = dedup_pipeline(ds, cfg)
+    clusters = out["clusters"]
+    if not isinstance(clusters, pa.Table):
+        clusters = pa.concat_tables(list(clusters.iter_batches(batch_format="pyarrow")))
+    return clusters.rename_columns(["doc_id", "cluster_id"])
+
+
+QUERIES["minhash_clusters_md5"] = q_minhash_clusters_md5
+
+
 # ------------------------------------------------ image-payload pipelines
 def _synth_images_path(n_base: int = 400) -> str:
     """Deterministic synthetic image+caption table (input_hint schema),
@@ -973,6 +1004,7 @@ def _install_generated_oracles() -> None:
             "hllpp_distinct_users": og.hllpp_distinct_users_sql(),
             "forest_topk_docs": og.forest_topk_sql(),
             "fingerprint_docs": og.fingerprint_sql(),
+            "minhash_clusters_md5": og.minhash_clusters_sql(b=b, r=r),
         }
     )
 
