@@ -179,8 +179,22 @@ def components_distributed(pairs_ds, num_partitions: int = 32, max_rounds: int =
 def connected_components(pairs_ds, max_driver_edges: int = 5_000_000, num_partitions: int = 32):
     """Auto-select: driver DSU below ``max_driver_edges``, else
     distributed label propagation. Returns an Arrow table or Dataset of
-    (image_id, cluster_id)."""
+    (image_id, cluster_id).
+
+    The input may be a raw edge MULTISET (band/mode duplicates — the
+    pipeline skips the dedupe shuffle for exactly this consumer); if the
+    raw count is over the driver budget, one dedupe shuffle usually
+    collapses it back under (band multiplicity is ~b×), so the fast
+    driver path is re-tested on the distinct edge set before falling
+    back to distributed label propagation."""
+    from raydedup.stages.grouped import auto_partitions, staged, unique_rows_partitioned
+
     n = pairs_ds.count()
     if n <= max_driver_edges:
         return components_driver(pairs_ds)
-    return components_distributed(pairs_ds, num_partitions=num_partitions)
+    uniq = staged(
+        unique_rows_partitioned(pairs_ds, ["id_a", "id_b"], auto_partitions(n))
+    )
+    if uniq.count() <= max_driver_edges:
+        return components_driver(uniq)
+    return components_distributed(uniq, num_partitions=num_partitions)
