@@ -76,104 +76,179 @@ def components_driver(pairs_ds) -> pa.Table:
 
 
 def components_distributed(pairs_ds, num_partitions: int = 32, max_rounds: int = 50):
-    """Min-label propagation entirely in Ray Data; returns a Dataset
-    (image_id, cluster_id). Each round is one join + one groupby-min."""
-    import pyarrow.compute as pc
-    import ray.data as rd
-    from ray.data.aggregate import Min
+    """Min-label propagation + pointer jumping entirely on the engine's
+    keyed-shuffle primitive (``map_key_runs``) — NO ``Dataset.join``
+    (chained joins are fragile on this Ray version; the keyed shuffle
+    is the one exchange the engine already trusts at scale). Returns a
+    Dataset (image_id, cluster_id).
 
-    from raydedup.stages.grouped import tune_for_session
+    Per round: (1) *gather* — every node's label is delivered to its
+    neighbors via a shuffle keyed on the edge target; (2) *min* — each
+    node takes the min of its own and received labels; (3) *jump* —
+    label[x] ← label[label[x]] (shortcutting), so a path graph
+    converges in O(log n) rounds instead of O(diameter). The fixpoint
+    test counts per-node label mismatches old-vs-new with the same
+    keyed-run primitive (works for string and numeric ids alike)."""
+    import numpy as np
+
+    from raydedup.stages.grouped import map_key_runs, staged, tune_for_session
 
     tune_for_session(pairs_ds)
 
-    # undirected edges, both directions
-    fwd = pairs_ds.map_batches(
-        lambda t: pa.table({"src": t.column("id_a"), "dst": t.column("id_b")}),
-        batch_format="pyarrow",
-    )
-    rev = pairs_ds.map_batches(
-        lambda t: pa.table({"src": t.column("id_b"), "dst": t.column("id_a")}),
-        batch_format="pyarrow",
-    )
-    edges = fwd.union(rev).materialize()  # reused every round; edge list ≪ corpus
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a, b = t.column("id_a").combine_chunks(), t.column("id_b").combine_chunks()
+        if isinstance(a, pa.ChunkedArray):
+            a = a.chunk(0) if a.num_chunks else pa.array([], t.schema.field("id_a").type)
+        if isinstance(b, pa.ChunkedArray):
+            b = b.chunk(0) if b.num_chunks else pa.array([], t.schema.field("id_b").type)
+        return pa.table({"node": pa.concat_arrays([a, b]), "nbr": pa.concat_arrays([b, a])})
 
-    labels = (
-        edges.groupby("src")
-        .aggregate(Min("dst", alias_name="nbr_min"))
-        .map_batches(
-            lambda t: pa.table(
+    edges = staged(pairs_ds.map_batches(both_dirs, batch_format="pyarrow"))
+    id_type = edges.schema().base_schema.field("node").type
+
+    # init: label[x] = min(x, neighbors(x)) — one keyed run pass
+    def init_labels(block: pa.Table, starts, ends) -> pa.Table:
+        nodes = block.column("node").to_pylist()
+        nbrs = block.column("nbr").to_pylist()
+        o_n, o_l = [], []
+        for s, e in zip(starts, ends):
+            k = nodes[s]
+            o_n.append(k)
+            o_l.append(min(k, min(nbrs[s:e])))
+        return pa.table({"node": pa.array(o_n, id_type), "label": pa.array(o_l, id_type)})
+
+    labels = staged(map_key_runs(edges, "node", init_labels, num_partitions, min_run=1))
+
+    def tag_labels(key_col: str, payload_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
                 {
-                    "node": t.column("src"),
-                    "label": pc.min_element_wise(t.column("src"), t.column("nbr_min")),
+                    "key": batch.column(key_col),
+                    "payload": batch.column(payload_col),
+                    "tag": pa.array(np.ones(len(batch), dtype=np.int8)),
                 }
-            ),
-            batch_format="pyarrow",
+            )
+
+        return fn
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        # deliver TO nbr's run; payload = the receiving node
+        return pa.table(
+            {
+                "key": batch.column("nbr"),
+                "payload": batch.column("node"),
+                "tag": pa.array(np.zeros(len(batch), dtype=np.int8)),
+            }
         )
-        .materialize()
-    )
+
+    def gather(block: pa.Table, starts, ends) -> pa.Table:
+        tags = block.column("tag").to_numpy(zero_copy_only=False)
+        payload = block.column("payload").to_pylist()
+        keys = block.column("key").to_pylist()
+        o_n, o_l = [], []
+        for s, e in zip(starts, ends):
+            lab = None
+            for i in range(s, e):
+                if tags[i] == 1:
+                    lab = payload[i]
+                    break
+            if lab is None:
+                continue
+            o_n.append(keys[s])  # node keeps its own label
+            o_l.append(lab)
+            for i in range(s, e):
+                if tags[i] == 0:
+                    o_n.append(payload[i])
+                    o_l.append(lab)
+        return pa.table({"node": pa.array(o_n, id_type), "label": pa.array(o_l, id_type)})
+
+    def min_label(block: pa.Table, starts, ends) -> pa.Table:
+        nodes = block.column("node").to_pylist()
+        labs = block.column("label").to_pylist()
+        o_n, o_l = [], []
+        for s, e in zip(starts, ends):
+            o_n.append(nodes[s])
+            o_l.append(min(labs[s:e]))
+        return pa.table({"node": pa.array(o_n, id_type), "label": pa.array(o_l, id_type)})
+
+    def jump(block: pa.Table, starts, ends) -> pa.Table:
+        tags = block.column("tag").to_numpy(zero_copy_only=False)
+        payload = block.column("payload").to_pylist()
+        o_n, o_l = [], []
+        for s, e in zip(starts, ends):
+            lab = None
+            for i in range(s, e):
+                if tags[i] == 1:
+                    lab = payload[i]
+                    break
+            if lab is None:
+                continue
+            for i in range(s, e):
+                if tags[i] == 0:
+                    o_n.append(payload[i])
+                    o_l.append(lab)
+        return pa.table({"node": pa.array(o_n, id_type), "label": pa.array(o_l, id_type)})
+
+    def count_changes(old_ds, new_ds) -> int:
+        tagged = old_ds.map_batches(tag_labels("node", "label"), batch_format="pyarrow").union(
+            new_ds.map_batches(
+                lambda t: pa.table(
+                    {
+                        "key": t.column("node"),
+                        "payload": t.column("label"),
+                        "tag": pa.array(np.full(len(t), 2, dtype=np.int8)),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+        def cmp(block: pa.Table, starts, ends) -> pa.Table:
+            tags = block.column("tag").to_numpy(zero_copy_only=False)
+            payload = block.column("payload").to_pylist()
+            n_changed = 0
+            for s, e in zip(starts, ends):
+                old = new = None
+                for i in range(s, e):
+                    if tags[i] == 1:
+                        old = payload[i]
+                    else:
+                        new = payload[i]
+                if old != new:
+                    n_changed += 1
+            return pa.table({"c": pa.array([n_changed], pa.int64())})
+
+        out = map_key_runs(tagged, "key", cmp, num_partitions, min_run=1).sum("c")
+        return int(out or 0)
 
     for _ in range(max_rounds):
-        # neighbor labels: edges ⋈ labels on dst → (src, neighbor label)
-        msgs = edges.join(
-            labels, join_type="inner", num_partitions=num_partitions, on=("dst",), right_on=("node",)
-        ).map_batches(
-            lambda t: pa.table({"node": t.column("src"), "label": t.column("label")}),
-            batch_format="pyarrow",
+        msgs = edges.map_batches(tag_edges, batch_format="pyarrow").union(
+            labels.map_batches(tag_labels("node", "label"), batch_format="pyarrow")
         )
-        new_labels = (
-            msgs.union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
-        # pointer jumping (shortcutting): label[x] ← label[label[x]].
-        # Neighbor-min alone needs O(diameter) rounds — a path graph
-        # would exceed any fixed round cap; with shortcutting the
-        # combination converges in O(log n) rounds.
-        hop = new_labels.join(
-            new_labels,
-            join_type="left_outer",
-            num_partitions=num_partitions,
-            on=("label",),
-            right_on=("node",),
-            left_suffix="_l",
-            right_suffix="_r",
-        )
-        new_labels = hop.map_batches(
+        received = staged(map_key_runs(msgs, "key", gather, num_partitions))
+        new_labels = staged(map_key_runs(received, "node", min_label, num_partitions, min_run=1))
+        # pointer jumping: deliver label[k] to every node labeled k
+        jmp_in = new_labels.map_batches(
             lambda t: pa.table(
                 {
-                    "node": t.column("node" if "node" in t.column_names else "node_l"),
-                    "label": pc.min_element_wise(
-                        t.column("label_l" if "label_l" in t.column_names else "label"),
-                        t.column("label_r"),
-                    ),
+                    "key": t.column("label"),
+                    "payload": t.column("node"),
+                    "tag": pa.array(np.zeros(len(t), dtype=np.int8)),
                 }
             ),
             batch_format="pyarrow",
-        ).materialize()
-        # converged when no label changed: compare via anti-join-free check
-        joined = new_labels.join(
-            labels,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("node",),
-            right_on=("node",),
-            right_suffix="_old",
-        )
-        changed = joined.map_batches(
-            lambda t: pa.table(
-                {"c": [int(pc.sum(pc.cast(pc.not_equal(t.column("label"), t.column("label_old")), pa.int64())).as_py() or 0)]}
-            ),
-            batch_format="pyarrow",
-        ).sum("c")
+        ).union(new_labels.map_batches(tag_labels("node", "label"), batch_format="pyarrow"))
+        new_labels = staged(map_key_runs(jmp_in, "key", jump, num_partitions, min_run=1))
+        changed = count_changes(labels, new_labels)
         labels = new_labels
-        if not changed:
+        if changed == 0:
             break
 
     return labels.map_batches(
         lambda t: pa.table({"image_id": t.column("node"), "cluster_id": t.column("label")}),
         batch_format="pyarrow",
     )
+
 
 
 def connected_components(pairs_ds, max_driver_edges: int = 5_000_000, num_partitions: int = 32):

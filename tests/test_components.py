@@ -110,3 +110,27 @@ def test_bucket_cap_star_is_component_equivalent(ray_session):
     lab_full = components_driver(full).to_pandas()
     lab_star = components_driver(star).to_pandas()
     assert lab_full.equals(lab_star)
+
+
+def test_distributed_components_string_ids(ray_session):
+    """The flagship id column is a STRING — the distributed path (and
+    its fixpoint test) must work on non-numeric ids."""
+    import ray.data as rd
+
+    from raydedup.stages.components import components_distributed, components_driver
+
+    edges = pa.table(
+        {
+            "id_a": pa.array([f"img-{i:04d}" for i in range(0, 60, 2)]),
+            "id_b": pa.array([f"img-{i:04d}" for i in range(1, 61, 2)]),
+        }
+    )
+    want = components_driver(rd.from_arrow(edges)).to_pandas().sort_values("image_id").reset_index(drop=True)
+    got = (
+        components_distributed(rd.from_arrow(edges), num_partitions=4)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert got["image_id"].tolist() == want["image_id"].tolist()
+    assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
