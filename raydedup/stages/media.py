@@ -84,3 +84,119 @@ class ResizeStage:
                 "thumb_h": pa.array([self.out] * len(ids), pa.int32()),
             }
         )
+
+
+class AudioFeatureStage:
+    """Audio feature extraction over opaque ``binary`` payloads with
+    typed metadata (sample_rate:int32, n_samples:int32, codec:string).
+
+    The Ray-side plumbing is real — actor-pool signature, small batch
+    sizing, feature-only output schema (audio bytes never re-emitted) —
+    while the decoders are environment-gated: raw PCM16 decodes for
+    real (numpy), compressed codecs raise ``NotImplementedError``
+    (clearly-marked stub: no audio libraries in this container; a real
+    decoder slots into ``_decode`` unchanged)."""
+
+    SCHEMA = pa.schema(
+        [
+            ("audio_id", pa.string()),
+            ("rms", pa.float64()),
+            ("peak", pa.float64()),
+            ("zero_crossings", pa.int64()),
+            ("duration_s", pa.float64()),
+            ("decode_ok", pa.bool_()),
+        ]
+    )
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def _decode(self, data: bytes, codec: str) -> np.ndarray:
+        if codec == "pcm16":
+            return np.frombuffer(data, dtype=np.int16).astype(np.float64) / 32768.0
+        raise NotImplementedError(
+            f"audio codec {codec!r}: no audio libraries in this environment"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("audio_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        codecs = batch.column("codec").to_pylist()
+        rates = batch.column("sample_rate").to_pylist()
+        rms, peak, zc, dur, ok = [], [], [], [], []
+        for blob, codec, rate in zip(blobs, codecs, rates):
+            try:
+                x = self._decode(blob, codec)
+                rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                peak.append(float(np.abs(x).max()) if len(x) else 0.0)
+                zc.append(int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+                dur.append(len(x) / max(rate, 1))
+                ok.append(True)
+            except NotImplementedError:
+                if self.strict:
+                    raise
+                rms.append(0.0)
+                peak.append(0.0)
+                zc.append(0)
+                dur.append(0.0)
+                ok.append(False)
+        return pa.table(
+            {
+                "audio_id": pa.array(ids, pa.string()),
+                "rms": pa.array(rms, pa.float64()),
+                "peak": pa.array(peak, pa.float64()),
+                "zero_crossings": pa.array(zc, pa.int64()),
+                "duration_s": pa.array(dur, pa.float64()),
+                "decode_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Video frame sampling over opaque ``binary`` payloads with typed
+    metadata (w, h, n_frames:int32, codec:string): emits one row PER
+    SAMPLED FRAME (video_id, frame_idx, frame_bytes, w, h) — the
+    flat-map layout downstream image stages consume directly.
+
+    ``rawvideo`` (concatenated h*w*3 frames) samples for real; other
+    codecs raise ``NotImplementedError`` (stub — no video libraries in
+    this container; the Ray plumbing is the deliverable)."""
+
+    def __init__(self, every_n: int = 10, max_frames: int = 4, strict: bool = False):
+        self.every_n = every_n
+        self.max_frames = max_frames
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("video_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_pylist()
+        hs = batch.column("h").to_pylist()
+        nf = batch.column("n_frames").to_pylist()
+        codecs = batch.column("codec").to_pylist()
+        o_id, o_idx, o_bytes, o_w, o_h = [], [], [], [], []
+        for vid, blob, w, h, n, codec in zip(ids, blobs, ws, hs, nf, codecs):
+            if codec != "rawvideo":
+                if self.strict:
+                    raise NotImplementedError(
+                        f"video codec {codec!r}: no video libraries in this environment"
+                    )
+                continue
+            frame_sz = w * h * 3
+            for k, f in enumerate(range(0, n, self.every_n)):
+                if k >= self.max_frames:
+                    break
+                o_id.append(vid)
+                o_idx.append(f)
+                o_bytes.append(blob[f * frame_sz : (f + 1) * frame_sz])
+                o_w.append(w)
+                o_h.append(h)
+        return pa.table(
+            {
+                "video_id": pa.array(o_id, pa.string()),
+                "frame_idx": pa.array(o_idx, pa.int32()),
+                "frame_bytes": pa.array(o_bytes, pa.binary()),
+                "w": pa.array(o_w, pa.int32()),
+                "h": pa.array(o_h, pa.int32()),
+            }
+        )

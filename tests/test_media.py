@@ -115,3 +115,70 @@ def test_ann_brute_force_matches_numpy(ray_session):
         want = set(np.argsort(-cos[:, qi])[:5].tolist())
         have = {r["vec_id"] for r in got if r["query_idx"] == qi}
         assert have == want
+
+
+def test_audio_feature_stage_plumbing(ray_session):
+    """Actor-pool audio stage: pcm16 decodes for real; unknown codecs
+    take the clearly-marked stub path (decode_ok=False, not a crash)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.media import AudioFeatureStage
+
+    rng = np.random.default_rng(3)
+    tone = (np.sin(np.linspace(0, 440 * 2 * np.pi, 16000)) * 0.5 * 32768).astype(np.int16)
+    t = pa.table(
+        {
+            "audio_id": pa.array(["a0", "a1"], pa.string()),
+            "bytes": pa.array([tone.tobytes(), b"\x00\x01"], pa.binary()),
+            "sample_rate": pa.array([16000, 16000], pa.int32()),
+            "n_samples": pa.array([16000, 1], pa.int32()),
+            "codec": pa.array(["pcm16", "opus"], pa.string()),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(AudioFeatureStage, batch_format="pyarrow", batch_size=16, concurrency=(1, 2), num_cpus=1)
+        .take_all()
+    )
+    by_id = {r["audio_id"]: r for r in out}
+    assert by_id["a0"]["decode_ok"] and abs(by_id["a0"]["duration_s"] - 1.0) < 1e-9
+    assert 0.3 < by_id["a0"]["rms"] < 0.4  # sine RMS ≈ A/√2 ≈ 0.354
+    assert not by_id["a1"]["decode_ok"]  # stubbed codec, no crash
+
+
+def test_frame_sample_stage_plumbing(ray_session):
+    """Frame sampling flat-maps rawvideo payloads into per-frame rows
+    the image stages consume; stub codecs are skipped (or strict-raise)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.media import FrameSampleStage
+
+    w = h = 4
+    n_frames = 25
+    rng = np.random.default_rng(1)
+    video = rng.integers(0, 256, size=n_frames * w * h * 3, dtype=np.uint8).tobytes()
+    t = pa.table(
+        {
+            "video_id": pa.array(["v0", "v1"], pa.string()),
+            "bytes": pa.array([video, b"x"], pa.binary()),
+            "w": pa.array([w, w], pa.int32()),
+            "h": pa.array([h, h], pa.int32()),
+            "n_frames": pa.array([n_frames, 1], pa.int32()),
+            "codec": pa.array(["rawvideo", "h264"], pa.string()),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(FrameSampleStage, fn_constructor_kwargs=dict(every_n=10, max_frames=4), batch_format="pyarrow", batch_size=8, concurrency=(1, 2), num_cpus=1)
+        .take_all()
+    )
+    rows = [r for r in out if r["video_id"] == "v0"]
+    assert [r["frame_idx"] for r in rows] == [0, 10, 20]
+    assert all(len(r["frame_bytes"]) == w * h * 3 for r in rows)
+    frame0 = np.frombuffer(video[: w * h * 3], dtype=np.uint8)
+    assert np.array_equal(np.frombuffer(rows[0]["frame_bytes"], dtype=np.uint8), frame0)
+    assert not [r for r in out if r["video_id"] == "v1"]  # stub codec skipped
