@@ -63,6 +63,10 @@ class DedupConfig:
     hashfunc: str = "sha1"
     num_partitions: int | None = None  # None → auto-sized from the input row count
     checkpoint_dir: str | None = None
+    # driver-DSU edge budget for connected components; 0 forces the
+    # distributed alternating-star path (bench/driver override:
+    # RAYDEDUP_MAX_DRIVER_EDGES)
+    max_driver_edges: int = 5_000_000
 
     @property
     def band_params(self) -> tuple[int, int]:
@@ -73,6 +77,7 @@ class DedupConfig:
         d.pop("checkpoint_dir", None)
         d.pop("signature_concurrency", None)
         d.pop("num_partitions", None)
+        d.pop("max_driver_edges", None)  # execution strategy, not semantics
         return json.dumps(d, sort_keys=True)
 
 
@@ -285,7 +290,10 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
     edges = ck.run("pairs", build_pairs)
 
     t0 = time.perf_counter()
-    clusters = connected_components(edges, num_partitions=npart_pairs)
+    max_drv = int(os.environ.get("RAYDEDUP_MAX_DRIVER_EDGES", cfg.max_driver_edges))
+    clusters = connected_components(
+        edges, max_driver_edges=max_drv, num_partitions=npart_pairs
+    )
     ck.metrics.append({"stage": "components", "wall_sec": round(time.perf_counter() - t0, 3)})
     ck.flush_metrics()
     pairs = unique_rows_partitioned(edges, ["id_a", "id_b"], npart_pairs)

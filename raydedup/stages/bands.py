@@ -166,6 +166,46 @@ def bucket_stats(band_ds):
     return band_ds.groupby("bucket").aggregate(Count(alias_name="size"))
 
 
+def _exact_key_hash128(batch: pa.Table, exact_cols: tuple) -> tuple:
+    """128-bit content-group key over ``exact_cols``, fully vectorized:
+    render each column as ``\\x01``-prefixed string (NULL → ``\\x00``
+    sentinel, so NULL never collides with '' — SQL GROUP BY keeps them
+    separate groups), join with ``\\x1f``, and hash the joined key with
+    two independent 64-bit vectorized hashes (polars xxhash64, two
+    seeds). The values are run-internal grouping keys only — nothing
+    downstream reproduces them — so any deterministic, well-mixed hash
+    preserves semantics; a cross-content collision needs both words to
+    collide (~n²/2¹²⁸). Replaces a per-row ``hashlib.sha1`` loop that
+    dominated the fused-explode wall (VERDICT r02 §next-2)."""
+    import pyarrow.compute as pc
+
+    rendered = []
+    for c in exact_cols:
+        s = pc.cast(batch.column(c), pa.string())
+        s = pc.binary_join_element_wise("\x01", s, "", null_handling="emit_null")
+        rendered.append(pc.fill_null(s, "\x00"))
+    joined = rendered[0] if len(rendered) == 1 else pc.binary_join_element_wise(
+        *rendered, "\x1f"
+    )
+    try:
+        import polars as pl
+
+        s = pl.Series("k", pa.chunked_array([joined]) if isinstance(joined, pa.Array) else joined)
+        lo = s.hash(seed=0x51DE).to_numpy().astype(np.uint64)
+        hi = s.hash(seed=0xC0FE).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover - polars is baked into the env
+        import hashlib
+
+        keys = joined.to_pylist()
+        lo = np.empty(len(keys), dtype=np.uint64)
+        hi = np.empty(len(keys), dtype=np.uint64)
+        for i, k in enumerate(keys):
+            d = hashlib.sha1(k.encode("utf-8")).digest()
+            lo[i] = int.from_bytes(d[:8], "little")
+            hi[i] = int.from_bytes(d[8:16], "little")
+    return lo, hi
+
+
 def fused_band_explode(
     batch: pa.Table,
     b: int,
@@ -181,8 +221,6 @@ def fused_band_explode(
     128-bit) share ONE slim (id, bucket, aux, mode) table → ONE shuffle.
     The three bucket spaces are salted apart, so every run is
     homogeneous in mode."""
-    import hashlib
-
     from raydedup.schema import sig_to_numpy
 
     n = len(batch)
@@ -211,20 +249,12 @@ def fused_band_explode(
         parts_aux.append(np.repeat(words, simhash_bands))
         parts_mode.append(np.ones(n * simhash_bands, dtype=np.int8))
 
+    # Tolerate optional columns (default config names a phash column a
+    # text-only table won't have) — same presence guard as simhash above;
+    # schema is uniform across batches so the grouping key is consistent.
+    exact_cols = tuple(c for c in exact_cols if c in batch.column_names)
     if exact_cols:
-        import pyarrow.compute as pc
-
-        rendered = [pc.cast(batch.column(c), pa.string()).to_pylist() for c in exact_cols]
-        lo = np.empty(n, dtype=np.uint64)
-        hi = np.empty(n, dtype=np.uint64)
-        # NULL → \x00 sentinel, value → \x01-prefixed: NULL never
-        # collides with '' (SQL GROUP BY keeps them separate groups)
-        for i, row in enumerate(zip(*rendered)):
-            d = hashlib.sha1(
-                "\x1f".join("\x00" if v is None else "\x01" + v for v in row).encode("utf-8")
-            ).digest()
-            lo[i] = int.from_bytes(d[:8], "little")
-            hi[i] = int.from_bytes(d[8:16], "little")
+        lo, hi = _exact_key_hash128(batch, exact_cols)
         bucket = (lo ^ np.uint64(0x5DEECE66D)) * _FNV_PRIME
         parts_id.append(ids)
         parts_bucket.append(bucket)

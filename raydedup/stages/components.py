@@ -7,12 +7,15 @@ is user-land (SURVEY.md §2.5). Here:
   small enough to collect — candidate edges are tiny relative to the
   corpus (each near-dup cluster contributes O(cluster²) edges), so this
   covers test and most production scales;
-- **distributed min-label propagation** otherwise: labels start as the
-  node id; each round every node takes the min label over itself and
-  its neighbors (both edge directions) via join + groupby(min); stops
-  at fixpoint. Rounds ≈ graph diameter — dup clusters are near-cliques,
-  so a handful of rounds. Cf. BTS (ICDE'24) in PAPERS.md for the
-  balanced-tree refinement this would adopt at extreme skew.
+- **distributed alternating large-star / small-star** otherwise
+  (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+  SoCC'14 — see PAPERS.md), with three engineering upgrades measured
+  against driver DSU in this sandbox: block-local vectorized min-label
+  contraction inside each kernel (each pass merges whole block-local
+  components, not just 1-hop neighborhoods), a changed-counter actor
+  instead of a per-pass aggregate execution, and a pointer-jumping
+  *forest endgame* that peels settled star edges out of the iteration
+  (with a bounded driver finish for the geometric-tail remainder).
 
 Cluster id = min member id (deterministic, order-insensitive).
 """
@@ -75,180 +78,469 @@ def components_driver(pairs_ds) -> pa.Table:
     )
 
 
-def components_distributed(pairs_ds, num_partitions: int = 32, max_rounds: int = 50):
-    """Min-label propagation + pointer jumping entirely on the engine's
-    keyed-shuffle primitive (``map_key_runs``) — NO ``Dataset.join``
-    (chained joins are fragile on this Ray version; the keyed shuffle
-    is the one exchange the engine already trusts at scale). Returns a
-    Dataset (image_id, cluster_id).
+def _flat(col, typ=None):
+    """Table column (ChunkedArray) → plain Array (zero-copy when the
+    column has one chunk, which is the common case post-sort)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array([], typ or col.type)
+    return col
 
-    Per round: (1) *gather* — every node's label is delivered to its
-    neighbors via a shuffle keyed on the edge target; (2) *min* — each
-    node takes the min of its own and received labels; (3) *jump* —
-    label[x] ← label[label[x]] (shortcutting), so a path graph
-    converges in O(log n) rounds instead of O(diameter). The fixpoint
-    test counts per-node label mismatches old-vs-new with the same
-    keyed-run primitive (works for string and numeric ids alike)."""
+
+class _Counter:
+    """Tiny accumulator actor: per-pass changed-edge counts reported
+    synchronously from block kernels (a separate ``Dataset.sum``
+    execution costs ~1.2 s per pass in this sandbox). Task retries can
+    only over-count — never under-count — so the zero test that stops
+    the iteration stays sound."""
+
+    def __init__(self):
+        self.vals: dict = {}
+
+    def add(self, key: str, n: int) -> None:
+        self.vals[key] = self.vals.get(key, 0) + int(n)
+
+    def get(self, key: str) -> int:
+        return int(self.vals.get(key, 0))
+
+
+def _local_min_labels(iu, iv, n_local):
+    """Vectorized min-label propagation over int-coded block-local
+    edges: relax every node from its neighbors (both directions are
+    synthesized here) via one ``np.minimum.reduceat`` per sweep, with
+    pointer jumping between sweeps. Returns ``lab[n_local]`` where
+    ``lab[x]`` is the smallest dictionary CODE in x's block-local
+    component (codes are first-appearance order, so the caller resolves
+    the min *id* per component separately)."""
     import numpy as np
 
-    from raydedup.stages.grouped import map_key_runs, staged, tune_for_session
+    su = np.concatenate([iu, iv])
+    sv = np.concatenate([iv, iu])
+    o = np.argsort(su, kind="stable")
+    su, sv = su[o], sv[o]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(su)) + 1))
+    ukeys = su[starts]
+    lab = np.arange(n_local, dtype=np.int64)
+    for _ in range(200):
+        m = np.minimum.reduceat(lab[sv], starts)
+        new = np.minimum(lab[ukeys], m)
+        if not (new < lab[ukeys]).any():
+            break
+        lab[ukeys] = new
+        for _ in range(3):  # pointer jumping: lab ← lab[lab]
+            l2 = lab[lab]
+            if np.array_equal(l2, lab):
+                break
+            lab = l2
+    return lab
 
+
+def components_distributed(
+    pairs_ds,
+    num_partitions: int = 32,
+    max_rounds: int = 60,
+    stats: list | None = None,
+    driver_finish_rows: int = 4_000_000,
+    n_edges: int | None = None,
+):
+    """Alternating large-star / small-star connected components
+    (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii: *Connected
+    Components in MapReduce and Beyond*, SoCC'14 — see PAPERS.md).
+
+    The distributed state is the EDGE LIST itself, canonically oriented
+    child > parent — no separate label table, so each round is exactly
+    TWO keyed shuffles with fully vectorized Arrow kernels (the round-2
+    design ran 4 staged shuffles per round with Python row loops and
+    measured ~12× slower than driver DSU at 1.8M rows):
+
+    - large-star(u): over symmetrized edges grouped by ``u``, emit
+      ``(v, m)`` for every neighbor ``v > u``;
+    - small-star(u): over canonical edges grouped at the LARGER
+      endpoint, emit ``(u, m)`` and ``(x, m)`` for ``x ∈ N(u) \\ {m}``.
+
+    Both kernels use ``m`` = the min id of u's whole BLOCK-LOCAL
+    component (vectorized in-block min-label propagation over
+    dictionary codes) — strictly stronger contraction than the paper's
+    1-hop ``min(N(u) ∪ {u})`` at identical shuffle cost; when u has no
+    smaller neighbor and ``m < u``, large-star additionally emits
+    ``(u, m)`` so u stays attached. Both passes preserve connectivity,
+    keep parents strictly smaller than children, and report a
+    changed-edge count through a zero-CPU accumulator actor (no extra
+    aggregate execution). A joint no-op is exactly the star fixpoint:
+    small-star no-op ⇒ every node has ≤ 1 smaller neighbor (a
+    down-pointing forest); large-star no-op ⇒ any node with a larger
+    neighbor heads its local component ⇒ forest depth 1, centered at
+    component minima.
+
+    **Forest endgame:** the moment a small-star pass no-ops, the state
+    is a parent forest, and the remaining work (flattening chains) is
+    pointer jumping — done here with PEELING: each jump pass rewrites
+    ``(c, u) → (c, parent(u))`` and finalizes edges whose parent is a
+    root; settled edges leave the iteration, so the active set shrinks
+    geometrically instead of reshuffling all n edges O(log depth)
+    times. A remainder below ``driver_finish_rows`` (slim 2-column
+    rows; the default bounds driver memory to ~100 MB) is flattened on
+    the driver in one dictionary chase — pass 0 to force the fully
+    distributed endgame.
+
+    Returns a Dataset (image_id, cluster_id); like the driver path,
+    only nodes that appear in at least one edge are labeled. All
+    kernels are Arrow compute — string and numeric ids alike.
+    """
+    import time as _time
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from raydedup.stages.grouped import (
+        effective_partitions,
+        ensure_hash_shuffle,
+        staged,
+        tune_for_session,
+        unique_rows_partitioned,
+    )
+
+    ensure_hash_shuffle()
     tune_for_session(pairs_ds)
+    cap = effective_partitions(num_partitions)
+    rows_per_part = 400_000  # slim 2-string-column rows ≈ 25 B each
 
-    def both_dirs(t: pa.Table) -> pa.Table:
-        a, b = t.column("id_a").combine_chunks(), t.column("id_b").combine_chunks()
-        if isinstance(a, pa.ChunkedArray):
-            a = a.chunk(0) if a.num_chunks else pa.array([], t.schema.field("id_a").type)
-        if isinstance(b, pa.ChunkedArray):
-            b = b.chunk(0) if b.num_chunks else pa.array([], t.schema.field("id_b").type)
-        return pa.table({"node": pa.concat_arrays([a, b]), "nbr": pa.concat_arrays([b, a])})
+    def _P(rows):
+        return max(2, min(cap, rows // rows_per_part + 1))
 
-    edges = staged(pairs_ds.map_batches(both_dirs, batch_format="pyarrow"))
-    id_type = edges.schema().base_schema.field("node").type
+    if n_edges is None:
+        pairs_ds = staged(pairs_ds)
+        n_edges = pairs_ds.count()
 
-    # init: label[x] = min(x, neighbors(x)) — one keyed run pass
-    def init_labels(block: pa.Table, starts, ends) -> pa.Table:
-        nodes = block.column("node").to_pylist()
-        nbrs = block.column("nbr").to_pylist()
-        o_n, o_l = [], []
-        for s, e in zip(starts, ends):
-            k = nodes[s]
-            o_n.append(k)
-            o_l.append(min(k, min(nbrs[s:e])))
-        return pa.table({"node": pa.array(o_n, id_type), "label": pa.array(o_l, id_type)})
+    sch = pairs_ds.schema().base_schema
+    id_type = sch.field("id_a").type if "id_a" in sch.names else sch.field("c").type
+    counter = ray.remote(_Counter).options(num_cpus=0).remote()
 
-    labels = staged(map_key_runs(edges, "node", init_labels, num_partitions, min_run=1))
+    def _canon_cols(t: pa.Table):
+        if "id_a" in t.column_names:  # first pass: canonicalize raw pairs
+            a, b = t.column("id_a"), t.column("id_b")
+            keep = pc.not_equal(a, b)
+            a, b = a.filter(keep), b.filter(keep)
+            swap = pc.less(a, b)  # a < b → child is b
+            return pc.if_else(swap, b, a), pc.if_else(swap, a, b)
+        return t.column("c"), t.column("p")
 
-    def tag_labels(key_col: str, payload_col: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table(
+    def _expand_large(t: pa.Table) -> pa.Table:
+        c, p = _canon_cols(t)
+        c, p = _flat(c, id_type), _flat(p, id_type)
+        return pa.table({"u": pa.concat_arrays([c, p]), "v": pa.concat_arrays([p, c])})
+
+    def _expand_small(t: pa.Table) -> pa.Table:
+        c, p = _canon_cols(t)
+        return pa.table({"u": c, "v": p})
+
+    def _star_block(large: bool, pass_key: str):
+        def per_block(block: pa.Table) -> pa.Table:
+            n = len(block)
+            if n == 0:
+                return pa.table({"c": pa.array([], id_type), "p": pa.array([], id_type)})
+            block = block.sort_by([("u", "ascending"), ("v", "ascending")])
+            u, v = _flat(block.column("u"), id_type), _flat(block.column("v"), id_type)
+            if n > 1:
+                # drop duplicate (u, v) rows; partitioning is by u, so
+                # consecutive-dedupe here is globally exact
+                dup = pc.and_(
+                    pc.equal(u.slice(1), u.slice(0, n - 1)),
+                    pc.equal(v.slice(1), v.slice(0, n - 1)),
+                ).to_numpy(zero_copy_only=False)
+                if dup.any():
+                    keep = np.ones(n, dtype=bool)
+                    keep[1:] = ~dup
+                    sel = pa.array(np.nonzero(keep)[0])
+                    u, v = u.take(sel), v.take(sel)
+                    n = len(u)
+            if n > 1:
+                change = pc.not_equal(u.slice(1), u.slice(0, n - 1)).to_numpy(
+                    zero_copy_only=False
+                )
+                idx = np.nonzero(change)[0] + 1
+            else:
+                idx = np.empty(0, np.int64)
+            starts = np.concatenate(([0], idx))
+            lens = np.diff(np.concatenate((starts, [n])))
+            # block-local component labels over dictionary codes
+            enc = pc.dictionary_encode(pa.concat_arrays([u, v]))
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            ids_dict = enc.dictionary
+            iu, iv = codes[:n], codes[n:]
+            lab = _local_min_labels(iu, iv, len(ids_dict))
+            # per-component min ID (codes are first-appearance order,
+            # not value order — resolve with one C++ hash aggregation)
+            g = pa.table({"g": pa.array(lab), "id": ids_dict}).group_by("g").aggregate(
+                [("id", "min")]
+            )
+            g_lab = g.column("g").to_numpy(zero_copy_only=False)
+            g_min = _flat(g.column("id_min"), id_type)
+            pos = np.empty(len(ids_dict), np.int64)
+            pos[g_lab] = np.arange(len(g_lab))
+            m_row = g_min.take(pa.array(pos[lab[iu]]))
+            u_first = u.take(pa.array(starts))
+            v_first = v.take(pa.array(starts))
+            m_run = g_min.take(pa.array(pos[lab[iu[starts]]]))
+            if large:
+                mask = pc.greater(v, u)
+                child, parent = v.filter(mask), m_row.filter(mask)
+                chg = int(pc.sum(pc.and_(mask, pc.not_equal(m_row, u))).as_py() or 0)
+                # every run whose component-min m < u emits (u, m): the
+                # rewritten edges (v, m) drop u, so u must attach to m
+                # directly (attaching only via u's smaller neighbor can
+                # strand u on the wrong side — found by the random-graph
+                # conformance test). When m == u's min neighbor this
+                # duplicates a canonical edge (deduped next pass) and
+                # counts as no change, keeping the star fixpoint quiet.
+                ex = pc.less(m_run, u_first)
+                if pc.any(ex).as_py():
+                    child = pa.concat_arrays([child, u_first.filter(ex)])
+                    parent = pa.concat_arrays([parent, m_run.filter(ex)])
+                    chg += int(
+                        pc.sum(pc.and_(ex, pc.not_equal(m_run, v_first))).as_py() or 0
+                    )
+            else:
+                mask = pc.not_equal(v, m_row)
+                child = pa.concat_arrays([v.filter(mask), u_first])
+                parent = pa.concat_arrays([m_row.filter(mask), m_run])
+                chg = int(pc.sum(mask).as_py() or 0)
+            if chg:
+                ray.get(counter.add.remote(pass_key, chg))
+            return pa.table({"c": child, "p": parent})
+
+        return per_block
+
+    pass_seq = [0]
+
+    def _star_plan(eds, rows, large, pass_key):
+        expand = _expand_large if large else _expand_small
+        parted = eds.map_batches(expand, batch_format="pyarrow").repartition(
+            _P(rows * (2 if large else 1)), keys=["u"]
+        )
+        return parted.map_batches(
+            _star_block(large, pass_key), batch_size=None, batch_format="pyarrow"
+        )
+
+    def star_pass(eds, rows, large):
+        pass_key = f"s{pass_seq[0]}"
+        pass_seq[0] += 1
+        out = staged(_star_plan(eds, rows, large, pass_key))
+        return out, out.count(), ray.get(counter.get.remote(pass_key))
+
+    # Below this many edges, each round's large+small passes run as ONE
+    # staged execution (two HashShuffleOperators in one plan): at small
+    # scale the per-execution fixed cost (~1.3 s in this sandbox)
+    # dominates, so halving the execution count wins; at large scale two
+    # live shuffle operators contend (~2× variable cost, round-2 notes)
+    # so the passes stay separately staged.
+    fuse_below = 3_000_000
+
+    # --- phase 1: alternating star ---
+    eds, rows = pairs_ds, n_edges
+    converged = False
+    for rnd in range(max_rounds):
+        t0 = _time.time()
+        if rows < fuse_below:
+            k_l, k_s = f"s{pass_seq[0]}", f"s{pass_seq[0] + 1}"
+            pass_seq[0] += 2
+            mid = _star_plan(eds, rows, large=True, pass_key=k_l)
+            eds = staged(_star_plan(mid, rows, large=False, pass_key=k_s))
+            rows = eds.count()
+            t1 = _time.time()
+            chg_l, chg_s = ray.get([counter.get.remote(k_l), counter.get.remote(k_s)])
+        else:
+            eds, rows, chg_l = star_pass(eds, rows, large=True)
+            t1 = _time.time()
+            eds, rows, chg_s = star_pass(eds, rows, large=False)
+        if stats is not None:
+            stats.append(
                 {
-                    "key": batch.column(key_col),
-                    "payload": batch.column(payload_col),
-                    "tag": pa.array(np.ones(len(batch), dtype=np.int8)),
+                    "phase": "star",
+                    "round": rnd,
+                    "large_sec": round(t1 - t0, 3),
+                    "small_sec": round(_time.time() - t1, 3),
+                    "chg_large": chg_l,
+                    "chg_small": chg_s,
+                    "rows": rows,
                 }
             )
+        if chg_s == 0:
+            converged = chg_l == 0
+            break
+    else:
+        raise RuntimeError("components_distributed: star phase did not reach a forest")
 
-        return fn
+    # --- phase 2: pointer-jump peeling on the forest ---
+    finals = []  # (c, p) datasets of settled star edges
+    driver_part = None
 
-    def tag_edges(batch: pa.Table) -> pa.Table:
-        # deliver TO nbr's run; payload = the receiving node
+    def _jump_expand(t: pa.Table) -> pa.Table:
+        c, p = _flat(t.column("c"), id_type), _flat(t.column("p"), id_type)
+        n = len(c)
         return pa.table(
             {
-                "key": batch.column("nbr"),
-                "payload": batch.column("node"),
-                "tag": pa.array(np.zeros(len(batch), dtype=np.int8)),
+                "k": pa.concat_arrays([p, c]),
+                "c": pa.concat_arrays([c, c]),
+                "p": pa.concat_arrays([p, p]),
+                "s": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                ),
             }
         )
 
-    def gather(block: pa.Table, starts, ends) -> pa.Table:
-        tags = block.column("tag").to_numpy(zero_copy_only=False)
-        payload = block.column("payload").to_pylist()
-        keys = block.column("key").to_pylist()
-        o_n, o_l = [], []
-        for s, e in zip(starts, ends):
-            lab = None
-            for i in range(s, e):
-                if tags[i] == 1:
-                    lab = payload[i]
-                    break
-            if lab is None:
-                continue
-            o_n.append(keys[s])  # node keeps its own label
-            o_l.append(lab)
-            for i in range(s, e):
-                if tags[i] == 0:
-                    o_n.append(payload[i])
-                    o_l.append(lab)
-        return pa.table({"node": pa.array(o_n, id_type), "label": pa.array(o_l, id_type)})
-
-    def min_label(block: pa.Table, starts, ends) -> pa.Table:
-        nodes = block.column("node").to_pylist()
-        labs = block.column("label").to_pylist()
-        o_n, o_l = [], []
-        for s, e in zip(starts, ends):
-            o_n.append(nodes[s])
-            o_l.append(min(labs[s:e]))
-        return pa.table({"node": pa.array(o_n, id_type), "label": pa.array(o_l, id_type)})
-
-    def jump(block: pa.Table, starts, ends) -> pa.Table:
-        tags = block.column("tag").to_numpy(zero_copy_only=False)
-        payload = block.column("payload").to_pylist()
-        o_n, o_l = [], []
-        for s, e in zip(starts, ends):
-            lab = None
-            for i in range(s, e):
-                if tags[i] == 1:
-                    lab = payload[i]
-                    break
-            if lab is None:
-                continue
-            for i in range(s, e):
-                if tags[i] == 0:
-                    o_n.append(payload[i])
-                    o_l.append(lab)
-        return pa.table({"node": pa.array(o_n, id_type), "label": pa.array(o_l, id_type)})
-
-    def count_changes(old_ds, new_ds) -> int:
-        tagged = old_ds.map_batches(tag_labels("node", "label"), batch_format="pyarrow").union(
-            new_ds.map_batches(
-                lambda t: pa.table(
-                    {
-                        "key": t.column("node"),
-                        "payload": t.column("label"),
-                        "tag": pa.array(np.full(len(t), 2, dtype=np.int8)),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-        )
-
-        def cmp(block: pa.Table, starts, ends) -> pa.Table:
-            tags = block.column("tag").to_numpy(zero_copy_only=False)
-            payload = block.column("payload").to_pylist()
-            n_changed = 0
-            for s, e in zip(starts, ends):
-                old = new = None
-                for i in range(s, e):
-                    if tags[i] == 1:
-                        old = payload[i]
-                    else:
-                        new = payload[i]
-                if old != new:
-                    n_changed += 1
-            return pa.table({"c": pa.array([n_changed], pa.int64())})
-
-        out = map_key_runs(tagged, "key", cmp, num_partitions, min_run=1).sum("c")
-        return int(out or 0)
-
-    for _ in range(max_rounds):
-        msgs = edges.map_batches(tag_edges, batch_format="pyarrow").union(
-            labels.map_batches(tag_labels("node", "label"), batch_format="pyarrow")
-        )
-        received = staged(map_key_runs(msgs, "key", gather, num_partitions))
-        new_labels = staged(map_key_runs(received, "node", min_label, num_partitions, min_run=1))
-        # pointer jumping: deliver label[k] to every node labeled k
-        jmp_in = new_labels.map_batches(
-            lambda t: pa.table(
+    def _jump_block(block: pa.Table) -> pa.Table:
+        n = len(block)
+        if n == 0:
+            return pa.table(
                 {
-                    "key": t.column("label"),
-                    "payload": t.column("node"),
-                    "tag": pa.array(np.zeros(len(t), dtype=np.int8)),
+                    "c": pa.array([], id_type),
+                    "p": pa.array([], id_type),
+                    "fin": pa.array([], pa.int8()),
                 }
-            ),
-            batch_format="pyarrow",
-        ).union(new_labels.map_batches(tag_labels("node", "label"), batch_format="pyarrow"))
-        new_labels = staged(map_key_runs(jmp_in, "key", jump, num_partitions, min_run=1))
-        changed = count_changes(labels, new_labels)
-        labels = new_labels
-        if changed == 0:
-            break
+            )
+        block = block.sort_by([("k", "ascending"), ("s", "ascending")])
+        k = _flat(block.column("k"), id_type)
+        c = _flat(block.column("c"), id_type)
+        p = _flat(block.column("p"), id_type)
+        s = block.column("s").to_numpy(zero_copy_only=False)
+        if n > 1:
+            change = pc.not_equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            idx = np.nonzero(change)[0] + 1
+        else:
+            idx = np.empty(0, np.int64)
+        starts = np.concatenate(([0], idx))
+        ends = np.concatenate((idx, [n]))
+        last = ends - 1
+        has_par = s[last] == 1  # self row sorts last in its run
+        g = p.take(pa.array(last))  # run node's own parent, where has_par
+        rep = np.repeat(np.arange(len(starts)), ends - starts)
+        edge_np = s == 0
+        hs_edge = has_par[rep][edge_np]
+        em = pa.array(edge_np)
+        g_edge = g.take(pa.array(rep[edge_np]))
+        p_out = pc.if_else(pa.array(hs_edge), g_edge, p.filter(em))
+        return pa.table(
+            {
+                "c": c.filter(em),
+                "p": p_out,
+                "fin": pa.array((~hs_edge).astype(np.int8)),
+            }
+        )
 
-    return labels.map_batches(
-        lambda t: pa.table({"image_id": t.column("node"), "cluster_id": t.column("label")}),
-        batch_format="pyarrow",
+    def _take(fin_val):
+        def f(t: pa.Table) -> pa.Table:
+            sub = t.filter(pc.equal(t.column("fin"), fin_val))
+            return sub.select(["c", "p"])
+
+        return f
+
+    if converged:
+        finals.append(eds)  # already stars; children globally unique
+    else:
+        active, act_rows = eds, rows
+        for j in range(max_rounds):
+            if act_rows == 0:
+                break
+            if act_rows <= driver_finish_rows:
+                t0 = _time.time()
+                driver_part = _driver_flatten(active, id_type)
+                if stats is not None:
+                    stats.append(
+                        {
+                            "phase": "driver_finish",
+                            "rows": act_rows,
+                            "sec": round(_time.time() - t0, 3),
+                        }
+                    )
+                break
+            t0 = _time.time()
+            out = staged(
+                active.map_batches(_jump_expand, batch_format="pyarrow")
+                .repartition(_P(act_rows * 2), keys=["k"])
+                .map_batches(_jump_block, batch_size=None, batch_format="pyarrow")
+            )
+            finals.append(out.map_batches(_take(1), batch_format="pyarrow"))
+            active = staged(out.map_batches(_take(0), batch_format="pyarrow"))
+            act_rows = active.count()
+            if stats is not None:
+                stats.append(
+                    {
+                        "phase": "jump",
+                        "round": j,
+                        "sec": round(_time.time() - t0, 3),
+                        "active_rows": act_rows,
+                    }
+                )
+        else:
+            raise RuntimeError("components_distributed: jump phase did not converge")
+
+    # --- finalize: children rows pass through (globally unique); root
+    # self-rows need one slim single-column distinct shuffle ---
+    import ray.data as rd
+
+    parts = list(finals)
+    if driver_part is not None and len(driver_part):
+        parts.append(rd.from_arrow(driver_part))
+    all_children = parts[0]
+    for d in parts[1:]:
+        all_children = all_children.union(d)
+
+    def _to_roots(t: pa.Table) -> pa.Table:
+        # per-block pre-distinct (combiner): the root shuffle moves
+        # ~n_components rows per block instead of n_edges rows
+        return pa.table({"image_id": t.column("p").unique() if isinstance(t.column("p"), pa.Array) else t.column("p").combine_chunks().unique()})
+
+    def _root_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"image_id": t.column("image_id"), "cluster_id": t.column("image_id")}
+        )
+
+    def _child_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"image_id": t.column("c"), "cluster_id": t.column("p")})
+
+    roots = unique_rows_partitioned(
+        all_children.map_batches(_to_roots, batch_format="pyarrow"),
+        ["image_id"],
+        _P(n_edges),
+    ).map_batches(_root_rows, batch_format="pyarrow")
+    return all_children.map_batches(_child_rows, batch_format="pyarrow").union(roots)
+
+
+def _driver_flatten(active_ds, id_type) -> pa.Table:
+    """Bounded endgame: collect the (small) residual forest and resolve
+    every child to its root with one memoized dictionary chase. Roots
+    referenced here always appear as parents of the emitted rows, so no
+    separate root list is needed."""
+    parent: dict = {}
+    for b in active_ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        for cc, pp in zip(b.column("c").to_pylist(), b.column("p").to_pylist()):
+            parent[cc] = pp
+    lab: dict = {}
+    for start in parent:
+        x, path = start, []
+        while True:
+            if x in lab:
+                r = lab[x]
+                break
+            nxt = parent.get(x)
+            if nxt is None:
+                r = x
+                break
+            path.append(x)
+            x = nxt
+        for y in path:
+            lab[y] = r
+    return pa.table(
+        {
+            "c": pa.array(list(lab.keys()), id_type),
+            "p": pa.array(list(lab.values()), id_type),
+        }
     )
-
 
 
 def connected_components(pairs_ds, max_driver_edges: int = 5_000_000, num_partitions: int = 32):
@@ -270,6 +562,7 @@ def connected_components(pairs_ds, max_driver_edges: int = 5_000_000, num_partit
     uniq = staged(
         unique_rows_partitioned(pairs_ds, ["id_a", "id_b"], auto_partitions(n))
     )
-    if uniq.count() <= max_driver_edges:
+    n_uniq = uniq.count()
+    if n_uniq <= max_driver_edges:
         return components_driver(uniq)
-    return components_distributed(uniq, num_partitions=num_partitions)
+    return components_distributed(uniq, num_partitions=num_partitions, n_edges=n_uniq)
