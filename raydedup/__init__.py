@@ -43,12 +43,18 @@ def _quiet_known_benign_warnings() -> None:
     fast path logs 'Failed to hash the schemas' for every block of any
     parquet file written by pandas — pure noise (it falls back to full
     unification). Runs at import so worker processes (which import this
-    package to unpickle UDFs) are quieted too."""
+    package to unpickle UDFs) are quieted too. A message-targeted
+    Filter, not a level raise — any OTHER warning from that module
+    (real schema-unification trouble) still surfaces."""
     import logging
 
-    logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
-        logging.ERROR
-    )
+    class _DropSchemaHashNoise(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:  # noqa: A003
+            return "Failed to hash the schema" not in record.getMessage()
+
+    lg = logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow")
+    if not any(isinstance(f, _DropSchemaHashNoise) for f in lg.filters):
+        lg.addFilter(_DropSchemaHashNoise())
 
 
 _set_default_shuffle_strategy()

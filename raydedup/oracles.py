@@ -333,6 +333,43 @@ def hll_users_per_type_sql(p: int = 12) -> str:
 
 
 def hllpp_distinct_users_sql(p: int = 12) -> str:
+    """Full HLL++ estimator in SQL, mirroring every branch of
+    ``HllPlusPlusSketch.count`` (hll.py:212-223): linear counting only
+    when ``zeros > 0 AND lc <= thresholds[p-4]`` (the published per-p
+    threshold, NOT 2.5m), and the 6-nearest-neighbor bias subtraction
+    for ``e_raw <= 5m``. The published raw-estimate/bias tables are
+    inlined as a VALUES list from the same npz asset the engine loads,
+    so both sides share the data; the nearest-6 mean is an avg over 6
+    doubles (order differences ~1e-16 relative, far below the 1e-6
+    output rounding)."""
+    from raydedup.hll import _hllpp_const
+
+    const = _hllpp_const()
+    threshold = float(const["thresholds"][p - 4])
+    raw = const[f"raw_estimate_p{p}"]
+    bias = const[f"bias_p{p}"]
+    vals = ",".join(
+        f"({i},{float(r)!r},{float(b)!r})" for i, (r, b) in enumerate(zip(raw, bias))
+    )
+    m = 1 << p
     regs = _hll_registers("events", "CAST(user_id AS VARCHAR)", "", p, 64)
-    est = _hll_estimate(p, 64, "").replace("__EST__", "ndv_users_hllpp")
-    return f"WITH {regs},\n{est}"
+    alpha = f"(0.7213 / (1.0 + 1.079 / {float(m)}))"
+    return f"""WITH {regs},
+est AS (
+  SELECT {m} - count(*) AS zeros,
+         {alpha} * {float(m * m)} / ({m} - count(*) + sum(power(2.0, -rank))) AS e_raw
+  FROM regs
+),
+biastab(i, r, b) AS (VALUES {vals}),
+nearest AS (
+  SELECT avg(b) AS bias_est FROM (
+    SELECT b FROM biastab, est
+    ORDER BY (est.e_raw - biastab.r) * (est.e_raw - biastab.r), biastab.i
+    LIMIT 6
+  )
+)
+SELECT round(CASE WHEN zeros > 0 AND {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE)) <= {threshold!r}
+                  THEN {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE))
+                  WHEN e_raw <= {float(5 * m)} THEN e_raw - bias_est
+                  ELSE e_raw END, 6) AS ndv_users_hllpp
+FROM est, nearest"""

@@ -152,6 +152,23 @@ class ShardedHnsw:
                     out.append(self.index.search(q, k=k, ef=ef))
                 return out
 
+            def remove(self, keys, hard):
+                removed = 0
+                for key in keys:
+                    try:
+                        self.index.remove(key, hard=hard)
+                        removed += 1
+                    except KeyError:  # lives on another shard
+                        pass
+                return removed
+
+            def upsert(self, keys, vecs):
+                import numpy as np
+
+                self.index.add_batch(keys, np.asarray(vecs, dtype=np.float64))
+                self.index.build()
+                return True
+
             def n_dist(self):
                 return self.index.n_dist
 
@@ -183,6 +200,35 @@ class ShardedHnsw:
             all_hits.sort(key=lambda t: (-t[1], t[0]))
             merged.append(all_hits[:k])
         return merged
+
+    def remove(self, keys, hard: bool = False) -> int:
+        """Remove ids wherever they live: every shard drops the keys it
+        holds (a key lives on exactly one shard, so the broadcast is an
+        anti-join, not a scatter). Returns the number actually removed."""
+        import ray
+
+        return int(sum(ray.get([a.remove.remote(list(keys), hard) for a in self.actors])))
+
+    def upsert(self, keys, vecs) -> None:
+        """Insert-or-update: existing copies are hard-removed from
+        whichever shard holds them, then each key is routed to a shard
+        by id hash so re-upserts stay deterministic."""
+        import ray
+
+        keys = list(keys)
+        vecs = np.asarray(vecs, dtype=np.float64)
+        ray.get([a.remove.remote(keys, True) for a in self.actors])
+        ns = len(self.actors)
+        routed: list[list[int]] = [[] for _ in range(ns)]
+        for j, key in enumerate(keys):
+            routed[hash(str(key)) % ns].append(j)
+        ray.get(
+            [
+                self.actors[s].upsert.remote([keys[j] for j in idxs], vecs[idxs])
+                for s, idxs in enumerate(routed)
+                if idxs
+            ]
+        )
 
     def total_dist_computations(self) -> int:
         import ray

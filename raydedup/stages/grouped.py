@@ -68,9 +68,19 @@ def auto_partitions(ds_or_rows, requested: int | None = None, rows_per_partition
     partition with a measurable fixed cost (~0.1s each), so small
     inputs want few partitions; any corpus beyond ``cpus ×
     rows_per_partition`` rows hits the CPU cap, so cluster-scale
-    behavior is unchanged. Pass a Dataset whose count() is
-    metadata-cheap (a parquet read or a materialized stage)."""
-    rows = ds_or_rows if isinstance(ds_or_rows, int) else ds_or_rows.count()
+    behavior is unchanged. For Datasets, only a METADATA-cheap count is
+    used (parquet reads, materialized stages — ``_meta_count``); a
+    dataset with real lineage falls back to the CPU cap rather than
+    paying a full execution just to size the shuffle."""
+    if isinstance(ds_or_rows, int):
+        rows = ds_or_rows
+    else:
+        try:
+            rows = ds_or_rows._meta_count()
+        except Exception:  # pragma: no cover - private-API drift
+            rows = None
+        if rows is None:
+            return effective_partitions(requested if requested else 1 << 30)
     cap = effective_partitions(requested if requested else 1 << 30)
     return max(2, min(cap, rows // rows_per_partition))
 

@@ -1,0 +1,206 @@
+"""HNSW maintenance-surface tests, mirroring the reference's delete /
+update / merge semantics (reference ``test/test_hnsw.py``:
+``test_soft_remove_and_pop_and_clean`` 135-181,
+``test_hard_remove_and_pop_and_clean`` 183-212, ``test_upsert`` 88-93,
+``test_update`` 95-100, ``test_merge`` 102-115, ``test_copy`` 125-133),
+re-derived for the cosine/numpy structure in ``raydedup/hnsw.py``."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _vecs(n=300, d=16, seed=7):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, d))
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def _build(n=300, **kw):
+    from raydedup.hnsw import HnswIndex
+
+    vecs = _vecs(n)
+    idx = HnswIndex(m=8, ef_construction=48, seed=1, **kw)
+    idx.add_batch(list(range(n)), vecs)
+    idx.build()
+    return idx, vecs
+
+
+def _searchable(idx, vecs, keys, k=10, ef=64):
+    """Fraction of ``keys`` returned when queried with their own vector."""
+    hit = 0
+    for key in keys:
+        got = {i for i, _ in idx.search(vecs[key], k=k, ef=ef)}
+        hit += key in got
+    return hit / len(keys)
+
+
+def test_soft_remove_hides_but_keeps_navigable():
+    idx, vecs = _build()
+    victims = list(range(0, 100))
+    for key in victims:
+        idx.remove(key)
+    assert len(idx) == 200
+    assert all(key not in idx for key in victims)
+    # soft-removed points never appear in results...
+    for key in victims[:20]:
+        assert key not in {i for i, _ in idx.search(vecs[key], k=10, ef=64)}
+    # ...and the survivors stay searchable (graph still navigable
+    # THROUGH the soft-deleted nodes — the whole point of soft delete)
+    assert _searchable(idx, vecs, list(range(100, 300))[:40]) >= 0.95
+
+
+def test_soft_remove_is_idempotent_until_clean():
+    # reference lines 149-151: repeated soft remove does not raise
+    idx, _ = _build(50)
+    idx.remove(7)
+    idx.remove(7)
+    idx.remove(7)
+    assert len(idx) == 49
+    idx.clean()
+    with pytest.raises(KeyError):
+        idx.remove(7)
+
+
+def test_hard_remove_detaches_and_raises_on_reremove():
+    idx, vecs = _build()
+    for key in range(50):
+        idx.remove(key, hard=True)
+    assert len(idx) == 250
+    for key in range(50):
+        with pytest.raises(KeyError):
+            idx.remove(key, hard=True)
+    # no surviving edge points at a removed node
+    dead = set(range(50))
+    for layer in idx.neighbors:
+        for u, nbrs in layer.items():
+            assert idx.ids[u] not in dead
+            assert not ({idx.ids[n] for n in nbrs} & dead)
+    assert _searchable(idx, vecs, list(range(50, 300))[:40]) >= 0.95
+
+
+def test_clean_hard_removes_all_soft_removed():
+    idx, vecs = _build(200)
+    for key in range(0, 200, 2):
+        idx.remove(key)
+    idx.clean()
+    assert len(idx) == 100
+    for key in range(0, 200, 2):
+        with pytest.raises(KeyError):
+            idx.remove(key)
+    assert _searchable(idx, vecs, list(range(1, 200, 2))[:40]) >= 0.95
+
+
+def test_remove_entry_point_and_last_point():
+    from raydedup.hnsw import HnswIndex
+
+    idx, vecs = _build(60)
+    # removing the current entry must re-anchor, repeatedly
+    for _ in range(10):
+        idx.remove(idx.ids[idx.entry], hard=True)
+    assert len(idx) == 50
+    live = [key for key in idx.ids if key is not None]
+    assert _searchable(idx, vecs, live[:20]) >= 0.9
+    # draining the whole index clears it and allows reuse
+    small = HnswIndex(m=4, ef_construction=16, seed=3)
+    small.add_batch([0, 1, 2], _vecs(3, seed=5))
+    small.build()
+    for key in [0, 1, 2]:
+        small.remove(key, hard=True)
+    assert len(small) == 0 and small.entry is None
+    small.insert(9, _vecs(1, seed=6)[0])
+    assert [i for i, _ in small.search(_vecs(1, seed=6)[0], k=1)] == [9]
+
+
+def test_upsert_updates_vector_and_revives_soft_removed():
+    idx, vecs = _build(100)
+    new = _vecs(100, seed=99)
+    # reference test_upsert: re-inserting an existing key replaces it
+    idx.insert(5, new[5])
+    assert len(idx) == 100
+    assert [i for i, _ in idx.search(new[5], k=1, ef=64)] == [5]
+    # upsert after soft remove revives the point
+    idx.remove(17)
+    assert 17 not in idx
+    idx.insert(17, new[17])
+    assert 17 in idx
+    assert [i for i, _ in idx.search(new[17], k=1, ef=64)] == [17]
+
+
+def test_batch_update_like_reference():
+    # reference test_update: replace every vector, then every key must
+    # resolve to its NEW vector
+    idx, _ = _build(80)
+    new = _vecs(80, seed=42)
+    idx.add_batch(list(range(80)), new)
+    idx.build()
+    assert len(idx) == 80
+    assert _searchable(idx, new, list(range(80))[:30]) >= 0.95
+
+
+def test_merge_other_wins_on_duplicate_ids():
+    from raydedup.hnsw import HnswIndex
+
+    a_vecs = _vecs(120, seed=1)
+    b_vecs = _vecs(120, seed=2)
+    a = HnswIndex(m=8, ef_construction=48, seed=1)
+    a.add_batch(list(range(120)), a_vecs)
+    b = HnswIndex(m=8, ef_construction=48, seed=2)
+    b.add_batch(list(range(60, 180)), b_vecs)  # ids 60-119 overlap
+    merged = a.merge(b)
+    assert len(merged) == 180
+    # originals untouched
+    a.build(), b.build()
+    assert len(a) == 120 and len(b) == 120
+    # overlap ids resolve to b's vectors (other wins), disjoint to their own
+    hit = 0
+    for key in range(60, 120, 7):
+        got = {i for i, _ in merged.search(b_vecs[key - 60], k=5, ef=64)}
+        hit += key in got
+    assert hit >= 8  # 9 probes
+    hit = 0
+    for key in range(0, 60, 7):
+        got = {i for i, _ in merged.search(a_vecs[key], k=5, ef=64)}
+        hit += key in got
+    assert hit >= 8
+
+
+def test_copy_is_independent():
+    idx, vecs = _build(60)
+    dup = idx.copy()
+    dup.remove(3, hard=True)
+    assert 3 in idx and 3 not in dup
+    assert len(idx) == 60 and len(dup) == 59
+
+
+def test_sharded_remove_and_upsert(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.ann import ShardedHnsw
+
+    vecs = _vecs(2000, d=24, seed=13)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    index = ShardedHnsw.build(ds, num_shards=2, m=8, ef_construction=48)
+
+    # remove: each key lives on exactly one shard -> count equals keys
+    assert index.remove([1, 2, 3], hard=True) == 3
+    assert index.remove([1], hard=True) == 0  # already gone
+    res = index.query(vecs[[1, 2, 3]], k=5, ef=64)
+    for key, hits in zip([1, 2, 3], res):
+        assert key not in {i for i, _ in hits}
+
+    # upsert: replaced vector must win its own query; duplicate copies
+    # are purged from other shards first
+    new = _vecs(2, d=24, seed=77)
+    index.upsert([10, 11], new)
+    res = index.query(new, k=3, ef=64)
+    assert 10 in {i for i, _ in res[0]}
+    assert 11 in {i for i, _ in res[1]}
