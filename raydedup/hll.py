@@ -101,6 +101,35 @@ class HllSketch:
             return float(e)
         return float(-(1 << 32) * np.log(1.0 - e / (1 << 32)))
 
+    # ------------------------------------------------------ wire format
+    def bytesize(self) -> int:
+        """Size of the reference wire format: 1 byte ``p`` + ``m``
+        register bytes (reference ``hyperloglog.py:270-278``)."""
+        return 1 + self.m
+
+    def serialize(self, buf: bytearray | memoryview | None = None) -> bytes:
+        """Cross-language byte serialization, byte-compatible with the
+        reference (``hyperloglog.py:280-287``: ``struct 'B%dB' % m`` —
+        one unsigned byte ``p`` followed by the m registers). With
+        ``buf`` given, packs in place like the reference; always
+        returns the serialized bytes."""
+        out = bytes([self.p]) + self.reg.astype(np.uint8).tobytes()
+        if buf is not None:
+            if len(buf) < len(out):
+                raise ValueError("buffer too small for this HyperLogLog")
+            buf[: len(out)] = out
+        return out
+
+    @classmethod
+    def deserialize(cls, buf) -> "HllSketch":
+        """Inverse of :meth:`serialize`; accepts buffers written by the
+        reference's ``serialize`` too (same byte layout)."""
+        mv = memoryview(buf)
+        p = mv[0]
+        m = 1 << p
+        reg = np.frombuffer(mv[1 : 1 + m], dtype=np.uint8).astype(np.int8)
+        return cls(p, reg=reg)
+
 
 def _distinct_tokens(block, column: str) -> list[bytes]:
     """Distinct column values of a block as utf-8 bytes — HLL registers

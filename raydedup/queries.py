@@ -1014,6 +1014,109 @@ QUERIES.update(
 )
 
 
+def q_bloom_dedup_filter(sf_dir: str):
+    """Space-bounded membership dedup (LSHBloom parity — reference
+    ``lsh_bloom.py:240-366``): build per-band Bloom filters over the
+    EVEN doc_ids' MinHash signatures with one Dataset aggregate (the
+    state is the fixed ``b × m/8``-byte bit matrix however large the
+    corpus), broadcast the filter once via ``ray.put``, and flag every
+    ODD doc whose signature collides in any band.
+
+    Rows-only for the driver, but SELF-VERIFYING against the engine's
+    exact band semi-join (the semantics LSHBloom approximates): asserts
+    ZERO false negatives — the Bloom contract — and a false-positive
+    count within the configured ``fp`` budget. The verification sets
+    are output-scale (≤ one row per query doc), not corpus-scale."""
+    import ray
+
+    from raydedup.bloom import BloomDedupStage, band_values, build_band_bloom
+    from raydedup.schema import sig_to_numpy
+    from raydedup.stages.grouped import auto_partitions, map_key_runs, staged
+    from raydedup.stages.signatures import SignatureStage
+
+    b, r, fp = 16, 8, 1e-4
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sig_ds = staged(
+        ds.map_batches(
+            SignatureStage,
+            fn_constructor_kwargs=dict(
+                num_perm=128, seed=1, shingle="word3", text_col="text", phash_col=None, hashfunc="md5"
+            ),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
+    )
+    n_total = sig_ds.count()  # staged → metadata-cheap
+
+    def _half(keep_even: bool):
+        want = 0 if keep_even else 1
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), want))
+        return f
+
+    ref_sigs = sig_ds.map_batches(_half(True), batch_format="pyarrow")
+    qry_sigs = staged(sig_ds.map_batches(_half(False), batch_format="pyarrow"))
+
+    filt = build_band_bloom(ref_sigs, b, r, n_items=max(1000, n_total), fp=fp)
+    flags = (
+        qry_sigs.map_batches(
+            BloomDedupStage,
+            fn_constructor_kwargs=dict(filter_ref=ray.put(filt.serialize())),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
+        .select_columns(["doc_id", "is_dup"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # ---- exact band semi-join (ground truth the filter approximates)
+    def _explode(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            sig = sig_to_numpy(t.column("minhash"))
+            bv = band_values(sig, b, r)
+            n = len(t)
+            return pa.table(
+                {
+                    "band": pa.array(np.tile(np.arange(b, dtype=np.int64), n)),
+                    "val": pa.array(bv.reshape(-1)),
+                    "qid": pa.array(np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False), b)),
+                    "s": pa.array(np.full(n * b, side, dtype=np.int8)),
+                }
+            )
+        return f
+
+    both = ref_sigs.map_batches(_explode(0), batch_format="pyarrow").union(
+        qry_sigs.map_batches(_explode(1), batch_format="pyarrow")
+    )
+
+    def emit(block: pa.Table, starts, ends):
+        if len(starts) == 0:
+            return pa.table({"qid": pa.array([], pa.int64())})
+        L = ends - starts
+        pos = np.arange(L.sum()) - np.repeat(np.cumsum(L) - L, L) + np.repeat(starts, L)
+        s = block.column("s").to_numpy(zero_copy_only=False)[pos]
+        off = np.concatenate(([0], np.cumsum(L)[:-1]))
+        has_ref = np.add.reduceat(s == 0, off) > 0
+        take = pos[(s == 1) & np.repeat(has_ref, L)]
+        return pa.table({"qid": block.column("qid").take(pa.array(take))})
+
+    exact_rows = map_key_runs(both, ["band", "val"], emit, auto_partitions(n_total * b)).take_all()
+    exact_ids = {row["qid"] for row in exact_rows}
+    bloom_ids = set(flags.loc[flags["is_dup"], "doc_id"])
+    assert exact_ids <= bloom_ids, f"Bloom false negatives: {sorted(exact_ids - bloom_ids)[:5]}"
+    budget = max(5, int(3 * b * fp * len(flags)))
+    assert len(bloom_ids - exact_ids) <= budget, (len(bloom_ids - exact_ids), budget)
+    return flags
+
+
+QUERIES["bloom_dedup_filter"] = q_bloom_dedup_filter
+
+
 # ---------------------------------------------- generated sketch oracles
 # The md5-profile sketch queries are fully SQL-reproducible; their
 # oracle statements are generated with the permutation constants

@@ -432,3 +432,53 @@ def test_forest_prefix_table_matches_reference(ray_session, reference_datasketch
         by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
     found = sum(1 for i in range(40) if (2 * i + 1) in by_q.get(2 * i, set()))
     assert found >= 30  # forest recall on near-dup twins
+
+
+def test_hll_wire_format_round_trips_with_reference(reference_datasketch):
+    """Byte-compatible serialize/deserialize vs the live reference
+    (``hyperloglog.py:280-302``): bytes written by either side restore
+    identical registers and counts in the other."""
+    import numpy as np
+
+    from raydedup.hll import HllPlusPlusSketch, HllSketch
+
+    tokens = [f"tok-{i}".encode() for i in range(5000)]
+
+    # 32-bit HLL, reference sha1-based default hash on both sides
+    ref = reference_datasketch.HyperLogLog(p=10)
+    for t in tokens:
+        ref.update(t)
+    mine = HllSketch(p=10, hashfunc="sha1")
+    mine.update_tokens(tokens)
+    assert np.array_equal(mine.reg, ref.reg)
+
+    # mine -> reference
+    buf = mine.serialize()
+    ref2 = reference_datasketch.HyperLogLog.deserialize(buf)
+    assert ref2.p == 10 and np.array_equal(ref2.reg, ref.reg)
+    assert ref2.count() == ref.count()
+
+    # reference -> mine
+    rbuf = bytearray(ref.bytesize())
+    ref.serialize(rbuf)
+    back = HllSketch.deserialize(bytes(rbuf))
+    assert back.p == 10 and np.array_equal(back.reg, mine.reg)
+    assert back.count() == mine.count()
+
+    # in-place pack like the reference API
+    inplace = bytearray(mine.bytesize())
+    mine.serialize(inplace)
+    assert bytes(inplace) == buf
+
+    # 64-bit HLL++ inherits the same layout
+    refpp = reference_datasketch.HyperLogLogPlusPlus(p=12)
+    for t in tokens:
+        refpp.update(t)
+    minepp = HllPlusPlusSketch(p=12, hashfunc="sha1")
+    minepp.update_tokens(tokens)
+    assert np.array_equal(minepp.reg, refpp.reg)
+    backpp = HllPlusPlusSketch.deserialize(minepp.serialize())
+    assert isinstance(backpp, HllPlusPlusSketch)
+    assert np.array_equal(backpp.reg, refpp.reg)
+    refpp2 = reference_datasketch.HyperLogLogPlusPlus.deserialize(minepp.serialize())
+    assert np.array_equal(refpp2.reg, refpp.reg)
