@@ -83,6 +83,7 @@ from raydedup.pipeline import DedupConfig, dedup_pipeline
 from raydedup.simhash import simhash_from_phash, simhash_from_tokens, hamming_distance64
 from raydedup.hll import HllSketch, HllPlusPlusSketch, hll_aggregate_fn, hllpp_aggregate_fn
 from raydedup.hnsw import HnswIndex
+from raydedup.session import MinHashLshSession
 from raydedup.cms import CountMinSketch
 from raydedup.minhash import cardinality_estimate, cardinality_estimate_exact, minhash_union_aggregate
 from raydedup.weighted import (
@@ -124,6 +125,7 @@ __all__ = [
     "hll_aggregate_fn",
     "hllpp_aggregate_fn",
     "HnswIndex",
+    "MinHashLshSession",
     "CountMinSketch",
     "WeightedMinHashGenerator",
     "bbit_compress",

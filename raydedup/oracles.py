@@ -185,6 +185,27 @@ SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
 FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id"""
 
 
+def lsh_session_dedup_sql(b: int = 9, r: int = 13, num_perm: int = 128, seed: int = 1) -> str:
+    """Streaming first-seen dedup oracle: doc i is a dup iff some
+    earlier doc (doc_id ascending — the engine's arrival order) shares
+    a band. Matches the online query-then-insert semantics of
+    ``q_lsh_session_dedup`` exactly."""
+    return f"""WITH {_sig_cte(num_perm, seed)},
+bands AS (
+  SELECT doc_id, j // {r} AS band,
+         string_agg(CAST(hv AS VARCHAR), ',' ORDER BY j) AS key
+  FROM sig WHERE j < {b * r}
+  GROUP BY doc_id, j // {r}
+),
+dups AS (
+  SELECT DISTINCT y.doc_id
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN dp.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS is_dup
+FROM documents d LEFT JOIN dups dp ON d.doc_id = dp.doc_id"""
+
+
 def fingerprint_sql(window: int = 16, base: int = 0x100000001B3) -> str:
     """Winnowing fingerprint oracle: min over byte windows of the
     polynomial hash Σ byte·B^(w-1-j) mod 2^64. Valid for ASCII corpora

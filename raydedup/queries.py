@@ -1117,6 +1117,66 @@ def q_bloom_dedup_filter(sf_dir: str):
 QUERIES["bloom_dedup_filter"] = q_bloom_dedup_filter
 
 
+def q_lsh_session_dedup(sf_dir: str):
+    """Streaming first-seen dedup through the ONLINE LSH index
+    (``raydedup.session.MinHashLshSession`` — reference
+    ``MinHashLSH.insert``/``query`` interleaved, lsh.py:213-231 +
+    370-432): documents arrive in ``doc_id`` order, each batch is
+    queried against everything inserted before it (query-then-insert),
+    so ``is_dup(i) ⇔ ∃ j < i sharing a band`` — exactly
+    SQL-reproducible with the md5 signature profile.
+
+    Scale shape: signatures are computed distributed (actor-pool
+    map_batches); the index lives in sharded actors (memory bounded by
+    shard count); the driver only streams slim (id, signature) batches
+    in arrival order — the sequential order is the SEMANTICS of online
+    dedup, not an implementation accident."""
+    from raydedup.minhash import band_keys
+    from raydedup.schema import sig_to_numpy
+    from raydedup.session import MinHashLshSession
+    from raydedup.stages.signatures import SignatureStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sig_ds = ds.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs=dict(
+            num_perm=128, seed=1, shingle="word3", text_col="text", phash_col=None, hashfunc="md5"
+        ),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        num_cpus=1,
+    ).select_columns(["doc_id", "minhash"]).sort("doc_id")
+
+    sess = MinHashLshSession(threshold=0.8, num_perm=128, num_shards=4)
+    try:
+        ids_out: list = []
+        dup_out: list = []
+        for batch in sig_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            ids = batch.column("doc_id").to_pylist()
+            sig = sig_to_numpy(batch.column("minhash"))
+            hits = sess.query_batch(sig)
+            hs_rows = band_keys(sig, sess.b, sess.r)
+            seen_in_batch: set = set()
+            for i, hs in enumerate(hs_rows):
+                keyed = [(band, H) for band, H in enumerate(hs)]
+                dup_out.append(bool(hits[i]) or any(k in seen_in_batch for k in keyed))
+                seen_in_batch.update(keyed)
+            sess.insert_batch(ids, sig)
+            ids_out.extend(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "is_dup": pa.array([int(d) for d in dup_out], pa.int32()),
+            }
+        )
+    finally:
+        sess.shutdown()
+
+
+QUERIES["lsh_session_dedup"] = q_lsh_session_dedup
+
+
 # ---------------------------------------------- generated sketch oracles
 # The md5-profile sketch queries are fully SQL-reproducible; their
 # oracle statements are generated with the permutation constants
@@ -1135,6 +1195,7 @@ def _install_generated_oracles() -> None:
             "source_union_signatures": og.source_union_sql(),
             "topk_similar_docs": og.topk_similar_sql(),
             "lsh_candidate_pairs_docs": og.lsh_candidate_pairs_sql(b=b, r=r),
+            "lsh_session_dedup": og.lsh_session_dedup_sql(b=b, r=r),
             "hll_users_per_type": og.hll_users_per_type_sql(),
             "hllpp_distinct_users": og.hllpp_distinct_users_sql(),
             "forest_topk_docs": og.forest_topk_sql(),

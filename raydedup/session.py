@@ -1,0 +1,375 @@
+"""Online (interleaved insert/query) MinHash LSH index over sharded
+Ray actors.
+
+Parity surface: reference ``datasketch/lsh.py`` — ``insert``
+(lsh.py:213-231), ``query`` (370-432), ``remove`` + deletion session
+(291-323, 497-528), ``insertion_session`` (253-289), ``merge``
+(233-251), ``__contains__``/``is_empty``/``get_counts`` (485-590).
+The reference parks this state in a pluggable KV backend
+(dict/redis/cassandra); here it lives in a set of Ray shard actors:
+
+- band buckets are routed by a stable hash of ``(band, band-key
+  bytes)`` — per-actor memory is bounded by adding shards, and the
+  routing is deterministic so a session can be rebuilt/checkpointed;
+- the key→band-keys map (what ``remove`` needs) is sharded the same
+  way by a stable serialization of the key;
+- every public op is BATCHED: an insert/query/remove of n items costs
+  at most ``num_shards`` RPCs per phase, independent of n.
+
+The batch pipelines (``stages/bands.py``) remain the right tool for
+full-corpus dedup; this surface covers the ONLINE use the batch path
+cannot express — a living index mutated and queried concurrently (the
+one reference capability round 2 documented as by-design-absent).
+Single-item ``insert``/``query``/``remove`` wrappers match the
+reference call-for-call for drop-in use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raydedup.minhash import band_keys
+from raydedup.params import optimal_param
+
+_GOLD = 0x9E3779B97F4A7C15
+_M64 = (1 << 64) - 1
+
+
+def _stable_key_bytes(key) -> bytes:
+    """Deterministic, type-tagged serialization of a hashable key
+    (the reference pickles keys for non-dict storage; primitives get a
+    stable tag here so routing survives process restarts)."""
+    if isinstance(key, bytes):
+        return b"b" + key
+    if isinstance(key, str):
+        return b"s" + key.encode("utf-8")
+    if isinstance(key, (int, np.integer)):
+        return b"i" + str(int(key)).encode()
+    import pickle
+
+    return b"p" + pickle.dumps(key)
+
+
+def _make_shard_state():
+    """Build the shard class at function scope so cloudpickle ships it
+    BY VALUE to the actor worker: the session then works however the
+    driver got ``raydedup`` onto its path (installed, sys.path, zip),
+    without requiring workers to import the package."""
+
+    class _ShardState:
+        """One shard's state: a slice of the band buckets and a slice
+        of the key→band-keys map. Plain dict ops — wrapped as a Ray
+        actor by the session (``num_cpus=0``: a KV holder, not a
+        compute stage)."""
+
+        def __init__(self):
+            self.buckets: dict[tuple[int, bytes], list] = {}
+            self.key_hs: dict[bytes, tuple] = {}  # kb -> (original key, [H]*b)
+
+        # -------------------------------------------------- key map slice
+        def has_keys(self, kbs: list[bytes]) -> list[bool]:
+            return [kb in self.key_hs for kb in kbs]
+
+        def put_keys(self, items: list[tuple[bytes, object, list]]) -> None:
+            for kb, key, hs in items:
+                self.key_hs[kb] = (key, hs)
+
+        def get_keys_hs(self, kbs: list[bytes]):
+            return [self.key_hs.get(kb) for kb in kbs]
+
+        def pop_keys(self, kbs: list[bytes]):
+            return [self.key_hs.pop(kb, None) for kb in kbs]
+
+        def count_keys(self) -> int:
+            return len(self.key_hs)
+
+        def dump_keys(self) -> list[tuple[object, list]]:
+            return list(self.key_hs.values())
+
+        # -------------------------------------------------- bucket slice
+        def insert_entries(self, entries: list[tuple[tuple[int, bytes], object]]) -> None:
+            bk = self.buckets
+            for bh, key in entries:
+                lst = bk.get(bh)
+                if lst is None:
+                    bk[bh] = [key]
+                else:
+                    lst.append(key)
+
+        def remove_entries(self, entries: list[tuple[tuple[int, bytes], object]]) -> None:
+            bk = self.buckets
+            for bh, key in entries:
+                lst = bk.get(bh)
+                if lst is not None:
+                    try:
+                        lst.remove(key)
+                    except ValueError:
+                        pass
+                    if not lst:  # reference drops empty buckets (lsh.py:524-525)
+                        del bk[bh]
+
+        def query_entries(self, probes: list[tuple[int, tuple[int, bytes]]]):
+            """probes: (query_idx, (band, H)) → [(query_idx, [keys])]."""
+            bk = self.buckets
+            out = []
+            for qid, bh in probes:
+                lst = bk.get(bh)
+                if lst:
+                    out.append((qid, list(lst)))
+            return out
+
+        def band_counts(self) -> dict[tuple[int, bytes], int]:
+            return {bh: len(lst) for bh, lst in self.buckets.items()}
+
+
+    return _ShardState
+
+class MinHashLshSession:
+    """Mutable, queryable MinHash LSH index (reference ``MinHashLSH``
+    online semantics) sharded across Ray actors.
+
+    Signatures are plain ``uint64`` arrays (one row per set, width
+    ``num_perm``) — the engine's first-class signature format
+    (``stages/signatures.py``), so rows coming off a Dataset batch can
+    be inserted zero-conversion via ``schema.sig_to_numpy``.
+    """
+
+    def __init__(
+        self,
+        threshold: float = 0.8,
+        num_perm: int = 128,
+        weights: tuple[float, float] = (0.5, 0.5),
+        params: tuple[int, int] | None = None,
+        num_shards: int = 8,
+    ):
+        import ray
+
+        if params is not None:
+            b, r = params
+            if b * r > num_perm:
+                raise ValueError("The product of b and r in params is %d * %d = %d -- it must be less than num_perm %d" % (b, r, b * r, num_perm))
+        else:
+            fp_w, fn_w = weights
+            b, r = optimal_param(threshold, num_perm, fp_w, fn_w)
+        if b < 2:
+            raise ValueError("The number of bands are too small (b < 2)")
+        self.b, self.r = int(b), int(r)
+        self.num_perm = num_perm
+        self.num_shards = int(num_shards)
+        shard_cls = ray.remote(num_cpus=0)(_make_shard_state())
+        self.shards = [shard_cls.remote() for _ in range(self.num_shards)]
+        self._ray = ray
+
+    # ------------------------------------------------------------ routing
+    def _bucket_shard(self, band: int, H: bytes) -> int:
+        h = (int.from_bytes(H[:8], "big") * _GOLD) & _M64
+        return ((h >> 13) ^ band) % self.num_shards
+
+    def _key_shard(self, kb: bytes) -> int:
+        h = (int.from_bytes(kb[-8:].rjust(8, b"\0"), "big") * _GOLD) & _M64
+        return (h >> 29) % self.num_shards
+
+    def _hs(self, sigs) -> list[list[bytes]]:
+        sigs = np.ascontiguousarray(sigs, dtype=np.uint64)
+        if sigs.ndim == 1:
+            sigs = sigs[None, :]
+        if sigs.shape[1] != self.num_perm:
+            raise ValueError(
+                "Expecting minhash with length %d, got %d" % (self.num_perm, sigs.shape[1])
+            )
+        return band_keys(sigs, self.b, self.r)
+
+    # ------------------------------------------------------------- insert
+    def insert(self, key, sig, check_duplication: bool = True) -> None:
+        """Reference ``MinHashLSH.insert`` (lsh.py:213-231)."""
+        self.insert_batch([key], np.asarray(sig)[None, :] if np.ndim(sig) == 1 else sig, check_duplication)
+
+    def insert_batch(self, keys, sigs, check_duplication: bool = True) -> None:
+        hs_rows = self._hs(sigs)
+        if len(keys) != len(hs_rows):
+            raise ValueError("keys and signatures length mismatch")
+        kbs = [_stable_key_bytes(k) for k in keys]
+        if check_duplication:
+            if len(set(kbs)) != len(kbs):
+                raise ValueError("The given key already exists")
+            per = [[] for _ in range(self.num_shards)]
+            for kb in kbs:
+                per[self._key_shard(kb)].append(kb)
+            checks = self._ray.get(
+                [self.shards[s].has_keys.remote(lst) for s, lst in enumerate(per) if lst]
+            )
+            if any(any(c) for c in checks):
+                raise ValueError("The given key already exists")
+        key_items = [[] for _ in range(self.num_shards)]
+        entries = [[] for _ in range(self.num_shards)]
+        for key, kb, hs in zip(keys, kbs, hs_rows):
+            key_items[self._key_shard(kb)].append((kb, key, hs))
+            for band, H in enumerate(hs):
+                entries[self._bucket_shard(band, H)].append(((band, H), key))
+        futs = [self.shards[s].put_keys.remote(lst) for s, lst in enumerate(key_items) if lst]
+        futs += [self.shards[s].insert_entries.remote(lst) for s, lst in enumerate(entries) if lst]
+        self._ray.get(futs)
+
+    # -------------------------------------------------------------- query
+    def query(self, sig) -> list:
+        """Reference ``MinHashLSH.query`` (lsh.py:370-432): unique keys
+        colliding with the query in ≥1 band."""
+        return self.query_batch(np.asarray(sig)[None, :])[0]
+
+    def query_batch(self, sigs) -> list[list]:
+        hs_rows = self._hs(sigs)
+        probes = [[] for _ in range(self.num_shards)]
+        for qid, hs in enumerate(hs_rows):
+            for band, H in enumerate(hs):
+                probes[self._bucket_shard(band, H)].append((qid, (band, H)))
+        live = [(s, lst) for s, lst in enumerate(probes) if lst]
+        results = self._ray.get([self.shards[s].query_entries.remote(lst) for s, lst in live])
+        acc: list[set] = [set() for _ in hs_rows]
+        for res in results:
+            for qid, found in res:
+                acc[qid].update(found)
+        return [list(s) for s in acc]
+
+    # ------------------------------------------------------------- remove
+    def remove(self, key) -> None:
+        """Reference ``MinHashLSH.remove`` (lsh.py:497-528)."""
+        self.remove_batch([key])
+
+    def remove_batch(self, keys) -> None:
+        kbs = [_stable_key_bytes(k) for k in keys]
+        per = [[] for _ in range(self.num_shards)]
+        for kb in kbs:
+            per[self._key_shard(kb)].append(kb)
+        live = [(s, lst) for s, lst in enumerate(per) if lst]
+        got = self._ray.get([self.shards[s].get_keys_hs.remote(lst) for s, lst in live])
+        found: dict[bytes, tuple] = {}
+        for (_, lst), vals in zip(live, got):
+            found.update(zip(lst, vals))
+        if any(found[kb] is None for kb in kbs):
+            raise ValueError("The given key does not exist")
+        entries = [[] for _ in range(self.num_shards)]
+        for kb in kbs:
+            key, hs = found[kb]
+            for band, H in enumerate(hs):
+                entries[self._bucket_shard(band, H)].append(((band, H), key))
+        futs = [self.shards[s].pop_keys.remote(lst) for s, lst in live]
+        futs += [self.shards[s].remove_entries.remote(lst) for s, lst in enumerate(entries) if lst]
+        self._ray.get(futs)
+
+    # ------------------------------------------------------------- merge
+    def merge(self, other: "MinHashLshSession", check_overlap: bool = False) -> None:
+        """Union the other session into this one (reference ``merge``,
+        lsh.py:233-251: only (num_perm, b, r) equivalence is checked)."""
+        if not (self.num_perm == other.num_perm and self.b == other.b and self.r == other.r):
+            raise ValueError("Cannot merge MinHashLSH with different initialization parameters.")
+        dumped = self._ray.get([s.dump_keys.remote() for s in other.shards])
+        items = [it for chunk in dumped for it in chunk]
+        if not items:
+            return
+        if check_overlap:
+            kbs = [_stable_key_bytes(key) for key, _ in items]
+            per = [[] for _ in range(self.num_shards)]
+            for kb in kbs:
+                per[self._key_shard(kb)].append(kb)
+            checks = self._ray.get(
+                [self.shards[s].has_keys.remote(lst) for s, lst in enumerate(per) if lst]
+            )
+            if any(any(c) for c in checks):
+                raise ValueError("The keys are overlapping, duplicate key exists.")
+        key_items = [[] for _ in range(self.num_shards)]
+        entries = [[] for _ in range(self.num_shards)]
+        for key, hs in items:
+            kb = _stable_key_bytes(key)
+            key_items[self._key_shard(kb)].append((kb, key, hs))
+            for band, H in enumerate(hs):
+                entries[self._bucket_shard(band, H)].append(((band, H), key))
+        futs = [self.shards[s].put_keys.remote(lst) for s, lst in enumerate(key_items) if lst]
+        futs += [self.shards[s].insert_entries.remote(lst) for s, lst in enumerate(entries) if lst]
+        self._ray.get(futs)
+
+    # ---------------------------------------------------------- introspect
+    def __contains__(self, key) -> bool:
+        kb = _stable_key_bytes(key)
+        return self._ray.get(self.shards[self._key_shard(kb)].has_keys.remote([kb]))[0]
+
+    def is_empty(self) -> bool:
+        return sum(self._ray.get([s.count_keys.remote() for s in self.shards])) == 0
+
+    def count_keys(self) -> int:
+        return sum(self._ray.get([s.count_keys.remote() for s in self.shards]))
+
+    def get_counts(self) -> list[dict]:
+        """Per-band bucket-size map (reference ``get_counts``,
+        lsh.py:560-569): list of b dicts {band-key bytes: count}."""
+        out: list[dict] = [{} for _ in range(self.b)]
+        for shard_counts in self._ray.get([s.band_counts.remote() for s in self.shards]):
+            for (band, H), n in shard_counts.items():
+                out[band][H] = out[band].get(H, 0) + n
+        return out
+
+    # ------------------------------------------------------------ sessions
+    def insertion_session(self, buffer_size: int = 50000) -> "LshInsertionSession":
+        """Buffered-insert context manager (reference lsh.py:253-289)."""
+        return LshInsertionSession(self, buffer_size)
+
+    def deletion_session(self, buffer_size: int = 50000) -> "LshDeletionSession":
+        """Buffered-remove context manager (reference lsh.py:291-323)."""
+        return LshDeletionSession(self, buffer_size)
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            self._ray.kill(s)
+        self.shards = []
+
+
+class LshInsertionSession:
+    def __init__(self, session: MinHashLshSession, buffer_size: int):
+        self.session = session
+        self.buffer_size = buffer_size
+        self._keys: list = []
+        self._sigs: list[np.ndarray] = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        if exc_type is None:
+            self.close()
+
+    def insert(self, key, sig, check_duplication: bool = True) -> None:
+        self._keys.append(key)
+        self._sigs.append(np.asarray(sig, dtype=np.uint64))
+        self._check = check_duplication
+        if len(self._keys) >= self.buffer_size:
+            self.close()
+
+    def close(self) -> None:
+        if self._keys:
+            self.session.insert_batch(
+                self._keys, np.vstack(self._sigs), getattr(self, "_check", True)
+            )
+            self._keys, self._sigs = [], []
+
+
+class LshDeletionSession:
+    def __init__(self, session: MinHashLshSession, buffer_size: int):
+        self.session = session
+        self.buffer_size = buffer_size
+        self._keys: list = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        if exc_type is None:
+            self.close()
+
+    def remove(self, key) -> None:
+        self._keys.append(key)
+        if len(self._keys) >= self.buffer_size:
+            self.close()
+
+    def close(self) -> None:
+        if self._keys:
+            self.session.remove_batch(self._keys)
+            self._keys = []

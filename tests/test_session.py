@@ -1,0 +1,155 @@
+"""Online MinHashLshSession conformance vs the live reference
+``MinHashLSH`` (interleaved insert/query/remove — the reference's
+``test/test_lsh.py`` semantics, exercised against the sharded-actor
+implementation)."""
+
+import numpy as np
+import pytest
+
+from raydedup.hashing import generate_permutations
+from raydedup.minhash import minhash_batch
+from raydedup.session import MinHashLshSession
+
+
+def _sets(rng, n, universe=200, lo=8, hi=40):
+    return [
+        sorted(
+            {f"tok{j}".encode() for j in rng.choice(universe, size=rng.integers(lo, hi), replace=False)}
+        )
+        for _ in range(n)
+    ]
+
+
+def _sigs(token_sets, num_perm=128, seed=1):
+    a, b = generate_permutations(num_perm, seed)
+    return minhash_batch(token_sets, a, b)
+
+
+def _ref_lsh_and_minhashes(reference_datasketch, token_sets, threshold, num_perm=128, seed=1):
+    ds = reference_datasketch
+    ms = []
+    for toks in token_sets:
+        m = ds.MinHash(num_perm=num_perm, seed=seed)
+        m.update_batch(toks)
+        ms.append(m)
+    lsh = ds.MinHashLSH(threshold=threshold, num_perm=num_perm)
+    return lsh, ms
+
+
+@pytest.fixture(scope="module")
+def corpus(reference_datasketch):
+    rng = np.random.default_rng(7)
+    token_sets = _sets(rng, 60)
+    sigs = _sigs(token_sets)
+    lsh, ms = _ref_lsh_and_minhashes(reference_datasketch, token_sets, 0.5)
+    return token_sets, sigs, lsh, ms
+
+
+def test_interleaved_insert_query_matches_reference(ray_session, corpus):
+    token_sets, sigs, ref_lsh, ms = corpus
+    sess = MinHashLshSession(threshold=0.5, num_perm=128, num_shards=4)
+    assert sess.b == ref_lsh.b and sess.r == ref_lsh.r
+    try:
+        # interleave: after every insert, query a rotating probe in BOTH
+        for i in range(40):
+            ref_lsh.insert(i, ms[i])
+            sess.insert(i, sigs[i])
+            probe = i % 10
+            assert set(sess.query(sigs[probe])) == set(ref_lsh.query(ms[probe]))
+        # batched tail insert, then full query sweep
+        sess.insert_batch(list(range(40, 60)), sigs[40:60])
+        for i in range(40, 60):
+            ref_lsh.insert(i, ms[i])
+        got = sess.query_batch(sigs)
+        for i in range(60):
+            assert set(got[i]) == set(ref_lsh.query(ms[i])), i
+    finally:
+        sess.shutdown()
+
+
+def test_duplicate_and_missing_keys_raise(ray_session, corpus):
+    _, sigs, _, _ = corpus
+    sess = MinHashLshSession(threshold=0.5, num_perm=128, num_shards=2)
+    try:
+        sess.insert("a", sigs[0])
+        with pytest.raises(ValueError):
+            sess.insert("a", sigs[1])
+        sess.insert("a2", sigs[0], check_duplication=False)  # same sig, new key ok
+        with pytest.raises(ValueError):
+            sess.remove("missing")
+        with pytest.raises(ValueError):
+            sess.insert("w", sigs[0][:64])  # wrong num_perm
+        assert "a" in sess and "nope" not in sess
+    finally:
+        sess.shutdown()
+
+
+def test_remove_then_query(ray_session, corpus):
+    token_sets, sigs, _, _ = corpus
+    sess = MinHashLshSession(threshold=0.5, num_perm=128, num_shards=3)
+    try:
+        sess.insert_batch(list(range(20)), sigs[:20])
+        assert 0 in sess.query(sigs[0])
+        sess.remove(0)
+        assert 0 not in sess
+        assert 0 not in sess.query(sigs[0])
+        # deletion session drains the rest
+        with sess.deletion_session(buffer_size=5) as d:
+            for i in range(1, 20):
+                d.remove(i)
+        assert sess.is_empty()
+        # every bucket must be gone too (reference drops empty buckets)
+        assert all(not c for c in sess.get_counts())
+    finally:
+        sess.shutdown()
+
+
+def test_insertion_session_and_counts(ray_session, corpus):
+    token_sets, sigs, ref_lsh, ms = corpus
+    sess = MinHashLshSession(threshold=0.5, num_perm=128, num_shards=4)
+    try:
+        with sess.insertion_session(buffer_size=7) as ins:
+            for i in range(30):
+                ins.insert(i, sigs[i])
+        assert sess.count_keys() == 30
+        # get_counts parity: same per-band bucket-size map
+        got = sess.get_counts()
+        exp = [{} for _ in range(sess.b)]
+        from raydedup.minhash import band_keys
+
+        for i in range(30):
+            for band, H in enumerate(band_keys(sigs[i][None, :], sess.b, sess.r)[0]):
+                exp[band][H] = exp[band].get(H, 0) + 1
+        assert got == exp
+    finally:
+        sess.shutdown()
+
+
+def test_merge_sessions(ray_session, corpus):
+    _, sigs, _, _ = corpus
+    a = MinHashLshSession(threshold=0.5, num_perm=128, num_shards=2)
+    b = MinHashLshSession(threshold=0.5, num_perm=128, num_shards=3)
+    try:
+        a.insert_batch([f"a{i}" for i in range(10)], sigs[:10])
+        b.insert_batch([f"b{i}" for i in range(10, 20)], sigs[10:20])
+        a.merge(b)
+        assert a.count_keys() == 20
+        assert set(a.query(sigs[15])) >= set(b.query(sigs[15]))
+        # overlap check fires on a shared key
+        c = MinHashLshSession(threshold=0.5, num_perm=128, num_shards=2)
+        try:
+            c.insert("a0", sigs[0])
+            with pytest.raises(ValueError):
+                a.merge(c, check_overlap=True)
+        finally:
+            c.shutdown()
+        # differing params refuse to merge
+        d = MinHashLshSession(params=(16, 8), num_perm=128, num_shards=2)
+        try:
+            with pytest.raises(ValueError):
+                a.merge(d)
+        finally:
+            d.shutdown()
+    finally:
+        a.shutdown()
+        b.shutdown()
