@@ -9,7 +9,10 @@ computations are counted (``n_dist``) so recall/efficiency versus brute
 force is measurable (the reference's own test strategy,
 ``test/test_hnsw.py``).
 
-Cosine metric over L2-normalized vectors: distance = 1 − dot.
+Metrics: cosine (default — vectors L2-normalized at ingest, distance
+= 1 − dot), ``l2``, ``dot`` (inner-product as −dot), or an arbitrary
+batched ``distance_func(q, M) -> dists`` (the reference takes a
+per-pair ``distance_func``; its own tests exercise l2 and jaccard).
 """
 
 from __future__ import annotations
@@ -37,12 +40,30 @@ class HnswIndex:
     - ``len``/``in`` reflect live, non-deleted points only.
     """
 
-    def __init__(self, m: int = 16, ef_construction: int = 100, seed: int = 1):
+    def __init__(
+        self,
+        m: int = 16,
+        ef_construction: int = 100,
+        seed: int = 1,
+        metric: str = "cosine",
+        distance_func=None,
+    ):
         self.m = m
         self.m0 = 2 * m
         self.ml = 1.0 / math.log(m)
         self.ef_construction = ef_construction
         self.rng = np.random.default_rng(seed)
+        # Distance pluggability (reference HNSW takes an arbitrary
+        # ``distance_func``, ``hnsw.py:200-210``; its tests use l2 and
+        # jaccard). Built-ins are vectorized; a custom callable must be
+        # batched: f(q: (d,), M: (n, d)) -> (n,) distances. Vectors are
+        # L2-normalized at ingest only under cosine.
+        if distance_func is not None:
+            metric = "custom"
+        elif metric not in ("cosine", "l2", "dot"):
+            raise ValueError(f"unknown metric {metric!r}")
+        self.metric = metric
+        self.distance_func = distance_func
         self.vectors: np.ndarray | None = None  # (n, d), normalized
         self._rows: list[np.ndarray] = []
         self._row_ids: list = []
@@ -68,7 +89,15 @@ class HnswIndex:
     # ---------------------------------------------------------- internals
     def _dist(self, q: np.ndarray, nodes: list[int]) -> np.ndarray:
         self.n_dist += len(nodes)
-        return 1.0 - self.vectors[nodes] @ q
+        v = self.vectors[nodes]
+        if self.metric == "cosine":
+            return 1.0 - v @ q
+        if self.metric == "l2":
+            d = v - q
+            return np.sqrt(np.einsum("ij,ij->i", d, d))
+        if self.metric == "dot":
+            return -(v @ q)
+        return np.asarray(self.distance_func(q, v), dtype=np.float64)
 
     def _greedy_layer(self, q: np.ndarray, start: int, layer: int) -> int:
         """ef=1 descent within one layer (paper Alg. 2 with ef=1)."""
@@ -152,7 +181,8 @@ class HnswIndex:
         with an existing key, ``hnsw.py:471-476``): the vector is
         replaced, a soft delete is undone, and the node's out-edges are
         repaired."""
-        self._rows.append(self._norm(vectors))
+        v = np.asarray(vectors, dtype=np.float64)
+        self._rows.append(self._norm(v) if self.metric == "cosine" else v)
         self._row_ids.extend(ids)
 
     def build(self) -> None:
@@ -208,22 +238,27 @@ class HnswIndex:
             self.entry = i
 
     def search(self, q: np.ndarray, k: int = 10, ef: int | None = None):
-        """Top-k (id, cosine) for one query vector. Soft-deleted points
-        are traversed but never returned."""
+        """Top-k for one query vector. Under cosine (the default)
+        returns ``(id, similarity)``; under any other metric returns
+        ``(id, distance)`` ascending — the reference's query contract.
+        Soft-deleted points are traversed but never returned."""
         if self._rows or self.dead:  # staged adds/upserts or reclaimable slots
             self.build()
         if self.entry is None:
             return []
         q = np.asarray(q, dtype=np.float64)
-        nq = np.linalg.norm(q)
-        if nq:
-            q = q / nq
+        if self.metric == "cosine":
+            nq = np.linalg.norm(q)
+            if nq:
+                q = q / nq
         ef = max(ef or 2 * k, k)
         cur = self.entry
         for lyr in range(self.node_level[self.entry], 0, -1):
             cur = self._greedy_layer(q, cur, lyr)
         found = self._search_layer(q, cur, ef, 0, exclude=self.deleted)
-        return [(self.ids[n], 1.0 - d) for d, n in found[:k]]
+        if self.metric == "cosine":
+            return [(self.ids[n], 1.0 - d) for d, n in found[:k]]
+        return [(self.ids[n], d) for d, n in found[:k]]
 
     # ------------------------------------------------- maintenance surface
     def _repair(self, idx: int, ef: int, exclude_idx: int | None = None) -> None:
@@ -322,7 +357,12 @@ class HnswIndex:
 
     def copy(self) -> "HnswIndex":
         """Deep copy with identical graph and random state."""
-        out = HnswIndex(m=self.m, ef_construction=self.ef_construction)
+        out = HnswIndex(
+            m=self.m,
+            ef_construction=self.ef_construction,
+            metric=self.metric if self.distance_func is None else "cosine",
+            distance_func=self.distance_func,
+        )
         out.rng.bit_generator.state = self.rng.bit_generator.state
         out.vectors = None if self.vectors is None else self.vectors.copy()
         out._rows = [r.copy() for r in self._rows]

@@ -110,22 +110,23 @@ class ShardedHnsw:
     materialized block refs are handed to shard actors round-robin and
     each actor pulls its blocks straight from the object store."""
 
-    def __init__(self, actors, id_col: str, emb_col: str):
+    def __init__(self, actors, id_col: str, emb_col: str, metric: str = "cosine"):
         self.actors = actors
         self.id_col = id_col
         self.emb_col = emb_col
+        self.metric = metric
 
     @staticmethod
-    def build(ds, id_col: str = "vec_id", emb_col: str = "embedding", num_shards: int = 4, m: int = 16, ef_construction: int = 100, seed: int = 1):
+    def build(ds, id_col: str = "vec_id", emb_col: str = "embedding", num_shards: int = 4, m: int = 16, ef_construction: int = 100, seed: int = 1, metric: str = "cosine"):
         import ray
 
         @ray.remote
         class _Shard:
-            def __init__(self, id_col, emb_col, m, efc, seed):
+            def __init__(self, id_col, emb_col, m, efc, seed, metric):
                 from raydedup.hnsw import HnswIndex
 
                 self.id_col, self.emb_col = id_col, emb_col
-                self.index = HnswIndex(m=m, ef_construction=efc, seed=seed)
+                self.index = HnswIndex(m=m, ef_construction=efc, seed=seed, metric=metric)
 
             def add_blocks(self, block_refs):
                 import ray
@@ -174,7 +175,7 @@ class ShardedHnsw:
 
         mat = ds.select_columns([id_col, emb_col]).materialize()
         actors = [
-            _Shard.remote(id_col, emb_col, m, ef_construction, seed + i)
+            _Shard.remote(id_col, emb_col, m, ef_construction, seed + i, metric)
             for i in range(num_shards)
         ]
         assignments: list[list] = [[] for _ in range(num_shards)]
@@ -187,17 +188,20 @@ class ShardedHnsw:
 
         ray.get([a.add_blocks.remote(refs) for a, refs in zip(actors, assignments)])
         ray.get([a.build.remote() for a in actors])
-        return ShardedHnsw(actors, id_col, emb_col)
+        return ShardedHnsw(actors, id_col, emb_col, metric)
 
     def query(self, query_vecs: np.ndarray, k: int = 10, ef: int | None = None):
-        """Merged top-k per query across shards: list of (id, cos) lists."""
+        """Merged top-k per query across shards: list of (id, score)
+        lists — score is similarity (descending) under cosine, distance
+        (ascending) otherwise, matching ``HnswIndex.search``."""
         import ray
 
         per_shard = ray.get([a.query.remote(query_vecs, k, ef) for a in self.actors])
+        sign = -1.0 if self.metric == "cosine" else 1.0
         merged = []
         for qi in range(len(query_vecs)):
             all_hits = [h for shard in per_shard for h in shard[qi]]
-            all_hits.sort(key=lambda t: (-t[1], t[0]))
+            all_hits.sort(key=lambda t: (sign * t[1], t[0]))
             merged.append(all_hits[:k])
         return merged
 

@@ -204,3 +204,81 @@ def test_sharded_remove_and_upsert(ray_session):
     res = index.query(new, k=3, ef=64)
     assert 10 in {i for i, _ in res[0]}
     assert 11 in {i for i, _ in res[1]}
+
+
+# ------------------------------------------------- non-cosine metrics
+# (reference test_hnsw.py runs its whole suite under l2 and jaccard
+# distance_funcs, lines 9-22, 250-281)
+def _brute_topk(vecs, dist_fn, q, k):
+    d = dist_fn(q, vecs)
+    order = np.argsort(d, kind="stable")[:k]
+    return set(order.tolist())
+
+
+def test_l2_metric_recall():
+    from raydedup.hnsw import HnswIndex
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((400, 12)) * rng.uniform(0.5, 3.0, size=(400, 1))
+    # hub-heavy scaled data needs a denser graph than the cosine tests
+    # (m=16 here scores 0.98+ self-recall; m=8 only ~0.83)
+    idx = HnswIndex(m=16, ef_construction=128, seed=1, metric="l2")
+    idx.add_batch(list(range(len(vecs))), vecs)
+    idx.build()
+    # vectors must NOT be normalized under l2
+    assert np.allclose(idx.vectors, vecs)
+    hits = 0
+    self_hits = 0
+    for qi in range(30):
+        got = idx.search(vecs[qi], k=10, ef=128)
+        # distances ascend; when self is found it sorts first at dist 0
+        ds = [d for _, d in got]
+        assert ds == sorted(ds)
+        self_hits += got[0][0] == qi and got[0][1] < 1e-12
+        exact = _brute_topk(vecs, lambda q, m: np.linalg.norm(m - q, axis=1), vecs[qi], 10)
+        hits += len({i for i, _ in got} & exact)
+    assert self_hits / 30 >= 0.9
+    assert hits / (30 * 10) >= 0.85
+
+
+def test_custom_jaccard_distance_func():
+    from raydedup.hnsw import HnswIndex
+
+    rng = np.random.default_rng(11)
+    sets = (rng.random((300, 64)) < 0.3).astype(np.float64)  # binary membership rows
+
+    def jaccard_dist(q, m):  # batched: 1 - |A∩B|/|A∪B| over binary vectors
+        inter = m @ q
+        union = m.sum(axis=1) + q.sum() - inter
+        return 1.0 - inter / np.maximum(union, 1.0)
+
+    idx = HnswIndex(m=8, ef_construction=64, seed=1, distance_func=jaccard_dist)
+    idx.add_batch(list(range(len(sets))), sets)
+    idx.build()
+    hits = 0
+    for qi in range(20):
+        got = idx.search(sets[qi], k=10, ef=96)
+        assert got[0][0] == qi and got[0][1] < 1e-12
+        exact = _brute_topk(sets, jaccard_dist, sets[qi], 10)
+        hits += len({i for i, _ in got} & exact)
+    assert hits / (20 * 10) >= 0.85
+    # maintenance surface works under custom metrics too
+    idx.remove(0, hard=True)
+    assert 0 not in {i for i, _ in idx.search(sets[0], k=10, ef=96)}
+
+
+def test_l2_copy_and_merge_preserve_metric():
+    from raydedup.hnsw import HnswIndex
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((100, 8))
+    a = HnswIndex(m=8, ef_construction=48, seed=1, metric="l2")
+    a.add_batch(list(range(50)), vecs[:50])
+    b = HnswIndex(m=8, ef_construction=48, seed=2, metric="l2")
+    b.add_batch(list(range(50, 100)), vecs[50:])
+    merged = a.merge(b)
+    assert merged.metric == "l2" and a.copy().metric == "l2"
+    self_hits = sum(
+        qi in {i for i, _ in merged.search(vecs[qi], k=5, ef=96)} for qi in range(60, 90)
+    )
+    assert self_hits / 30 >= 0.9
