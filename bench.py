@@ -120,7 +120,10 @@ def run_bench() -> dict:
 
     # headline: full fused pipeline (signatures recomputed inside)
     t0 = time.perf_counter()
-    cfg = DedupConfig(signature_concurrency=pool, num_partitions=max(8, NUM_CPUS))
+    # partitions auto-sized from input rows (capped at cluster CPUs) —
+    # forcing NUM_CPUS partitions pays ~0.1s aggregator spawn per
+    # partition per shuffle, ~25% of flagship wall at this corpus size
+    cfg = DedupConfig(signature_concurrency=pool)
     ds = rd.read_parquet(img_path, columns=sig_cols + ["w", "h", "fmt"])
     out = dedup_pipeline(ds, cfg)
     clusters = out["clusters"]

@@ -19,6 +19,80 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+_worker_obj_cache: dict = {}
+
+
+def _cached_object(ref):
+    """Per-worker deserialized view of a broadcast ``ray.put`` object
+    (ray.get re-deserializes Python objects per call; stages that probe
+    a broadcast filter per batch want it resident once per process)."""
+    import ray
+
+    key = ref.hex()
+    v = _worker_obj_cache.get(key)
+    if v is None:
+        if len(_worker_obj_cache) > 8:  # a handful of live refs per run
+            _worker_obj_cache.clear()
+        v = ray.get(ref)
+        _worker_obj_cache[key] = v
+    return v
+
+
+def _hash_id_array(col) -> np.ndarray:
+    """Vectorized 64-bit hash of an id column (any Arrow type) for
+    Bloom membership probes — both sides of a semi-join must use this
+    same function."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        import polars as pl
+
+        return pl.Series(col.to_pylist()).hash(seed=0x1D5).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover - polars is baked into the env
+        return np.fromiter(
+            (
+                struct.unpack("<Q", hashlib.sha1(repr(v).encode()).digest()[:8])[0]
+                for v in col.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(col),
+        )
+
+
+def _uint64_bloom(col_ds, col: str, n_items: int, fp: float = 0.01):
+    """Fixed-size Bloom membership set over a uint64 column, built with
+    ONE Dataset aggregate (per-block partial filters OR-merged — the
+    ``bloom.py`` machinery with a single band). The semi-join primitive
+    for pruning a wide shuffle's probe side: ~1.2 bytes/item at fp=1%,
+    broadcast once via ``ray.put``."""
+    from ray.data.aggregate import AggregateFn
+
+    from raydedup.bloom import BandBloomFilter
+
+    proto = BandBloomFilter(b=1, r=1, n_items=n_items, fp=fp)
+    shape = proto.bits.shape
+
+    # aggregate state is the raw BIT ARRAY (Arrow-friendly tensor), not
+    # the filter object — a Python-object accumulator forces Ray's
+    # pickled-fallback block path (same design as bloom.py's aggregate)
+    def accumulate_block(state: np.ndarray, block) -> np.ndarray:
+        vals = block.column(col).to_numpy(zero_copy_only=False)
+        if len(vals):
+            f = BandBloomFilter(b=1, r=1, n_items=n_items, fp=fp, bits=state)
+            f.insert_band_values(np.ascontiguousarray(vals, dtype=np.uint64)[:, None])
+            state = f.bits
+        return state
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(shape, dtype=np.uint8),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b: np.bitwise_or(a, b),
+        name="bloom",
+    )
+    out = col_ds.aggregate(agg)
+    bits = out.get("bloom") if out else None
+    return BandBloomFilter(b=1, r=1, n_items=n_items, fp=fp, bits=bits) if bits is not None else proto
+
 
 # ---------------------------------------------------------------- exact dedup
 def add_content_hash(batch: pa.Table, cols: list[str], out_col: str = "content_hash") -> pa.Table:
@@ -111,7 +185,7 @@ def exact_dup_pairs(ds, key_cols: list[str], id_col: str, num_partitions: int | 
 
 
 # ------------------------------------------------------------ substring dedup
-def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partitions: int | None = None):
+def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partitions: int | None = None, prefilter: bool | None = None):
     """(contained_id → id_a, container_id → id_b) pairs where one
     caption is a strict token-slice of another.
 
@@ -142,60 +216,78 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
     import ray
     from raydedup.stages.grouped import auto_partitions, map_key_runs
     from raydedup.suffix import (
-        poly_hash_all,
+        _W_FNV_OFFSET,
+        _W_FNV_PRIME,
+        flat_token_hashes64,
         poly_powers,
         poly_prefix_sums,
-        token_hashes64,
-        window_anchor_hashes,
     )
 
     id_type = ds.schema().base_schema.field(id_col).type
     if num_partitions is None:
         num_partitions = auto_partitions(ds)
 
+    empty_exploded = pa.table(
+        {
+            "anchor": pa.array([], pa.uint64()),
+            "role": pa.array([], pa.int8()),
+            id_col: pa.array([], id_type),
+            "pos": pa.array([], pa.int32()),
+            "qlen": pa.array([], pa.int32()),
+            "qhash": pa.array([], pa.uint64()),
+            "qchars": pa.array([], pa.int32()),
+        }
+    )
+
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
+        """Fully vectorized: tokenize in Python (str.split is C), then
+        ONE flat hash call for every token in the batch; window-anchor
+        FNV folds, per-doc min-anchor selection and the whole-doc
+        polynomial hash are all segment ops on the flat array."""
+        idc = batch.column(id_col)
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
         texts = batch.column(text_col).to_pylist()
-        memo: dict = {}
-        max_len = max((len((t or "").split()) for t in texts), default=1)
-        bpow, _ = poly_powers(max_len)
-        r_anchor, r_role, r_id, r_pos, r_qlen, r_qhash, r_qchars = [], [], [], [], [], [], []
-        for i, t in zip(ids, texts):
-            toks = (t or "").split()
-            L = len(toks)
-            if L < window:
-                continue  # short docs via the broadcast path
-            hv = token_hashes64(toks, memo)
-            anchors = window_anchor_hashes(toks, window, memo)
-            qoff = int(anchors.argmin())
-            qhash = int(poly_hash_all(hv, bpow))
-            # query row
-            r_anchor.append(int(anchors[qoff]))
-            r_role.append(0)
-            r_id.append(i)
-            r_pos.append(qoff)
-            r_qlen.append(L)
-            r_qhash.append(qhash)
-            r_qchars.append(len(t))
-            # container rows: one per window; the whole-doc hash rides
-            # along so exact-duplicate container floods collapse into
-            # one class inside the anchor run
-            r_anchor.extend(anchors.tolist())
-            r_role.extend([1] * len(anchors))
-            r_id.extend([i] * len(anchors))
-            r_pos.extend(range(len(anchors)))
-            r_qlen.extend([0] * len(anchors))
-            r_qhash.extend([qhash] * len(anchors))
-            r_qchars.extend([0] * len(anchors))
+        tok_lists = [(t or "").split() for t in texts]
+        lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64, count=len(tok_lists))
+        keep = np.flatnonzero(lens >= window)  # short docs via the broadcast path
+        if len(keep) == 0:
+            return empty_exploded
+        kl = lens[keep]
+        hv = flat_token_hashes64([tok for i in keep for tok in tok_lists[i]])
+        off = np.concatenate(([0], np.cumsum(kl)[:-1]))  # doc start in flat
+        nwin = kl - window + 1
+        totw = int(nwin.sum())
+        seg = np.concatenate(([0], np.cumsum(nwin)[:-1]))  # doc's first window
+        # flat start position of every window (never crossing a doc)
+        wstart = np.arange(totw) - np.repeat(seg, nwin) + np.repeat(off, nwin)
+        anc = np.full(totw, _W_FNV_OFFSET, dtype=np.uint64)
+        for j in range(window):
+            anc ^= hv[wstart + j]
+            anc *= _W_FNV_PRIME
+        # per-doc min anchor + its first position (the query row)
+        mins = np.minimum.reduceat(anc, seg)
+        eq = np.flatnonzero(anc == np.repeat(mins, nwin))
+        seg_of = np.searchsorted(seg, eq, side="right") - 1
+        first = eq[np.unique(seg_of, return_index=True)[1]]
+        qoff = (first - seg).astype(np.int32)
+        # whole-doc polynomial hash: Σ hv[k]·B^(L-1-k), segment-summed
+        bpow, _ = poly_powers(int(kl.max()))
+        expo = np.repeat(off + kl - 1, kl) - np.arange(len(hv), dtype=np.int64)
+        qhash = np.atleast_1d(np.add.reduceat(hv * bpow[expo], off))
+        qchars = np.fromiter((len(texts[i] or "") for i in keep), dtype=np.int64, count=len(keep))
+        # query rows first, then one container row per window
+        winpos = (np.arange(totw) - np.repeat(seg, nwin)).astype(np.int32)
+        take_idx = np.concatenate([keep, np.repeat(keep, nwin)])
         return pa.table(
             {
-                "anchor": pa.array(r_anchor, pa.uint64()),
-                "role": pa.array(r_role, pa.int8()),
-                id_col: pa.array(r_id, id_type),
-                "pos": pa.array(r_pos, pa.int32()),
-                "qlen": pa.array(r_qlen, pa.int32()),
-                "qhash": pa.array(r_qhash, pa.uint64()),
-                "qchars": pa.array(r_qchars, pa.int32()),
+                "anchor": pa.array(np.concatenate([mins, anc])),
+                "role": pa.array(np.concatenate([np.zeros(len(keep), np.int8), np.ones(totw, np.int8)])),
+                id_col: idc.take(pa.array(take_idx)),
+                "pos": pa.array(np.concatenate([qoff, winpos])),
+                "qlen": pa.array(np.concatenate([kl.astype(np.int32), np.zeros(totw, np.int32)])),
+                "qhash": pa.array(np.concatenate([qhash, np.repeat(qhash, nwin)])),
+                "qchars": pa.array(np.concatenate([qchars.astype(np.int32), np.zeros(totw, np.int32)])),
             }
         )
 
@@ -321,10 +413,76 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
 
     from raydedup.stages.grouped import staged
 
+    # ---- anchor-membership prune (semi-join before the wide shuffle):
+    # only anchors that are some doc's MIN window (a query row) can ever
+    # form a candidate, and queries are ~1/avg_windows of the exploded
+    # rows — so a fixed-size Bloom filter of query anchors, built with
+    # one aggregate and broadcast once, drops the bulk of the container
+    # rows on the map side. False positives only let harmless extra
+    # containers through; false negatives are impossible (Bloom
+    # contract), so the pair set is unchanged.
+    if prefilter is None:
+        # auto: the semi-join prune pays two extra scans of the exploded
+        # table + a filter broadcast to shrink the anchor/verify
+        # shuffles ~6×. Below ~1M docs the shuffles are fixed-cost-bound
+        # and the prune measures ~25% SLOWER; above, shuffle volume
+        # dominates and pruning is the 100-TB shape. Threshold on a
+        # metadata-cheap row count (unknown lineage → stay off at this
+        # scale; the flagship always passes a materialized table).
+        try:
+            n_docs = ds._meta_count()
+        except Exception:  # pragma: no cover - private-API drift
+            n_docs = None
+        prefilter = bool(n_docs and n_docs >= 1_000_000)
+    if prefilter:
+        exploded = staged(exploded)
+        n_exploded = exploded.count()  # staged → metadata-cheap
+        fbloom = _uint64_bloom(
+            exploded.map_batches(
+                lambda t: t.filter(pc.equal(t.column("role"), 0)).select(["anchor"]),
+                batch_format="pyarrow",
+            ),
+            "anchor",
+            n_items=max(1024, n_exploded // 4),
+        )
+        filt_ref = ray.put(fbloom)
+
+        def prune(t: pa.Table) -> pa.Table:
+            f = _cached_object(filt_ref)
+            role = t.column("role").to_numpy(zero_copy_only=False)
+            anchors = t.column("anchor").to_numpy(zero_copy_only=False)
+            keep = role == 0
+            cont = np.flatnonzero(~keep)
+            if len(cont):
+                keep[cont] = f.query_band_values(anchors[cont, None])
+            return t.filter(pa.array(keep))
+
+        exploded = exploded.map_batches(prune, batch_format="pyarrow")
     candidates = staged(map_key_runs(exploded, "anchor", emit_candidates, num_partitions))
 
-    # ---- verify: key candidates by container id, union the docs table
+    # ---- verify: key candidates by container id, union the docs table.
+    # Same semi-join prune on this side: only docs named as a container
+    # by ≥1 candidate need their text in the verify shuffle (docs with
+    # no candidates would form singleton runs verify skips anyway) —
+    # a Bloom of candidate container-id hashes drops them at the map.
+    dbloom_ref = None
+    if prefilter:
+        n_cand = candidates.count()  # staged → metadata-cheap
+        dbloom = _uint64_bloom(
+            candidates.map_batches(
+                lambda t: pa.table({"h": pa.array(_hash_id_array(t.column("key")))}),
+                batch_format="pyarrow",
+            ),
+            "h",
+            n_items=max(1024, n_cand),
+        )
+        dbloom_ref = ray.put(dbloom)
+
     def tag_docs(batch: pa.Table) -> pa.Table:
+        if dbloom_ref is not None:
+            f = _cached_object(dbloom_ref)
+            keep = f.query_band_values(_hash_id_array(batch.column(id_col))[:, None])
+            batch = batch.filter(pa.array(keep))
         n = len(batch)
         return pa.table(
             {
@@ -346,8 +504,6 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
     ).union(candidates.map_batches(pad_candidates, batch_format="pyarrow"))
 
     def verify(block: pa.Table, starts, ends) -> pa.Table:
-        from raydedup.suffix import poly_powers as _pp
-
         texts = block.column("text").to_pylist()
         keys = block.column("key").to_numpy(zero_copy_only=False)
         # qid is nullable (None on doc rows): to_numpy would degrade
@@ -357,18 +513,27 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
         qlen = block.column("qlen").to_numpy(zero_copy_only=False)
         qh = block.column("qhash").to_numpy(zero_copy_only=False)
         qchars = block.column("qchars").to_numpy(zero_copy_only=False)
-        memo: dict = {}
-        out_a, out_b = [], []
+        # pass 1: tokenize candidate-ful runs, hash ALL their tokens in
+        # one flat vectorized call (must agree with explode's hash)
+        live: list[tuple] = []  # (s, e, doc_idx, toks, flat offset)
+        flat_tokens: list[str] = []
         for s, e in zip(starts, ends):
             doc_idx = next((k for k in range(s, e) if texts[k] is not None), None)
             if doc_idx is None or e - s < 2:
                 continue
+            toks = (texts[doc_idx] or "").split()
+            live.append((s, e, doc_idx, toks, len(flat_tokens)))
+            flat_tokens.extend(toks)
+        hv_flat = flat_token_hashes64(flat_tokens)
+        max_l = max((len(t) for _, _, _, t, _ in live), default=0)
+        bpow_all, binv_all = poly_powers(max_l)
+        out_a, out_b = [], []
+        for s, e, doc_idx, toks, foff in live:
             text = texts[doc_idx]
-            toks = (text or "").split()
             L = len(toks)
-            hv = token_hashes64(toks, memo)
-            bpow, binv = poly_powers(L)
-            S = poly_prefix_sums(hv, binv)
+            hv = hv_flat[foff : foff + L]
+            S = poly_prefix_sums(hv, binv_all)
+            bpow = bpow_all
             cid = keys[s]
             cchars = len(text)
             idx = np.array([k for k in range(s, e) if k != doc_idx], dtype=np.int64)

