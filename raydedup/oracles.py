@@ -185,6 +185,40 @@ SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
 FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id"""
 
 
+def ann_lsh_topk_sql(bits: int = 4, seed: int = 7, dim: int = 64, k: int = 10, query_ids=(0, 1, 2)) -> str:
+    """Hyperplane-LSH ANN oracle: the plane matrix is deterministic
+    from seed (``stages/ann.add_hyperplane_bucket``), so the bucket
+    assignment is SQL-reproducible by inlining the dim×bits constants
+    as explicit dot-product expressions; candidates are same-bucket
+    rows reranked by exact cosine. Sign agreement between the numpy
+    and SQL dot products holds unless a projection lands within float
+    round-off of zero (~1e-13 relative — negligible for random data)."""
+    planes = np.random.default_rng(seed).standard_normal((dim, bits))
+    cases = []
+    for b in range(bits):
+        dot = " + ".join(f"e[{j + 1}]*{planes[j, b]!r}" for j in range(dim))
+        cases.append(f"CASE WHEN ({dot}) > 0 THEN {1 << b} ELSE 0 END")
+    bucket_expr = "\n     + ".join(cases)
+    qlist = ", ".join(str(q) for q in query_ids)
+    return f"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bkt AS (
+  SELECT vec_id, e,
+     ({bucket_expr}) AS bucket
+  FROM emb
+),
+q AS (SELECT vec_id AS qid, e AS qe, bucket FROM bkt WHERE vec_id IN ({qlist})),
+s AS (
+  SELECT q.qid AS query_id, x.vec_id,
+         list_cosine_similarity(x.e, q.qe) AS cos
+  FROM bkt x JOIN q ON x.bucket = q.bucket AND x.vec_id <> q.qid
+)
+SELECT query_id, vec_id FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM s
+) WHERE rk <= {k}"""
+
+
 def lsh_session_dedup_sql(b: int = 9, r: int = 13, num_perm: int = 128, seed: int = 1) -> str:
     """Streaming first-seen dedup oracle: doc i is a dup iff some
     earlier doc (doc_id ascending — the engine's arrival order) shares

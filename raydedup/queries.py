@@ -427,8 +427,9 @@ def q_ann_lsh_topk(sf_dir: str):
     """Scale-path ANN: hyperplane-bucketed candidates then exact rerank
     in ONE distributed pass — query (id, bucket, vector) triples are
     broadcast, each batch scores only rows falling in a query's bucket,
-    and a small groupby merges per-query top-k. (Approximate — no SQL
-    oracle.)"""
+    and a small groupby merges per-query top-k. Exact SQL oracle: the
+    plane matrix is seed-deterministic, inlined into the generated
+    statement (``oracles.ann_lsh_topk_sql``)."""
     import ray
 
     from raydedup.stages.ann import _emb_matrix, _normalize, add_hyperplane_bucket
@@ -1196,6 +1197,7 @@ def _install_generated_oracles() -> None:
             "topk_similar_docs": og.topk_similar_sql(),
             "lsh_candidate_pairs_docs": og.lsh_candidate_pairs_sql(b=b, r=r),
             "lsh_session_dedup": og.lsh_session_dedup_sql(b=b, r=r),
+            "ann_lsh_topk": og.ann_lsh_topk_sql(),
             "hll_users_per_type": og.hll_users_per_type_sql(),
             "hllpp_distinct_users": og.hllpp_distinct_users_sql(),
             "forest_topk_docs": og.forest_topk_sql(),
