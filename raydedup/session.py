@@ -170,6 +170,19 @@ class MinHashLshSession:
         return (h >> 29) % self.num_shards
 
     def _hs(self, sigs) -> list[list[bytes]]:
+        sigs = np.asarray(sigs)
+        if sigs.ndim == 3 and sigs.shape[2] == 2:
+            # WeightedMinHash rows: (n, sample_size, 2) (k, t) samples
+            # (reference WMH ``hashvalues``, accepted by MinHashLSH
+            # insert/query alike). Viewing each (r, 2) band slice as 2r
+            # consecutive uint64 words makes the byte key equality
+            # EXACTLY the reference's per-band slice equality.
+            if sigs.shape[1] != self.num_perm:
+                raise ValueError(
+                    "Expecting minhash with length %d, got %d" % (self.num_perm, sigs.shape[1])
+                )
+            flat = np.ascontiguousarray(sigs.astype(np.int64, copy=False)).view(np.uint64)
+            return band_keys(flat.reshape(sigs.shape[0], -1), self.b, self.r * 2)
         sigs = np.ascontiguousarray(sigs, dtype=np.uint64)
         if sigs.ndim == 1:
             sigs = sigs[None, :]
@@ -180,9 +193,18 @@ class MinHashLshSession:
         return band_keys(sigs, self.b, self.r)
 
     # ------------------------------------------------------------- insert
+    @staticmethod
+    def _single(sig) -> np.ndarray:
+        """One signature → a 1-row batch: 1-D uint64 MinHash row or a
+        2-D (sample_size, 2) WeightedMinHash ``hashvalues`` array."""
+        sig = np.asarray(sig)
+        if sig.ndim == 1 or (sig.ndim == 2 and sig.shape[1] == 2):
+            return sig[None, ...]
+        return sig
+
     def insert(self, key, sig, check_duplication: bool = True) -> None:
         """Reference ``MinHashLSH.insert`` (lsh.py:213-231)."""
-        self.insert_batch([key], np.asarray(sig)[None, :] if np.ndim(sig) == 1 else sig, check_duplication)
+        self.insert_batch([key], self._single(sig), check_duplication)
 
     def insert_batch(self, keys, sigs, check_duplication: bool = True) -> None:
         hs_rows = self._hs(sigs)
@@ -214,7 +236,7 @@ class MinHashLshSession:
     def query(self, sig) -> list:
         """Reference ``MinHashLSH.query`` (lsh.py:370-432): unique keys
         colliding with the query in ≥1 band."""
-        return self.query_batch(np.asarray(sig)[None, :])[0]
+        return self.query_batch(self._single(sig))[0]
 
     def query_batch(self, sigs) -> list[list]:
         hs_rows = self._hs(sigs)
@@ -338,15 +360,17 @@ class LshInsertionSession:
 
     def insert(self, key, sig, check_duplication: bool = True) -> None:
         self._keys.append(key)
-        self._sigs.append(np.asarray(sig, dtype=np.uint64))
+        self._sigs.append(np.asarray(sig))
         self._check = check_duplication
         if len(self._keys) >= self.buffer_size:
             self.close()
 
     def close(self) -> None:
         if self._keys:
+            # stack keeps both row shapes: (P,) minhash → (n, P) and
+            # (P, 2) weighted minhash → (n, P, 2)
             self.session.insert_batch(
-                self._keys, np.vstack(self._sigs), getattr(self, "_check", True)
+                self._keys, np.stack(self._sigs), getattr(self, "_check", True)
             )
             self._keys, self._sigs = [], []
 

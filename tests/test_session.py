@@ -153,3 +153,29 @@ def test_merge_sessions(ray_session, corpus):
     finally:
         a.shutdown()
         b.shutdown()
+
+
+def test_weighted_minhash_session_matches_reference(ray_session, reference_datasketch):
+    """The session accepts WeightedMinHash rows ((sample_size, 2) (k,t)
+    samples) like the reference MinHashLSH does — candidate sets must
+    match the live reference pair-for-pair."""
+    rng = np.random.default_rng(3)
+    dim, n = 40, 30
+    vecs = rng.random((n, dim)) * (rng.random((n, dim)) < 0.4)
+    from raydedup.weighted import WeightedMinHashGenerator
+
+    gen = WeightedMinHashGenerator(dim, sample_size=128, seed=1)
+    hvs = [gen.minhash(v) for v in vecs]
+
+    ref_lsh = reference_datasketch.MinHashLSH(threshold=0.5, num_perm=128)
+    sess = MinHashLshSession(threshold=0.5, num_perm=128, num_shards=3)
+    try:
+        for i in range(n):
+            ref_lsh.insert(i, reference_datasketch.WeightedMinHash(1, hvs[i]))
+            sess.insert(i, hvs[i])
+        got = sess.query_batch(np.stack(hvs))
+        for i in range(n):
+            exp = set(ref_lsh.query(reference_datasketch.WeightedMinHash(1, hvs[i])))
+            assert set(got[i]) == exp, i
+    finally:
+        sess.shutdown()
