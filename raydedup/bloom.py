@@ -101,20 +101,38 @@ class BandBloomFilter:
         """(N, b) band values → (N,) bool: True iff ANY band's filter
         contains that band's value (reference ``query``: per-band AND
         over the k probes, OR across bands — lsh_bloom.py:109-118 and
-        353-366)."""
+        353-366).
+
+        Probes are evaluated ONE AT A TIME with early exit: at the
+        optimal ~50% fill a miss dies after ~2 probes on average, so
+        this touches ~2n bit positions instead of k·n — the filter is
+        mostly queried from shuffle-map semi-join prunes where misses
+        dominate, and the (n, k) position/gather temporaries of the
+        all-probes form were the measured hot spot at 10⁷-row scale."""
         vals = np.asarray(vals, dtype=np.uint64)
         n = vals.shape[0]
         hit = np.zeros(n, dtype=bool)
         pending = np.arange(n)  # early-out: settled rows skip later bands
+        m = np.uint64(self.m_bits)
         for j in range(self.b):
             if pending.size == 0:
                 break
-            pos = self._positions(vals[pending, j])
+            v = vals[pending, j]
+            h1 = _splitmix64(v)
+            h2 = _splitmix64(v ^ np.uint64(0xDEADBEEFCAFEF00D)) | np.uint64(1)
             row = self.bits[j]
-            probe = (row[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-            band_hit = probe.all(axis=1)
-            hit[pending[band_hit]] = True
-            pending = pending[~band_hit]
+            cand = np.arange(pending.size)  # rows still matching every probe
+            for i in range(self.k):
+                pos = ((h1[cand] + np.uint64(i) * h2[cand]) % m).astype(np.int64)
+                ok = (row[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+                cand = cand[ok != 0]
+                if cand.size == 0:
+                    break
+            if cand.size:
+                hit[pending[cand]] = True
+                keep = np.ones(pending.size, dtype=bool)
+                keep[cand] = False
+                pending = pending[keep]
         return hit
 
     def insert_signatures(self, sig: np.ndarray) -> None:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -185,7 +186,7 @@ def exact_dup_pairs(ds, key_cols: list[str], id_col: str, num_partitions: int | 
 
 
 # ------------------------------------------------------------ substring dedup
-def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partitions: int | None = None, prefilter: bool | None = None):
+def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partitions: int | None = None, prefilter: bool | None = None, timings: dict | None = None):
     """(contained_id → id_a, container_id → id_b) pairs where one
     caption is a strict token-slice of another.
 
@@ -435,8 +436,12 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
             n_docs = None
         prefilter = bool(n_docs and n_docs >= 1_000_000)
     if prefilter:
+        _t0 = time.perf_counter()
         exploded = staged(exploded)
         n_exploded = exploded.count()  # staged → metadata-cheap
+        if timings is not None:
+            timings["explode"] = round(time.perf_counter() - _t0, 2)
+        _t0 = time.perf_counter()
         fbloom = _uint64_bloom(
             exploded.map_batches(
                 lambda t: t.filter(pc.equal(t.column("role"), 0)).select(["anchor"]),
@@ -458,7 +463,12 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
             return t.filter(pa.array(keep))
 
         exploded = exploded.map_batches(prune, batch_format="pyarrow")
+        if timings is not None:
+            timings["anchor_bloom"] = round(time.perf_counter() - _t0, 2)
+    _t0 = time.perf_counter()
     candidates = staged(map_key_runs(exploded, "anchor", emit_candidates, num_partitions))
+    if timings is not None:
+        timings["anchor_shuffle"] = round(time.perf_counter() - _t0, 2)
 
     # ---- verify: key candidates by container id, union the docs table.
     # Same semi-join prune on this side: only docs named as a container
@@ -467,6 +477,7 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
     # a Bloom of candidate container-id hashes drops them at the map.
     dbloom_ref = None
     if prefilter:
+        _t0 = time.perf_counter()
         n_cand = candidates.count()  # staged → metadata-cheap
         dbloom = _uint64_bloom(
             candidates.map_batches(
@@ -477,6 +488,8 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
             n_items=max(1024, n_cand),
         )
         dbloom_ref = ray.put(dbloom)
+        if timings is not None:
+            timings["verify_bloom"] = round(time.perf_counter() - _t0, 2)
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         if dbloom_ref is not None:
@@ -557,7 +570,14 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
                     out_b.append(cid)
         return pa.table({"id_a": pa.array(out_a, id_type), "id_b": pa.array(out_b, id_type)})
 
+    _t0 = time.perf_counter()
     pairs = map_key_runs(verify_input, "key", verify, num_partitions)
+    if timings is not None:
+        # timing mode pays an extra materialize barrier to attribute the
+        # verify shuffle's wall; production callers (timings=None) keep
+        # the lazy plan.
+        pairs = staged(pairs)
+        timings["verify_shuffle"] = round(time.perf_counter() - _t0, 2)
 
     # short-query completeness path: collect docs with < window tokens
     short = ds.select_columns([id_col, text_col]).map_batches(
