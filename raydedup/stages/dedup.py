@@ -222,6 +222,7 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
         flat_token_hashes64,
         poly_powers,
         poly_prefix_sums,
+        split_ws_tokens,
     )
 
     id_type = ds.schema().base_schema.field(id_col).type
@@ -241,21 +242,31 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
     )
 
     def explode(batch: pa.Table) -> pa.Table:
-        """Fully vectorized: tokenize in Python (str.split is C), then
-        ONE flat hash call for every token in the batch; window-anchor
-        FNV folds, per-doc min-anchor selection and the whole-doc
-        polynomial hash are all segment ops on the flat array."""
+        """Fully vectorized: tokenize with Arrow whitespace-split
+        kernels (``split_ws_tokens`` — str.split parity, no Python
+        lists), then ONE flat hash call for every token in the batch;
+        window-anchor FNV folds, per-doc min-anchor selection and the
+        whole-doc polynomial hash are all segment ops on the flat
+        array."""
         idc = batch.column(id_col)
         if isinstance(idc, pa.ChunkedArray):
             idc = idc.combine_chunks()
-        texts = batch.column(text_col).to_pylist()
-        tok_lists = [(t or "").split() for t in texts]
-        lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64, count=len(tok_lists))
+        tlc = batch.column(text_col)
+        lens, flat = split_ws_tokens(tlc)
         keep = np.flatnonzero(lens >= window)  # short docs via the broadcast path
         if len(keep) == 0:
             return empty_exploded
         kl = lens[keep]
-        hv = flat_token_hashes64([tok for i in keep for tok in tok_lists[i]])
+        hv_all = flat_token_hashes64(flat)
+        if len(keep) == len(lens):
+            hv = hv_all
+        else:  # gather the kept docs' token hashes contiguously
+            off_all = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            koff = np.concatenate(([0], np.cumsum(kl)[:-1]))
+            tok_idx = (
+                np.arange(int(kl.sum())) - np.repeat(koff, kl) + np.repeat(off_all[keep], kl)
+            )
+            hv = hv_all[tok_idx]
         off = np.concatenate(([0], np.cumsum(kl)[:-1]))  # doc start in flat
         nwin = kl - window + 1
         totw = int(nwin.sum())
@@ -276,7 +287,11 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
         bpow, _ = poly_powers(int(kl.max()))
         expo = np.repeat(off + kl - 1, kl) - np.arange(len(hv), dtype=np.int64)
         qhash = np.atleast_1d(np.add.reduceat(hv * bpow[expo], off))
-        qchars = np.fromiter((len(texts[i] or "") for i in keep), dtype=np.int64, count=len(keep))
+        qchars = (
+            pc.fill_null(pc.utf8_length(tlc if not isinstance(tlc, pa.ChunkedArray) else tlc.combine_chunks()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[keep]
+        )
         # query rows first, then one container row per window
         winpos = (np.arange(totw) - np.repeat(seg, nwin)).astype(np.int32)
         take_idx = np.concatenate([keep, np.repeat(keep, nwin)])
@@ -516,40 +531,53 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
         tag_docs, batch_format="pyarrow"
     ).union(candidates.map_batches(pad_candidates, batch_format="pyarrow"))
 
+    empty_pairs = pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)})
+
     def verify(block: pa.Table, starts, ends) -> pa.Table:
-        texts = block.column("text").to_pylist()
-        keys = block.column("key").to_numpy(zero_copy_only=False)
-        # qid is nullable (None on doc rows): to_numpy would degrade
-        # int64 to float64/NaN — go through pylist
-        qids = block.column("qid").to_pylist()
+        tcol = block.column("text")
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
         start = block.column("start").to_numpy(zero_copy_only=False)
         qlen = block.column("qlen").to_numpy(zero_copy_only=False)
         qh = block.column("qhash").to_numpy(zero_copy_only=False)
         qchars = block.column("qchars").to_numpy(zero_copy_only=False)
-        # pass 1: tokenize candidate-ful runs, hash ALL their tokens in
-        # one flat vectorized call (must agree with explode's hash)
-        live: list[tuple] = []  # (s, e, doc_idx, toks, flat offset)
-        flat_tokens: list[str] = []
-        for s, e in zip(starts, ends):
-            doc_idx = next((k for k in range(s, e) if texts[k] is not None), None)
-            if doc_idx is None or e - s < 2:
-                continue
-            toks = (texts[doc_idx] or "").split()
-            live.append((s, e, doc_idx, toks, len(flat_tokens)))
-            flat_tokens.extend(toks)
-        hv_flat = flat_token_hashes64(flat_tokens)
-        max_l = max((len(t) for _, _, _, t, _ in live), default=0)
-        bpow_all, binv_all = poly_powers(max_l)
-        out_a, out_b = [], []
-        for s, e, doc_idx, toks, foff in live:
-            text = texts[doc_idx]
-            L = len(toks)
-            hv = hv_flat[foff : foff + L]
+        if len(starts) == 0:
+            return empty_pairs
+        # ---- find each run's doc row (the one non-null text) without
+        # touching Python strings: searchsorted into the valid-row list
+        valid_rows = np.flatnonzero(pc.is_valid(tcol).to_numpy(zero_copy_only=False))
+        if len(valid_rows) == 0:
+            return empty_pairs
+        pos = np.searchsorted(valid_rows, starts)
+        has_doc = (pos < len(valid_rows)) & (valid_rows[np.minimum(pos, len(valid_rows) - 1)] < ends)
+        live_m = has_doc & ((ends - starts) >= 2)
+        if not live_m.any():
+            return empty_pairs
+        l_starts = starts[live_m]
+        l_ends = ends[live_m]
+        l_doc = valid_rows[pos[live_m]]
+        # ---- tokenize ALL live docs with one Arrow split + one flat
+        # hash call (must agree with explode's tokenizer)
+        dtexts = tcol.take(pa.array(l_doc))
+        dlens, dflat = split_ws_tokens(dtexts)
+        hv_flat = flat_token_hashes64(dflat)
+        doff = np.concatenate(([0], np.cumsum(dlens)[:-1]))
+        dchars = (
+            pc.fill_null(pc.utf8_length(dtexts), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bpow_all, binv_all = poly_powers(int(dlens.max()) if len(dlens) else 0)
+        acc_k: list[np.ndarray] = []  # matched candidate row indices
+        acc_s: list[np.ndarray] = []  # their run's doc row (container)
+        for ridx in range(len(l_starts)):
+            s, e, doc_idx = l_starts[ridx], l_ends[ridx], l_doc[ridx]
+            L = int(dlens[ridx])
+            hv = hv_flat[doff[ridx] : doff[ridx] + L]
             S = poly_prefix_sums(hv, binv_all)
-            bpow = bpow_all
-            cid = keys[s]
-            cchars = len(text)
-            idx = np.array([k for k in range(s, e) if k != doc_idx], dtype=np.int64)
+            cchars = dchars[ridx]
+            idx = np.arange(s, e)
+            idx = idx[idx != doc_idx]
             st = start[idx].astype(np.int64)
             ql = qlen[idx].astype(np.int64)
             fin = st + ql
@@ -559,16 +587,21 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
             vi = idx[valid]
             # H(st, fin) normalized to the query frame: exponent of the
             # m-th window token must be ql-1-m ⇒ multiplier B^(fin-1)
-            h = (S[fin[valid]] - S[st[valid]]) * bpow[fin[valid] - 1]
+            h = (S[fin[valid]] - S[st[valid]]) * bpow_all[fin[valid] - 1]
             match = h == qh[vi]
-            seen = set()  # multiple matching starts → one pair
-            for k in vi[match]:
-                q = qids[k]
-                if q not in seen:
-                    seen.add(q)
-                    out_a.append(q)
-                    out_b.append(cid)
-        return pa.table({"id_a": pa.array(out_a, id_type), "id_b": pa.array(out_b, id_type)})
+            if match.any():
+                mk = vi[match]
+                acc_k.append(mk)
+                acc_s.append(np.full(len(mk), doc_idx, dtype=np.int64))
+        if not acc_k:
+            return empty_pairs
+        # one take per side, then a block-local distinct (multiple
+        # matching starts in one run → one pair; runs are disjoint per
+        # (query-class, container), so block-local dedupe is global)
+        qa = block.column("qid").take(pa.array(np.concatenate(acc_k)))
+        cb = block.column("key").take(pa.array(np.concatenate(acc_s)))
+        out = pa.table({"id_a": qa, "id_b": cb})
+        return out.group_by(["id_a", "id_b"]).aggregate([]).cast(empty_pairs.schema)
 
     _t0 = time.perf_counter()
     pairs = map_key_runs(verify_input, "key", verify, num_partitions)

@@ -168,25 +168,65 @@ _POLY_B_INV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
 _TOKEN_SEED = 0x5EED
 
 
-def flat_token_hashes64(tokens: list[str]) -> np.ndarray:
+def flat_token_hashes64(tokens) -> np.ndarray:
     """64-bit per-token hashes, ONE vectorized call for a whole flat
     token list (polars xxhash64; internal-only — the substring oracle
     constrains final pairs, not hash values, so any collision-resistant
     64-bit function works). Callers hash all tokens of a batch/block in
     one call and slice per doc — per-token Python hashing was the
-    substring stage's hottest loop."""
-    if not tokens:
+    substring stage's hottest loop. Accepts a Python list OR a pyarrow
+    string Array (zero-copy into polars)."""
+    if len(tokens) == 0:
         return np.empty(0, dtype=np.uint64)
     try:
         import polars as pl
 
-        return pl.Series(tokens, dtype=pl.Utf8).hash(seed=_TOKEN_SEED).to_numpy().astype(np.uint64)
+        if isinstance(tokens, list):
+            s = pl.Series(tokens, dtype=pl.Utf8)
+        else:  # pyarrow Array / ChunkedArray, zero-copy
+            s = pl.from_arrow(tokens)
+        return s.hash(seed=_TOKEN_SEED).to_numpy().astype(np.uint64)
     except ImportError:  # pragma: no cover - polars is baked into the env
+        if not isinstance(tokens, list):
+            tokens = tokens.to_pylist()
         return np.fromiter(
             (struct.unpack("<Q", hashlib.sha1(t.encode("utf-8")).digest()[:8])[0] for t in tokens),
             dtype=np.uint64,
             count=len(tokens),
         )
+
+
+def split_ws_tokens(col) -> tuple[np.ndarray, "object"]:
+    """Whitespace tokenization of a string column with Python
+    ``str.split()`` parity, fully in Arrow kernels: returns
+    ``(per-row token counts int64, flat token StringArray)``.
+
+    ``pc.utf8_split_whitespace`` collapses INTERNAL whitespace runs like
+    Python but emits empty tokens at string edges (`` a b `` →
+    ``['', 'a', 'b', '']``); those empties are filtered here with one
+    vectorized pass so the non-empty tokens match ``str.split()``
+    exactly. Null rows count 0 tokens."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.utf8_split_whitespace(col)
+    lens = (
+        pc.fill_null(pc.list_value_length(toks), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = pc.list_flatten(toks)  # null rows contribute no tokens
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    emp = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+    if emp.any():
+        off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        cs = np.concatenate(([0], np.cumsum(emp)))
+        lens = lens - (cs[off + lens] - cs[off])
+        flat = flat.filter(pa.array(~emp))
+    return lens, flat
 
 
 def poly_powers(n: int) -> tuple[np.ndarray, np.ndarray]:
