@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from raydedup.stages.grouped import map_key_runs, unique_rows_partitioned
 
@@ -306,62 +307,137 @@ def fused_candidate_pairs(
     band_ds = sig_ds.map_batches(explode, batch_format="pyarrow")
 
     def emit(block: pa.Table, starts, ends) -> pa.Table:
-        typ = block.column(id_col).type
-        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        """Fully vectorized pair emission (the per-run Python loop with
+        an ``np.unique`` per bucket measured 22 s/partition at 25M band
+        rows — ~95% of the stage's CPU). The block arrives sorted by
+        (bucket, aux, id) via ``sort_extra``, so:
+
+        - duplicate (run, aux, id) rows are consecutive → one-pass mask
+          dedupe (same ids in one bucket share their aux by construction
+          in every mode, so id-duplicates ARE (aux, id)-adjacent);
+        - runs of equal size are stacked into (R, m) index matrices and
+          emit cliques/stars with ONE ``triu_indices`` per distinct
+          size — per-pair work is numpy index arithmetic;
+        - pairs materialize with two Arrow ``take`` calls at the end;
+          id strings are never copied into Python objects.
+
+        Emitted orientation: mode-0/2 runs are id-sorted → (min, max)
+        per pair as before; mode-1 runs are (aux, id)-sorted, so pairs
+        are re-canonicalized with one vectorized compare-and-swap to
+        keep the cross-mode dedupe collapsing band duplicates."""
+        idc = block.column(id_col)
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        typ = idc.type if len(idc) else block.column(id_col).type
+        empty = pa.table(
+            {
+                "id_a": pa.array([], typ),
+                "id_b": pa.array([], typ),
+                "mode": pa.array([], pa.int8()),
+            }
+        )
+        if len(starts) == 0:
+            return empty
         aux = block.column("aux").to_numpy(zero_copy_only=False)
         modes = block.column("mode").to_numpy(zero_copy_only=False)
-        out_a, out_b, out_m = [], [], []
-        for s, e in zip(starts, ends):
-            mode = modes[s]
-            run_ids, first = np.unique(ids[s:e], return_index=True)
-            m = len(run_ids)
-            if m < 2:
-                continue
-            run_a, run_b = [], []
-            if mode == 0:  # minhash band bucket
-                if m <= bucket_cap:
-                    iu = np.triu_indices(m, 1)
-                    run_a.append(run_ids[iu[0]])
-                    run_b.append(run_ids[iu[1]])
-                else:  # star — component-equivalent for a clique
-                    run_a.append(np.repeat(run_ids[:1], m - 1))
-                    run_b.append(run_ids[1:])
-            elif mode == 1:  # simhash: verify true Hamming distance
-                if m > bucket_cap * 8:
-                    continue  # degenerate constant-phash flood; exact path covers it
-                w = aux[s:e][first]
-                d = hamming_distance64(w[:, None], w[None, :])
-                iu = np.triu_indices(m, 1)
-                keep = d[iu] <= max_hamming
-                run_a.append(run_ids[iu[0][keep]])
-                run_b.append(run_ids[iu[1][keep]])
-            else:  # exact: sub-group by the second hash word, star each
-                w = aux[s:e][first]
-                for word in np.unique(w):
-                    grp = run_ids[w == word]
-                    if len(grp) >= 2:
-                        run_a.append(np.repeat(grp[:1], len(grp) - 1))
-                        run_b.append(grp[1:])
-            n_new = sum(len(x) for x in run_a)
-            if n_new:
-                out_a.extend(run_a)
-                out_b.extend(run_b)
-                out_m.append(np.full(n_new, mode, dtype=np.int8))
-        if out_a:
-            a = np.concatenate(out_a)
-            bb = np.concatenate(out_b)
-            mm = np.concatenate(out_m)
-        else:
-            a = bb = mm = []
+        starts = np.asarray(starts, dtype=np.int64)
+        ends = np.asarray(ends, dtype=np.int64)
+        lens = ends - starts
+        total = int(lens.sum())
+        pre = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        rows = np.arange(total) - np.repeat(pre, lens) + np.repeat(starts, lens)
+        rid = np.repeat(np.arange(len(starts)), lens)
+        idcomp = idc.take(pa.array(rows))
+        auxc = aux[rows]
+        # consecutive dedupe of identical (run, aux, id) rows
+        if total > 1:
+            dup = (rid[1:] == rid[:-1]) & (auxc[1:] == auxc[:-1])
+            if dup.any():
+                cand = np.flatnonzero(dup) + 1
+                same_id = pc.equal(
+                    idcomp.take(pa.array(cand)), idcomp.take(pa.array(cand - 1))
+                ).to_numpy(zero_copy_only=False)
+                drop = cand[same_id.astype(bool)]
+                if len(drop):
+                    keepm = np.ones(total, dtype=bool)
+                    keepm[drop] = False
+                    sel = np.flatnonzero(keepm)
+                    idcomp = idcomp.take(pa.array(sel))
+                    auxc = auxc[sel]
+                    rid = rid[sel]
+        sizes = np.bincount(rid, minlength=len(starts))
+        roff = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        modec = modes[starts]
+        out_l: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+        out_m: list[np.ndarray] = []
+
+        # ---- mode 0: clique per bucket ≤ cap, min-id star above
+        m0 = np.flatnonzero((modec == 0) & (sizes >= 2))
+        m0c = m0[sizes[m0] <= bucket_cap]
+        for m in np.unique(sizes[m0c]):
+            sel = roff[m0c[sizes[m0c] == m]]
+            iu, ju = np.triu_indices(m, 1)
+            out_l.append((sel[:, None] + iu[None, :]).ravel())
+            out_r.append((sel[:, None] + ju[None, :]).ravel())
+            out_m.append(np.zeros(len(sel) * len(iu), dtype=np.int8))
+        for ridx in m0[sizes[m0] > bucket_cap]:  # star — rare skew guard
+            s0, m = roff[ridx], sizes[ridx]
+            out_l.append(np.full(m - 1, s0, dtype=np.int64))
+            out_r.append(s0 + np.arange(1, m, dtype=np.int64))
+            out_m.append(np.zeros(m - 1, dtype=np.int8))
+
+        # ---- mode 1: all pairs, verified at true Hamming distance;
+        # degenerate constant-phash floods skipped (exact path covers)
+        m1 = np.flatnonzero((modec == 1) & (sizes >= 2) & (sizes <= bucket_cap * 8))
+        for m in np.unique(sizes[m1]):
+            sel_all = roff[m1[sizes[m1] == m]]
+            iu, ju = np.triu_indices(m, 1)
+            npairs = len(iu)
+            step = max(1, 16_000_000 // max(npairs, 1))  # bound temporaries
+            for c0 in range(0, len(sel_all), step):
+                sel = sel_all[c0 : c0 + step]
+                w = auxc[sel[:, None] + np.arange(m)]
+                keep = hamming_distance64(w[:, iu], w[:, ju]) <= max_hamming
+                li = (sel[:, None] + iu[None, :])[keep]
+                out_l.append(li)
+                out_r.append((sel[:, None] + ju[None, :])[keep])
+                out_m.append(np.ones(len(li), dtype=np.int8))
+
+        # ---- mode 2: star per (bucket, aux-word) sub-run — the
+        # (aux, id) sort makes sub-groups consecutive, min id first
+        if (modec == 2).any():
+            gch = np.ones(len(rid), dtype=bool)
+            gch[1:] = (rid[1:] != rid[:-1]) | (auxc[1:] != auxc[:-1])
+            substart = np.flatnonzero(gch)
+            subsize = np.diff(np.append(substart, len(rid)))
+            is2 = (modec[rid[substart]] == 2) & (subsize >= 2)
+            ss, sz = substart[is2], subsize[is2]
+            tot = int((sz - 1).sum())
+            if tot:
+                out_l.append(np.repeat(ss, sz - 1))
+                pre2 = np.concatenate(([0], np.cumsum(sz - 1)[:-1]))
+                out_r.append(
+                    np.arange(tot) - np.repeat(pre2, sz - 1) + np.repeat(ss + 1, sz - 1)
+                )
+                out_m.append(np.full(tot, 2, dtype=np.int8))
+
+        if not out_l:
+            return empty
+        li = np.concatenate(out_l)
+        ri = np.concatenate(out_r)
+        a = idcomp.take(pa.array(li))
+        b2 = idcomp.take(pa.array(ri))
+        swap = pc.greater(a, b2)  # mode-1 (aux, id) order → re-canonicalize
         return pa.table(
             {
-                "id_a": pa.array(a, typ),
-                "id_b": pa.array(bb, typ),
-                "mode": pa.array(mm, pa.int8()),
+                "id_a": pc.if_else(swap, b2, a),
+                "id_b": pc.if_else(swap, a, b2),
+                "mode": pa.array(np.concatenate(out_m), pa.int8()),
             }
         )
 
-    pairs = map_key_runs(band_ds, "bucket", emit, num_partitions)
+    pairs = map_key_runs(band_ds, "bucket", emit, num_partitions, sort_extra=["aux", id_col])
     if dedupe:
         return unique_rows_partitioned(pairs, ["id_a", "id_b"], num_partitions)
     return pairs

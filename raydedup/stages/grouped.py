@@ -129,13 +129,17 @@ def tune_for_session(ds):
     return ds
 
 
-def map_key_runs(ds, keys: str | list[str], run_fn, num_partitions: int, min_run: int = 2, **map_kwargs):
+def map_key_runs(ds, keys: str | list[str], run_fn, num_partitions: int, min_run: int = 2, sort_extra: list[str] | tuple = (), **map_kwargs):
     """Apply ``run_fn(block, starts, ends)`` to every hash partition.
 
-    ``block`` is a pyarrow.Table sorted by ``keys``; ``starts``/``ends``
-    are numpy index arrays delimiting runs with ≥ 2 rows (singleton
-    groups are pre-filtered — the common case for LSH buckets).
-    ``run_fn`` returns a pyarrow.Table.
+    ``block`` is a pyarrow.Table sorted by ``keys`` (+ ``sort_extra``
+    as secondary sort columns — runs are still delimited on ``keys``
+    alone, but rows inside each run arrive in ``sort_extra`` order,
+    letting run kernels replace per-run sorting/unique with
+    consecutive-run logic); ``starts``/``ends`` are numpy index arrays
+    delimiting runs with ≥ 2 rows (singleton groups are pre-filtered —
+    the common case for LSH buckets). ``run_fn`` returns a
+    pyarrow.Table.
 
     The keyed repartition deliberately does NOT use ``sort=True``: the
     hash-shuffle aggregator's finalize-time ``sort_by`` crashes on
@@ -152,10 +156,12 @@ def map_key_runs(ds, keys: str | list[str], run_fn, num_partitions: int, min_run
     tune_for_session(ds)
     parted = ds.repartition(effective_partitions(num_partitions), keys=keys)
 
+    sort_cols = list(keys) + [c for c in sort_extra if c not in keys]
+
     def per_block(block: pa.Table) -> pa.Table:
         if len(block) == 0:
             return run_fn(block, np.empty(0, np.int64), np.empty(0, np.int64))
-        block = block.sort_by([(k, "ascending") for k in keys])
+        block = block.sort_by([(k, "ascending") for k in sort_cols])
         starts, ends = _run_bounds(block, keys)
         multi = (ends - starts) >= min_run
         return run_fn(block, starts[multi], ends[multi])
