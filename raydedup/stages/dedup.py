@@ -221,7 +221,6 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
         _W_FNV_PRIME,
         flat_token_hashes64,
         poly_powers,
-        poly_prefix_sums,
         split_ws_tokens,
     )
 
@@ -568,38 +567,41 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
             .astype(np.int64)
         )
         bpow_all, binv_all = poly_powers(int(dlens.max()) if len(dlens) else 0)
-        acc_k: list[np.ndarray] = []  # matched candidate row indices
-        acc_s: list[np.ndarray] = []  # their run's doc row (container)
-        for ridx in range(len(l_starts)):
-            s, e, doc_idx = l_starts[ridx], l_ends[ridx], l_doc[ridx]
-            L = int(dlens[ridx])
-            hv = hv_flat[doff[ridx] : doff[ridx] + L]
-            S = poly_prefix_sums(hv, binv_all)
-            cchars = dchars[ridx]
-            idx = np.arange(s, e)
-            idx = idx[idx != doc_idx]
-            st = start[idx].astype(np.int64)
-            ql = qlen[idx].astype(np.int64)
-            fin = st + ql
-            valid = (fin <= L) & (qchars[idx] < cchars)
-            if not valid.any():
-                continue
-            vi = idx[valid]
-            # H(st, fin) normalized to the query frame: exponent of the
-            # m-th window token must be ql-1-m ⇒ multiplier B^(fin-1)
-            h = (S[fin[valid]] - S[st[valid]]) * bpow_all[fin[valid] - 1]
-            match = h == qh[vi]
-            if match.any():
-                mk = vi[match]
-                acc_k.append(mk)
-                acc_s.append(np.full(len(mk), doc_idx, dtype=np.int64))
-        if not acc_k:
+        # ---- global prefix sums: ONE cumsum over the flat tokens with
+        # per-doc LOCAL exponents; S_d[j] = C[doff_d + j] - C[doff_d]
+        # (uint64 wraparound makes the difference exact), so every
+        # candidate check below is pure gather arithmetic — no per-run
+        # Python at all
+        ntok = len(hv_flat)
+        local_k = np.arange(ntok, dtype=np.int64) - np.repeat(doff, dlens)
+        C = np.zeros(ntok + 1, dtype=np.uint64)
+        np.cumsum(hv_flat * binv_all[local_k], out=C[1:])
+        # candidate rows = every run row except the run's doc row
+        rsz = l_ends - l_starts
+        rtot = int(rsz.sum())
+        rpre = np.concatenate(([0], np.cumsum(rsz)[:-1]))
+        crow = np.arange(rtot) - np.repeat(rpre, rsz) + np.repeat(l_starts, rsz)
+        crun = np.repeat(np.arange(len(l_starts)), rsz)
+        keepc = crow != l_doc[crun]
+        crow, crun = crow[keepc], crun[keepc]
+        st = start[crow].astype(np.int64)
+        fin = st + qlen[crow].astype(np.int64)
+        valid = (fin <= dlens[crun]) & (qchars[crow] < dchars[crun])
+        if not valid.any():
+            return empty_pairs
+        crow, crun, st, fin = crow[valid], crun[valid], st[valid], fin[valid]
+        # H(st, fin) normalized to the query frame: exponent of the
+        # m-th window token must be ql-1-m ⇒ multiplier B^(fin-1)
+        base = doff[crun]
+        h = (C[base + fin] - C[base + st]) * bpow_all[fin - 1]
+        match = h == qh[crow]
+        if not match.any():
             return empty_pairs
         # one take per side, then a block-local distinct (multiple
         # matching starts in one run → one pair; runs are disjoint per
         # (query-class, container), so block-local dedupe is global)
-        qa = block.column("qid").take(pa.array(np.concatenate(acc_k)))
-        cb = block.column("key").take(pa.array(np.concatenate(acc_s)))
+        qa = block.column("qid").take(pa.array(crow[match]))
+        cb = block.column("key").take(pa.array(l_doc[crun[match]]))
         out = pa.table({"id_a": qa, "id_b": cb})
         return out.group_by(["id_a", "id_b"]).aggregate([]).cast(empty_pairs.schema)
 
