@@ -65,13 +65,16 @@ class SignatureStage:
         self.memo: dict = {}
         self.memo_cap = memo_cap
         self.hashfunc = hashfunc
+        self.scratch: dict = {}  # reusable permute work buffers (minhash_batch)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(self.memo) > self.memo_cap:  # bound actor heap on hostile corpora
             self.memo.clear()
         texts = batch.column(self.text_col).to_pylist()
         token_lists = [sorted(self.shingler(t or "")) for t in texts]
-        sig = minhash_batch(token_lists, self.a, self.b, memo=self.memo, hashfunc=self.hashfunc)
+        sig = minhash_batch(
+            token_lists, self.a, self.b, memo=self.memo, hashfunc=self.hashfunc, scratch=self.scratch
+        )
         out = batch
         for c in self.drop_cols:
             if c in out.column_names:
