@@ -66,15 +66,35 @@ class SignatureStage:
         self.memo_cap = memo_cap
         self.hashfunc = hashfunc
         self.scratch: dict = {}  # reusable permute work buffers (minhash_batch)
+        # doc-level signature memo: identical shingle SETS yield identical
+        # signatures, and dedup corpora are duplicate-heavy by nature, so
+        # the permute is skipped for every repeat. Keyed by the exact
+        # joined shingle bytes (no hash-collision risk); ~1 KB/entry at
+        # 128 perms, bounded separately from the shingle memo.
+        self.sig_memo: dict = {}
+        self.sig_memo_cap = max(1024, min(memo_cap // 16, 65_536))  # ≤ ~64 MB/actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(self.memo) > self.memo_cap:  # bound actor heap on hostile corpora
             self.memo.clear()
         texts = batch.column(self.text_col).to_pylist()
         token_lists = [sorted(self.shingler(t or "")) for t in texts]
-        sig = minhash_batch(
-            token_lists, self.a, self.b, memo=self.memo, hashfunc=self.hashfunc, scratch=self.scratch
-        )
+        if len(self.sig_memo) > self.sig_memo_cap:
+            self.sig_memo.clear()
+        keys = [b"\x1f".join(toks) for toks in token_lists]
+        miss = [i for i, k in enumerate(keys) if k not in self.sig_memo]
+        if miss:
+            new_sig = minhash_batch(
+                [token_lists[i] for i in miss],
+                self.a,
+                self.b,
+                memo=self.memo,
+                hashfunc=self.hashfunc,
+                scratch=self.scratch,
+            )
+            for j, i in enumerate(miss):
+                self.sig_memo[keys[i]] = new_sig[j]
+        sig = np.stack([self.sig_memo[k] for k in keys]) if keys else np.empty((0, self.num_perm), np.uint64)
         out = batch
         for c in self.drop_cols:
             if c in out.column_names:
