@@ -208,9 +208,128 @@ def run_scaling() -> dict:
     }
 
 
+def run_components() -> dict:
+    """Driver-DSU vs forced-distributed connected components on the same
+    dedup-shaped edge list (VERDICT r02 item 1 evidence protocol).
+
+    Graph shape mirrors a near-dup pair table: overwhelmingly tiny
+    clusters (stars of 1-3 edges), a few hot stars (skew probes), and
+    one long chain (propagation-depth stress), with a 30% duplicate-edge
+    multiset on top (band/mode duplicates). Both paths run through
+    ``connected_components`` so the distinct-edge dedupe is billed to
+    each identically; labels are asserted identical."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    n_edges = int(os.environ.get("RAYDEDUP_CC_EDGES", "8000000"))
+    rng = np.random.default_rng(0)
+    next_id = 0
+
+    def take(n):
+        nonlocal next_id
+        out = np.arange(next_id, next_id + n, dtype=np.int64)
+        next_id += n
+        return out
+
+    ea, eb = [], []
+    # hot stars: 20 clusters of 5000 (bucket-cap skew shape)
+    for _ in range(20):
+        ids = take(5000)
+        ea.append(np.full(4999, ids[0]))
+        eb.append(ids[1:])
+    # one 100k chain (worst-case propagation depth)
+    chain = take(100_000)
+    ea.append(chain[:-1])
+    eb.append(chain[1:])
+    # tiny clusters of 2-4 for the remainder
+    remaining = n_edges - sum(len(x) for x in ea)
+    sizes = rng.integers(2, 5, size=remaining)  # edges per cluster = size-1
+    sizes = sizes[np.cumsum(sizes - 1) <= remaining]
+    ids = take(int(sizes.sum()))
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    roots = np.repeat(ids[starts], sizes - 1)
+    mask = np.ones(len(ids), dtype=bool)
+    mask[starts] = False
+    ea.append(roots)
+    eb.append(ids[mask])
+    a = np.concatenate(ea)
+    b = np.concatenate(eb)
+    n_distinct = len(a)
+    # 30% duplicate multiset (band/mode dup edges)
+    dup = rng.integers(0, len(a), size=len(a) // 3)
+    a = np.concatenate([a, a[dup]])
+    b = np.concatenate([b, b[dup]])
+    perm = rng.permutation(len(a))
+    ida = np.char.add("img", a[perm].astype("U9"))
+    idb = np.char.add("img", b[perm].astype("U9"))
+    table = pa.table({"id_a": pa.array(ida), "id_b": pa.array(idb)})
+
+    from raydedup.stages.components import connected_components
+    from raydedup.stages.grouped import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    edges = rd.from_arrow(table).materialize()
+    # warm the worker pool untimed
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda t: t, batch_format="pyarrow", num_cpus=1
+    ).count()
+
+    def run(max_driver: int):
+        t0 = time.perf_counter()
+        res = connected_components(edges, max_driver_edges=max_driver)
+        if hasattr(res, "to_arrow_refs"):
+            res = pa.concat_tables(ray.get(res.to_arrow_refs()))
+        return time.perf_counter() - t0, res
+
+    reps = int(os.environ.get("RAYDEDUP_CC_REPEATS", "2"))
+    t_drv, t_dist, labels = [], [], []
+    for _ in range(reps):  # alternate within one process (VM-noise protocol)
+        td, res_d = run(max_driver=2**62)
+        tx, res_x = run(max_driver=0)
+        t_drv.append(td)
+        t_dist.append(tx)
+        labels = [res_d, res_x]
+    import pandas as pd
+
+    def canon(t):
+        return t.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+    d, x = canon(labels[0]), canon(labels[1])
+    assert d.equals(x), "distributed labels != driver labels"
+    return {
+        "metric": "components_distributed_over_driver",
+        "value": round(min(t_dist) / min(t_drv), 3),
+        "unit": "ratio",
+        "driver_sec": round(min(t_drv), 3),
+        "distributed_sec": round(min(t_dist), 3),
+        "edges_multiset": len(a),
+        "distinct_edges": int(n_distinct),
+        "nodes": int(next_id),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--components" in sys.argv:
+        print(json.dumps(run_components()))
+        import ray
+
+        ray.shutdown()
     else:
         result = run_bench()
         print(json.dumps(result))

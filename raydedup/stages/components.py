@@ -56,15 +56,18 @@ class DSU:
 
 def components_driver(pairs_ds) -> pa.Table:
     """Collect the (bounded — ``max_driver_edges``) edge list and solve
-    CC with VECTORIZED min-label propagation: ids are interned with one
-    ``np.unique`` (codes are sort-ordered, so min code == min id), the
-    symmetric edge list is sorted ONCE, and each round is one gather +
-    ``np.minimum.reduceat`` + pointer jumping — O(E) numpy work per
-    round, O(log n) rounds. Tolerates duplicate edges (band
-    multiplicity). Returns (image_id, cluster_id) for every node that
-    appears in an edge, cluster id = min member id — identical labels
-    to the per-edge Python DSU this replaces (~5× faster at 600k
-    edges)."""
+    CC with a VECTORIZED hook-and-compress union-find (Shiloach–Vishkin
+    shape): each round fully path-compresses the parent forest
+    (pointer jumping), then hooks every edge's larger root onto the
+    smaller via one scatter-min, dropping edges whose endpoints already
+    share a root. Hooking onto the *minimum* adjacent root merges every
+    edge-bearing component with at least one other per round → O(log n)
+    rounds on ANY graph shape (a plain neighbor-min propagation is
+    O(diameter): ~28k rounds on a 100k-node chain vs 17 here).
+    Tolerates duplicate edges (band multiplicity). Returns
+    (image_id, cluster_id) for every node that appears in an edge,
+    cluster id = min member id — identical labels to the per-edge
+    Python DSU this replaces."""
     import numpy as np
 
     batches = [
@@ -85,26 +88,23 @@ def components_driver(pairs_ds) -> pa.Table:
     ids_dict = enc.dictionary  # V unique ids, first-occurrence order
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     e = len(t)
-    # symmetric adjacency, sorted once; segments = per-node neighbor runs
-    key = np.concatenate([codes[:e], codes[e:]])
-    val = np.concatenate([codes[e:], codes[:e]])
-    order = np.argsort(key, kind="stable")
-    sval = val[order]
-    skey = key[order]
-    seg = np.flatnonzero(np.concatenate(([True], skey[1:] != skey[:-1])))
-    # every code 0..V-1 appears in skey (each came from an edge), so
-    # reduceat segments align 1:1 with node codes
+    u, v = codes[:e], codes[e:]
     lab = np.arange(len(ids_dict), dtype=np.int64)
     while True:
-        new = np.minimum(lab, np.minimum.reduceat(lab[sval], seg))
-        while True:  # pointer jumping: labels are monotone (new[x] <= x)
-            nn = new[new]
-            if np.array_equal(nn, new):
+        while True:  # full path compression (lab is monotone: lab[x] <= x)
+            ll = lab[lab]
+            if np.array_equal(ll, lab):
                 break
-            new = nn
-        if np.array_equal(new, lab):
+            lab = ll
+        ru, rv = lab[u], lab[v]
+        act = ru != rv
+        if not act.any():
             break
-        lab = new
+        # merged endpoints stay merged — shrink the active edge set
+        u, v = u[act], v[act]
+        ru, rv = ru[act], rv[act]
+        # hook larger root onto the smallest adjacent root (scatter-min)
+        np.minimum.at(lab, np.maximum(ru, rv), np.minimum(ru, rv))
     # propagation labels are min-CODE (first-occurrence order, arbitrary);
     # the contract is min-ID — one Arrow group-min over (root, id) fixes
     # the representative per component
@@ -382,8 +382,118 @@ def components_distributed(
     # so the passes stay separately staged.
     fuse_below = 3_000_000
 
-    # --- phase 1: alternating star ---
+    # --- phase 0: degree-1 peel ---
+    # Dedup pair tables are dominated by edges whose child is a LEAF
+    # (exact-dup stars, capped hot buckets, substring containment stars,
+    # size-2 clusters): nodes that appear exactly once as a child and
+    # never as a parent. Such an edge can't influence any contraction —
+    # the child is the larger endpoint, so it is never a component min,
+    # and it connects nothing else — so it is EXACT to route it straight
+    # to the pointer-jump phase and run the star rounds only on the
+    # structural residue (on the 8M-edge bench graph this cuts the star
+    # phase from 8 rounds × 8M rows to 8 rounds × ~200k rows). One keyed
+    # shuffle per peel pass, which also performs the global edge dedupe;
+    # repeated while it keeps removing ≥30% of edges.
+    def _peel_block(block: pa.Table) -> pa.Table:
+        n = len(block)
+        if n == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], id_type),
+                    "p": pa.array([], id_type),
+                    "peel": pa.array([], pa.int8()),
+                }
+            )
+        block = block.sort_by(
+            [("k", "ascending"), ("s", "ascending"), ("p", "ascending")]
+        )
+        k = _flat(block.column("k"), id_type)
+        p = _flat(block.column("p"), id_type)
+        s = block.column("s").to_numpy(zero_copy_only=False)
+        if n > 1:
+            change = pc.not_equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            idx = np.nonzero(change)[0] + 1
+        else:
+            idx = np.empty(0, np.int64)
+        starts = np.concatenate(([0], idx))
+        ends = np.concatenate((idx, [n]))
+        run_of = np.repeat(np.arange(len(starts)), ends - starts)
+        child_np = s == 0  # child rows sort first within each run
+        # distinct (c, p) edges: child rows minus consecutive duplicates
+        # (all duplicates of an edge land in the child's run, adjacent
+        # after the sort — this pass doubles as the global edge dedupe)
+        dup = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_p = pc.equal(p.slice(1), p.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            dup[1:] = same_p & child_np[1:] & child_np[:-1] & (run_of[1:] == run_of[:-1])
+        distinct_child = child_np & ~dup
+        n_child = np.bincount(run_of[distinct_child], minlength=len(starts))
+        is_parent = np.bincount(run_of[~child_np], minlength=len(starts)) > 0
+        peelable = (n_child == 1) & ~is_parent
+        sel = np.nonzero(distinct_child)[0]
+        sel_pa = pa.array(sel)
+        return pa.table(
+            {
+                "c": k.take(sel_pa),
+                "p": p.take(sel_pa),
+                "peel": pa.array(peelable[run_of[sel]].astype(np.int8)),
+            }
+        )
+
+    def _peel_take(flag):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("peel"), flag)).select(["c", "p"])
+
+        return f
+
+    peeled_parts: list = []
+    peeled_rows = 0
     eds, rows = pairs_ds, n_edges
+    while rows:
+        def _peel_expand(t: pa.Table) -> pa.Table:
+            c, p = _canon_cols(t)
+            c, p = _flat(c, id_type), _flat(p, id_type)
+            n = len(c)
+            return pa.table(
+                {
+                    "k": pa.concat_arrays([c, p]),
+                    "p": pa.concat_arrays([p, c]),
+                    "s": pa.array(
+                        np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                    ),
+                }
+            )
+
+        t0 = _time.time()
+        out = staged(
+            eds.map_batches(_peel_expand, batch_format="pyarrow")
+            .repartition(_P(rows * 2), keys=["k"])
+            .map_batches(_peel_block, batch_size=None, batch_format="pyarrow")
+        )
+        kept = staged(out.map_batches(_peel_take(0), batch_format="pyarrow"))
+        kept_rows = kept.count()
+        n_peeled = out.count() - kept_rows
+        if n_peeled:
+            peeled_parts.append(out.map_batches(_peel_take(1), batch_format="pyarrow"))
+            peeled_rows += n_peeled
+        if stats is not None:
+            stats.append(
+                {
+                    "phase": "peel",
+                    "peeled": int(n_peeled),
+                    "kept": int(kept_rows),
+                    "sec": round(_time.time() - t0, 3),
+                }
+            )
+        prev_rows, eds, rows = rows, kept, kept_rows
+        if n_peeled < 0.3 * prev_rows:
+            break
+
+    # --- phase 1: alternating star ---
     converged = False
     for rnd in range(max_rounds):
         t0 = _time.time()
@@ -435,62 +545,73 @@ def components_distributed(
             }
         )
 
-    def _jump_block(block: pa.Table) -> pa.Table:
-        n = len(block)
-        if n == 0:
-            return pa.table(
-                {
-                    "c": pa.array([], id_type),
-                    "p": pa.array([], id_type),
-                    "fin": pa.array([], pa.int8()),
-                }
-            )
-        block = block.sort_by([("k", "ascending"), ("s", "ascending")])
-        k = _flat(block.column("k"), id_type)
-        c = _flat(block.column("c"), id_type)
-        p = _flat(block.column("p"), id_type)
-        s = block.column("s").to_numpy(zero_copy_only=False)
-        if n > 1:
-            change = pc.not_equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
-                zero_copy_only=False
-            )
-            idx = np.nonzero(change)[0] + 1
-        else:
-            idx = np.empty(0, np.int64)
-        starts = np.concatenate(([0], idx))
-        ends = np.concatenate((idx, [n]))
-        last = ends - 1
-        has_par = s[last] == 1  # self row sorts last in its run
-        g = p.take(pa.array(last))  # run node's own parent, where has_par
-        rep = np.repeat(np.arange(len(starts)), ends - starts)
-        edge_np = s == 0
-        hs_edge = has_par[rep][edge_np]
-        em = pa.array(edge_np)
-        g_edge = g.take(pa.array(rep[edge_np]))
-        p_out = pc.if_else(pa.array(hs_edge), g_edge, p.filter(em))
-        return pa.table(
-            {
-                "c": c.filter(em),
-                "p": p_out,
-                "fin": pa.array((~hs_edge).astype(np.int8)),
-            }
-        )
+    def _jump_block(pass_key: str):
+        # Pure pointer doubling — every record (c, p) is rewritten to
+        # (c, parent(p)) when p has a parent, else kept. NOTHING retires
+        # mid-phase: an earlier design finalized records whose parent had
+        # no self row in the group, but after a rewrite the new parent's
+        # own record may have finalized a round earlier, making "no self
+        # row" ambiguous (true root vs retired child) — on any forest of
+        # depth ≥ 3 that mislabels the chain tail (found by the peel
+        # phase, which routinely feeds depth-3 chains here). With the
+        # full record set present every round, absence of a self row
+        # proves a root, and the changed-counter reaching zero proves
+        # every parent is a root. Depth halves per round, so the loop is
+        # ~⌈log₂(forest depth)⌉ + 1 passes — and the peel/star phases
+        # keep that depth small (≤ peel passes + 2).
+        def per_block(block: pa.Table) -> pa.Table:
+            n = len(block)
+            if n == 0:
+                return pa.table({"c": pa.array([], id_type), "p": pa.array([], id_type)})
+            block = block.sort_by([("k", "ascending"), ("s", "ascending")])
+            k = _flat(block.column("k"), id_type)
+            c = _flat(block.column("c"), id_type)
+            p = _flat(block.column("p"), id_type)
+            s = block.column("s").to_numpy(zero_copy_only=False)
+            if n > 1:
+                change = pc.not_equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
+                    zero_copy_only=False
+                )
+                idx = np.nonzero(change)[0] + 1
+            else:
+                idx = np.empty(0, np.int64)
+            starts = np.concatenate(([0], idx))
+            ends = np.concatenate((idx, [n]))
+            last = ends - 1
+            has_par = s[last] == 1  # self row sorts last in its run
+            g = p.take(pa.array(last))  # run node's own parent, where has_par
+            rep = np.repeat(np.arange(len(starts)), ends - starts)
+            edge_np = s == 0
+            hs_edge = has_par[rep][edge_np]
+            em = pa.array(edge_np)
+            g_edge = g.take(pa.array(rep[edge_np]))
+            p_out = pc.if_else(pa.array(hs_edge), g_edge, p.filter(em))
+            chg = int(pc.sum(pc.not_equal(p_out, p.filter(em))).as_py() or 0)
+            if chg:
+                ray.get(counter.add.remote(pass_key, chg))
+            return pa.table({"c": c.filter(em), "p": p_out})
 
-    def _take(fin_val):
-        def f(t: pa.Table) -> pa.Table:
-            sub = t.filter(pc.equal(t.column("fin"), fin_val))
-            return sub.select(["c", "p"])
+        return per_block
 
-        return f
-
-    if converged:
+    if converged and not peeled_parts:
         finals.append(eds)  # already stars; children globally unique
     else:
+        # peeled children are globally unique and absent from the star
+        # edges (degree-1 by construction), so the union is still a
+        # forest and the jump loop resolves peeled chains exactly
         active, act_rows = eds, rows
+        for pp_ds in peeled_parts:
+            active = active.union(pp_ds)
+        if peeled_parts:
+            active = staged(active)
+            act_rows = rows + peeled_rows
         for j in range(max_rounds):
             if act_rows == 0:
                 break
             if act_rows <= driver_finish_rows:
+                # the full record set is in `active` (no mid-phase
+                # retirement), so the driver dictionary is complete:
+                # any parent missing from it is a true root
                 t0 = _time.time()
                 driver_part = _driver_flatten(active, id_type)
                 if stats is not None:
@@ -503,23 +624,25 @@ def components_distributed(
                     )
                 break
             t0 = _time.time()
-            out = staged(
+            pass_key = f"j{j}"
+            active = staged(
                 active.map_batches(_jump_expand, batch_format="pyarrow")
                 .repartition(_P(act_rows * 2), keys=["k"])
-                .map_batches(_jump_block, batch_size=None, batch_format="pyarrow")
+                .map_batches(_jump_block(pass_key), batch_size=None, batch_format="pyarrow")
             )
-            finals.append(out.map_batches(_take(1), batch_format="pyarrow"))
-            active = staged(out.map_batches(_take(0), batch_format="pyarrow"))
-            act_rows = active.count()
+            chg = ray.get(counter.get.remote(pass_key))
             if stats is not None:
                 stats.append(
                     {
                         "phase": "jump",
                         "round": j,
                         "sec": round(_time.time() - t0, 3),
-                        "active_rows": act_rows,
+                        "changed": chg,
                     }
                 )
+            if chg == 0:  # every parent is a root
+                finals.append(active)
+                break
         else:
             raise RuntimeError("components_distributed: jump phase did not converge")
 

@@ -87,6 +87,44 @@ def test_distributed_components_chain(ray_session):
     assert (got["cluster_id"] == 0).all()
 
 
+def test_driver_components_chain_scales_logarithmically(ray_session):
+    """Driver kernel on a 100k-node path with scrambled codes: plain
+    neighbor-min propagation needs ~n/4 rounds here (145 s measured);
+    hook-to-min + full compression converges in O(log n). Equality vs
+    the per-edge Python DSU is asserted on a prefix; the full run just
+    has to finish fast."""
+    import time
+
+    import ray.data as rd
+
+    from raydedup.stages.components import DSU, components_driver
+
+    n = 100_000
+    rng = np.random.default_rng(3)
+    name = rng.permutation(n)  # scrambled ids → worst-case label order
+    edges = pa.table(
+        {
+            "id_a": pa.array([f"img{name[i]:06d}" for i in range(n - 1)]),
+            "id_b": pa.array([f"img{name[i]:06d}" for i in range(1, n)]),
+        }
+    )
+    # prefix equality vs DSU
+    k = 2000
+    sl = edges.slice(0, k)
+    dsu = DSU()
+    for x, y in zip(sl.column("id_a").to_pylist(), sl.column("id_b").to_pylist()):
+        dsu.union(x, y)
+    got = components_driver(rd.from_arrow(sl))
+    gd = dict(zip(got.column("image_id").to_pylist(), got.column("cluster_id").to_pylist()))
+    assert gd == dsu.labels()
+    # full path: one component, wall bounded (pre-fix: minutes)
+    t0 = time.perf_counter()
+    full = components_driver(rd.from_arrow(edges))
+    assert time.perf_counter() - t0 < 20.0
+    assert full.num_rows == n
+    assert len(set(full.column("cluster_id").to_pylist())) == 1
+
+
 def test_bucket_cap_star_is_component_equivalent(ray_session):
     """Buckets above bucket_cap emit a star instead of O(m²) pairs —
     same connected components, far fewer edges."""
@@ -110,6 +148,33 @@ def test_bucket_cap_star_is_component_equivalent(ray_session):
     lab_full = components_driver(full).to_pandas()
     lab_star = components_driver(star).to_pandas()
     assert lab_full.equals(lab_star)
+
+
+def test_distributed_jump_deep_forest(ray_session):
+    """Regression: many ascending 4-node paths peel into depth-3 parent
+    chains that reach the jump phase. The old jump loop retired records
+    whose parent lacked a self row, so a record rewritten onto a parent
+    that finalized one round earlier was mislabeled with the stale
+    parent (tail of every chain got its grandparent, not the root).
+    ``driver_finish_rows=0`` forces the fully distributed endgame."""
+    import ray.data as rd
+
+    from raydedup.stages.components import components_distributed, components_driver
+
+    a, b = [], []
+    for k in range(50):  # paths n0<n1<n2<n3
+        ids = [f"n{k:03d}{j}" for j in range(4)]
+        a += ids[:-1]
+        b += ids[1:]
+    edges = pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+    want = components_driver(rd.from_arrow(edges)).to_pandas()
+    got = (
+        components_distributed(rd.from_arrow(edges), num_partitions=4, driver_finish_rows=0)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want.sort_values("image_id").reset_index(drop=True))
 
 
 def test_distributed_components_string_ids(ray_session):
