@@ -88,20 +88,17 @@ def shingle_df_sketch_aggregate(text_col: str, n: int, depth: int = 4, log2_widt
     from ray.data.aggregate import AggregateFn
     from ray.data.block import BlockAccessor
 
-    from raydedup.hashing import hash_bytes64, word_ngram_shingles
+    from raydedup.suffix import flat_ngram_hashes64, unique_per_row
 
     def accumulate_block(state: np.ndarray, block) -> np.ndarray:
-        texts = BlockAccessor.for_block(block).to_arrow().column(text_col).to_pylist()
-        cms = CountMinSketch(depth, log2_width, counts=state)
-        memo: dict = {}
-        all_hashes = []
-        for t in texts:
-            sh = word_ngram_shingles(t or "", n=n)
-            if sh:
-                all_hashes.append(hash_bytes64(sorted(sh), memo))
-        if all_hashes:
-            cms.add_hashes(np.concatenate(all_hashes))
-        return cms.counts
+        col = BlockAccessor.for_block(block).to_arrow().column(text_col)
+        cnt, w = flat_ngram_hashes64(col, n)
+        _, uniq = unique_per_row(cnt, w)  # DF = one count per doc, not TF
+        if len(uniq):
+            cms = CountMinSketch(depth, log2_width, counts=state)
+            cms.add_hashes(uniq)
+            return cms.counts
+        return state
 
     return AggregateFn(
         init=lambda k: np.zeros((depth, 1 << log2_width), dtype=np.uint32),

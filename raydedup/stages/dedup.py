@@ -653,15 +653,13 @@ def _shingle_blob_table(slim_ds, id_col: str, text_col: str, n: int):
     """(image_key, sigblob) table: sorted-unique uint64 shingle hashes
     packed to bytes — the per-doc set representation that transits the
     verification joins (8 bytes/shingle, shipped once per side)."""
-    from raydedup.hashing import hash_bytes64, word_ngram_shingles
+    from raydedup.suffix import flat_ngram_hashes64, unique_per_row
 
     def pack(batch: pa.Table) -> pa.Table:
-        memo: dict = {}
-        blobs = []
-        for t in batch.column(text_col).to_pylist():
-            sh = word_ngram_shingles(t or "", n=n)
-            hs = np.unique(hash_bytes64(sorted(sh), memo)) if sh else np.empty(0, np.uint64)
-            blobs.append(hs.tobytes())
+        cnt, w = flat_ngram_hashes64(batch.column(text_col), n)
+        ucnt, uniq = unique_per_row(cnt, w)  # sorted ascending per row
+        off = np.cumsum(ucnt) - ucnt
+        blobs = [uniq[o : o + c].tobytes() for o, c in zip(off, ucnt)]
         return pa.table(
             {"image_key": batch.column(id_col), "sigblob": pa.array(blobs, pa.binary())}
         )
@@ -854,8 +852,8 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: f
     import ray
 
     from raydedup.cms import CountMinSketch, build_df_sketch
-    from raydedup.hashing import hash_bytes64, word_ngram_shingles
     from raydedup.stages.grouped import auto_partitions, ensure_hash_shuffle, map_key_runs
+    from raydedup.suffix import flat_ngram_hashes64, unique_per_row
 
     ensure_hash_shuffle()
     slim = ds.select_columns([id_col, text_col])
@@ -867,25 +865,28 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: f
     cms_ref = ray.put(cms_counts)
 
     def prefix_explode(batch: pa.Table) -> pa.Table:
+        # one vectorized pass for the whole batch: flat window hashes →
+        # per-row distinct → one CMS estimate call → one global lexsort
+        # by (row, df, hash) → keep each row's first ⌊len·(1-t)⌋+1
         cms = CountMinSketch(counts=ray.get(cms_ref))
-        memo: dict = {}
-        out_id, out_anchor = [], []
-        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            sh = word_ngram_shingles(t or "", n=n)
-            if not sh:
-                continue
-            hs = np.unique(hash_bytes64(sorted(sh), memo))
-            df = cms.estimate(hs)
-            order = np.lexsort((hs, df))  # rare-first, hash tie-break
-            plen = int(len(hs) * (1.0 - threshold)) + 1
-            pre = hs[order[:plen]]
-            out_id.extend([i] * len(pre))
-            out_anchor.append(pre)
-        anchors = np.concatenate(out_anchor) if out_anchor else np.empty(0, np.uint64)
+        cnt, w = flat_ngram_hashes64(batch.column(text_col), n)
+        ucnt, hs = unique_per_row(cnt, w)
+        if len(hs) == 0:
+            return pa.table(
+                {id_col: pa.array([], id_type), "anchor": pa.array([], pa.uint64())}
+            )
+        rid = np.repeat(np.arange(len(ucnt), dtype=np.int64), ucnt)
+        df = cms.estimate(hs)
+        order = np.lexsort((hs, df, rid))  # per row: rare-first, hash tie-break
+        pos = np.arange(len(hs), dtype=np.int64) - np.repeat(
+            np.cumsum(ucnt) - ucnt, ucnt
+        )
+        plen = (ucnt * (1.0 - threshold)).astype(np.int64) + 1
+        keep = order[pos < plen[rid[order]]]
         return pa.table(
             {
-                id_col: pa.array(out_id, id_type),
-                "anchor": pa.array(anchors, pa.uint64()),
+                id_col: batch.column(id_col).take(pa.array(rid[keep])),
+                "anchor": pa.array(hs[keep], pa.uint64()),
             }
         )
 
@@ -907,7 +908,13 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: f
             a = b = []
         return pa.table({"id_a": pa.array(a, id_type), "id_b": pa.array(b, id_type)})
 
-    pairs = map_key_runs(exploded, "anchor", pairs_in_runs, num_partitions)
+    from raydedup.stages.grouped import staged
+
+    # pin the candidate table: the anchor shuffle and the verify-side
+    # dedupe shuffle must not be live in one plan (two concurrent
+    # HashShuffleOperators run ~2× slower — round-2 notes); measured
+    # 10 s → 4.5 s on the sf0.1 query
+    pairs = staged(map_key_runs(exploded, "anchor", pairs_in_runs, num_partitions))
 
     def jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
         inter = len(np.intersect1d(sa, sb, assume_unique=True))

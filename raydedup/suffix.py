@@ -252,3 +252,51 @@ def poly_prefix_sums(hv: np.ndarray, binv_pow: np.ndarray) -> np.ndarray:
     s = np.zeros(len(hv) + 1, dtype=np.uint64)
     np.cumsum(hv * binv_pow[: len(hv)], out=s[1:])
     return s
+
+
+def flat_ngram_hashes64(col, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row word n-gram window hashes over LOWERCASED whitespace
+    tokens, fully vectorized: returns ``(per-row n-gram counts int64,
+    flat uint64 window-hash array)``. The window hash is the
+    position-independent polynomial combination of per-token xxhash64
+    values — set-equivalent to hashing the space-joined shingle string
+    (modulo 64-bit collisions), which is all the n-gram Jaccard
+    pipeline needs (its DuckDB oracle constrains the verified pair set,
+    not hash values). Replaces the per-doc Python shingle loop that was
+    the pipeline's hottest kernel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens, flat = split_ws_tokens(pc.utf8_lower(col))
+    cnt = np.maximum(lens - (n - 1), 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return cnt, np.empty(0, np.uint64)
+    hv = flat_token_hashes64(flat)
+    bpow, binv = poly_powers(len(hv))
+    s = poly_prefix_sums(hv, binv)
+    off = np.cumsum(lens) - lens
+    # ragged arange: global window-start index for every (row, window)
+    starts = np.repeat(off, cnt) + (
+        np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    )
+    # H(i, i+n) = (S[i+n] - S[i]) · B^(i+n-1): windows never cross row
+    # boundaries because starts stay within [off, off+len-n]
+    w = (s[starts + n] - s[starts]) * bpow[starts + n - 1]
+    return cnt, w
+
+
+def unique_per_row(cnt: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deduplicate a ragged uint64 array within each row: returns
+    ``(per-row distinct counts, flat values sorted ascending within each
+    row)`` — one global lexsort instead of a per-row ``np.unique``."""
+    if len(h) == 0:
+        return np.zeros(len(cnt), dtype=np.int64), h
+    rid = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    order = np.lexsort((h, rid))
+    hs, rs = h[order], rid[order]
+    keep = np.ones(len(hs), dtype=bool)
+    keep[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+    return np.bincount(rs[keep], minlength=len(cnt)).astype(np.int64), hs[keep]
