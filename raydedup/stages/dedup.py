@@ -887,21 +887,41 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: f
             {
                 id_col: batch.column(id_col).take(pa.array(rid[keep])),
                 "anchor": pa.array(hs[keep], pa.uint64()),
+                # set size rides along (4 B/row) for the length filter
+                "sz": pa.array(ucnt[rid[keep]].astype(np.uint32)),
             }
         )
 
     exploded = slim.map_batches(prefix_explode, batch_format="pyarrow")
 
     def pairs_in_runs(block: pa.Table, starts, ends) -> pa.Table:
+        # AllPairs LENGTH filter: J(A,B) ≥ t ⇒ min(|A|,|B|) ≥ t·max
+        # (since |A∩B| ≤ min and |A∪B| ≥ max). Each anchor run is sorted
+        # by set size; doc i only pairs with the window of docs whose
+        # size ≤ sz[i]/t — a hot anchor shared by m near-uniform-size
+        # docs still emits its pairs, but size-skewed floods collapse
+        # from O(m²) to the qualifying windows.
         ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        szs = block.column("sz").to_numpy(zero_copy_only=False).astype(np.float64)
         a_out, b_out = [], []
         for s, e in zip(starts, ends):
-            run = np.unique(ids[s:e])
-            if len(run) < 2:
+            if e - s < 2:
                 continue
-            iu = np.triu_indices(len(run), 1)
-            a_out.append(run[iu[0]])
-            b_out.append(run[iu[1]])
+            rid = ids[s:e]
+            rsz = szs[s:e]
+            o = np.argsort(rsz, kind="stable")
+            rid, rsz = rid[o], rsz[o]
+            hi = np.searchsorted(rsz, rsz / threshold, side="right")
+            cnt = np.maximum(hi - np.arange(len(rsz)) - 1, 0)
+            total = int(cnt.sum())
+            if not total:
+                continue
+            ai = np.repeat(np.arange(len(rsz)), cnt)
+            bj = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt) + ai + 1
+            pa_, pb_ = rid[ai], rid[bj]
+            ne = pa_ != pb_  # defensive: never emit a self-pair
+            a_out.append(np.minimum(pa_[ne], pb_[ne]))
+            b_out.append(np.maximum(pa_[ne], pb_[ne]))
         if a_out:
             a, b = np.concatenate(a_out), np.concatenate(b_out)
         else:
