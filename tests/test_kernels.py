@@ -222,3 +222,44 @@ def test_short_doc_shingles_empty():
     assert word_ngram_shingles("one two", n=3) == set()
     assert word_ngram_shingles("", n=3) == set()
     assert word_ngram_shingles("a b c", n=3) == {b"a b c"}
+
+
+def test_flat_ngram_hashes_match_python_shingles():
+    """Vectorized window hashing is set-equivalent to the Python
+    shingler: same distinct count per row, and equal shingle strings
+    map to equal hashes ACROSS rows (randomized corpus)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raydedup.hashing import word_ngram_shingles
+    from raydedup.suffix import flat_ngram_hashes64, unique_per_row
+
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(30)] + ["W3", "ACCENTé", "x" * 40]
+    texts = []
+    for _ in range(200):
+        k = int(rng.integers(0, 12))
+        texts.append(" " * int(rng.integers(0, 3)) + "  ".join(rng.choice(vocab, k)))
+    texts += ["", None, "one two", "a b c", "A  B\tC\nD"]
+    col = pa.array(texts, pa.string())
+    for n in (1, 2, 3):
+        cnt, w = flat_ngram_hashes64(col, n)
+        ucnt, uw = unique_per_row(cnt, w)
+        off = np.cumsum(ucnt) - ucnt
+        for i, t in enumerate(texts):
+            sh = word_ngram_shingles(t or "", n=n)
+            assert ucnt[i] == len(sh), (n, i, t)
+            row = np.sort(uw[off[i] : off[i] + ucnt[i]])
+            assert (row == uw[off[i] : off[i] + ucnt[i]]).all()  # sorted per row
+        # cross-row consistency: rows sharing shingle strings share hashes
+        a = pa.array(["the quick brown fox", "the quick brown cat"], pa.string())
+        c2, w2 = flat_ngram_hashes64(a, n)
+        u2c, u2 = unique_per_row(c2, w2)
+        o2 = np.cumsum(u2c) - u2c
+        r0 = set(u2[o2[0] : o2[0] + u2c[0]])
+        r1 = set(u2[o2[1] : o2[1] + u2c[1]])
+        shared = len(
+            word_ngram_shingles("the quick brown fox", n)
+            & word_ngram_shingles("the quick brown cat", n)
+        )
+        assert len(r0 & r1) == shared
