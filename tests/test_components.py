@@ -177,6 +177,63 @@ def test_distributed_jump_deep_forest(ray_session):
     assert got.equals(want.sort_values("image_id").reset_index(drop=True))
 
 
+def test_distributed_components_random_stress(ray_session):
+    """Randomized parity vs the Python DSU across the shapes that broke
+    earlier designs: mixed stars + chains + random blobs + duplicate
+    edges + reversed orientations, on both endgames (driver finish and
+    fully distributed jump)."""
+    import ray.data as rd
+
+    from raydedup.stages.components import DSU, components_distributed
+
+    rng = np.random.default_rng(17)
+    a_parts, b_parts = [], []
+    nid = 0
+
+    def take(k):
+        nonlocal nid
+        out = np.arange(nid, nid + k)
+        nid += k
+        return out
+
+    for _ in range(8):  # stars
+        s = take(int(rng.integers(2, 30)))
+        a_parts += [np.full(len(s) - 1, s[0])]
+        b_parts += [s[1:]]
+    for _ in range(4):  # chains (scrambled ids)
+        c = rng.permutation(take(int(rng.integers(5, 40))))
+        a_parts += [c[:-1]]
+        b_parts += [c[1:]]
+    blob = take(60)  # random blob
+    a_parts += [rng.choice(blob, 80)]
+    b_parts += [rng.choice(blob, 80)]
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    dup = rng.integers(0, len(a), len(a) // 2)  # duplicates, half reversed
+    a, b = np.concatenate([a, b[dup]]), np.concatenate([b, a[dup]])
+    ids_a = [f"s{x:05d}" for x in a]
+    ids_b = [f"s{x:05d}" for x in b]
+    edges = pa.table({"id_a": pa.array(ids_a), "id_b": pa.array(ids_b)})
+
+    dsu = DSU()
+    for x, y in zip(ids_a, ids_b):
+        dsu.union(x, y)
+    want = dict(sorted(dsu.labels().items()))
+
+    for finish_rows in (4_000_000, 0):
+        got_tbl = (
+            components_distributed(
+                rd.from_arrow(edges), num_partitions=4, driver_finish_rows=finish_rows
+            )
+            .to_pandas()
+            .sort_values("image_id")
+        )
+        got = dict(zip(got_tbl["image_id"], got_tbl["cluster_id"]))
+        assert got == want, f"finish_rows={finish_rows}"
+
+
 def test_distributed_components_string_ids(ray_session):
     """The flagship id column is a STRING — the distributed path (and
     its fixpoint test) must work on non-numeric ids."""
