@@ -193,6 +193,26 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
     # never duplicated per branch.
     signatures = ck.run("signatures", build_signatures)
 
+    if signatures.count() == 0:
+        # empty corpus: Ray Data reports schema()=None for an empty
+        # materialized dataset, which the pair stages can't type against
+        # — short-circuit with the canonical empty result instead
+        import ray.data as rd
+
+        empty_pairs = pa.table(
+            {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())}
+        )
+        empty_clusters = pa.table(
+            {"image_id": pa.array([], pa.string()), "cluster_id": pa.array([], pa.string())}
+        )
+        ck.flush_metrics()
+        return {
+            "signatures": signatures,
+            "pairs": rd.from_arrow(empty_pairs),
+            "clusters": empty_clusters,
+            "metrics": ck.metrics,
+        }
+
     # Candidate generation: MinHash bands + Hamming-verified SimHash
     # bands + exact content-hash groups share ONE unified (id, bucket,
     # aux, mode) table and ONE shuffle (stages/bands.fused_candidate_pairs)

@@ -331,3 +331,33 @@ def test_substring_prefilter_parity(ray_session, corpus):
     on = {tuple(r) for r in substring_pairs(ds, "image_id", "caption", prefilter=True).to_pandas().values.tolist()}
     off = {tuple(r) for r in substring_pairs(ds, "image_id", "caption", prefilter=False).to_pandas().values.tolist()}
     assert on == off and len(on) > 0
+
+
+def test_pipeline_degenerate_inputs(ray_session):
+    """Empty and single-row corpora short-circuit cleanly (an empty
+    materialized dataset has schema()=None, which used to crash the
+    substring stage's type lookup)."""
+    import ray.data as rd
+
+    from raydedup.pipeline import DedupConfig, dedup_pipeline
+
+    empty = pa.table(
+        {
+            "image_id": pa.array([], pa.string()),
+            "caption": pa.array([], pa.string()),
+            "phash": pa.array([], pa.int64()),
+        }
+    )
+    single = pa.table(
+        {
+            "image_id": pa.array(["a"]),
+            "caption": pa.array(["hello world foo bar"]),
+            "phash": pa.array([5], pa.int64()),
+        }
+    )
+    for t in (empty, single):
+        out = dedup_pipeline(rd.from_arrow(t), DedupConfig(signature_concurrency=2))
+        clusters = out["clusters"]
+        n = clusters.num_rows if hasattr(clusters, "num_rows") else clusters.count()
+        assert n == 0
+        assert out["pairs"].count() == 0
