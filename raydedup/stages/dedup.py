@@ -699,7 +699,22 @@ def _pair_set_verify(
     from raydedup.stages.grouped import map_key_runs, staged, unique_rows_partitioned
 
     pairs = staged(pairs)  # candidate shuffle finishes before the joins start
-    id_type = pairs.schema().base_schema.field("id_a").type
+    psch = pairs.schema()
+    if psch is None:  # no candidates at all (empty corpus): empty result
+        import ray.data as rd
+
+        ssch = slim_ds.schema()
+        id_t = ssch.base_schema.field(id_col).type if ssch is not None else pa.string()
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], id_t),
+                    "id_b": pa.array([], id_t),
+                    score_col: pa.array([], pa.float64()),
+                }
+            )
+        )
+    id_type = psch.base_schema.field("id_a").type
     blobs = _shingle_blob_table(slim_ds, id_col, text_col, n)
 
     if slim_ds.count() <= broadcast_limit_rows:
@@ -857,7 +872,20 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: f
 
     ensure_hash_shuffle()
     slim = ds.select_columns([id_col, text_col])
-    id_type = ds.schema().base_schema.field(id_col).type
+    sch = ds.schema()
+    if sch is None:  # empty dataset reports no schema
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.string()),
+                    "id_b": pa.array([], pa.string()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    id_type = sch.base_schema.field(id_col).type
     if num_partitions is None:
         num_partitions = auto_partitions(slim)
 

@@ -361,3 +361,25 @@ def test_pipeline_degenerate_inputs(ray_session):
         n = clusters.num_rows if hasattr(clusters, "num_rows") else clusters.count()
         assert n == 0
         assert out["pairs"].count() == 0
+
+
+def test_stage_functions_accept_empty_inputs(ray_session):
+    """Library users call the stage functions directly — empty datasets
+    (whose materialized form reports schema()=None) must yield empty
+    results, not AttributeErrors."""
+    import ray.data as rd
+
+    import raydedup.stages.dedup as dd
+    from raydedup.stages.components import connected_components
+
+    ed = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    assert dd.exact_dedup(ed, ["text"], "doc_id").count() == 0
+    assert dd.exact_dup_pairs(ed, ["text"], "doc_id").count() == 0
+    assert dd.substring_pairs(ed, "doc_id", "text").count() == 0
+    assert dd.ngram_jaccard_pairs(ed, "doc_id", "text").count() == 0
+    ee = rd.from_arrow(
+        pa.table({"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())})
+    )
+    assert connected_components(ee).num_rows == 0
