@@ -48,6 +48,22 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10, id_col: str = "vec
     from raydedup.stages.grouped import tune_for_session
 
     tune_for_session(ds)
+    sch = ds.schema()
+    if sch is None or ds.count() == 0:
+        # empty corpus: map_batches skips empty blocks entirely, so the
+        # pre-UDF schema would reach the groupby and crash unification
+        import ray.data as rd
+
+        id_t = sch.base_schema.field(id_col).type if sch is not None else pa.int64()
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    id_col: pa.array([], id_t),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        )
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     qref = ray.put(q)
 
