@@ -532,15 +532,36 @@ def components_distributed(
     driver_part = None
 
     def _jump_expand(t: pa.Table) -> pa.Table:
+        # Every record emits an edge row (queries its parent's group);
+        # self rows — which tell OTHER records "my child has a parent" —
+        # are emitted only for leaf=0 records. A leaf=1 record's child
+        # was peeled in pass 0 because it is nobody's parent in the FULL
+        # original graph (a global, permanent property), so no edge row
+        # can ever query it: dropping its self row halves the jump
+        # volume on star-shaped dedup graphs with zero information loss.
+        # (Pass ≥1 peels are leaf only w.r.t. the残 kept graph — earlier
+        # peeled edges may point at them — so they stay leaf=0.)
         c, p = _flat(t.column("c"), id_type), _flat(t.column("p"), id_type)
         n = len(c)
+        if "leaf" in t.column_names:
+            # fill_null(0): schema unification across an empty pass-through
+            # block can surface the column as all-null
+            lf = (
+                pc.fill_null(t.column("leaf"), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int8)
+            )
+        else:
+            lf = np.zeros(n, np.int8)
+        sel = pa.array(np.flatnonzero(lf == 0))
         return pa.table(
             {
-                "k": pa.concat_arrays([p, c]),
-                "c": pa.concat_arrays([c, c]),
-                "p": pa.concat_arrays([p, p]),
+                "k": pa.concat_arrays([p, c.take(sel)]),
+                "c": pa.concat_arrays([c, c.take(sel)]),
+                "p": pa.concat_arrays([p, p.take(sel)]),
+                "leaf": pa.array(np.concatenate([lf, np.zeros(len(sel), np.int8)])),
                 "s": pa.array(
-                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                    np.concatenate([np.zeros(n, np.int8), np.ones(len(sel), np.int8)])
                 ),
             }
         )
@@ -562,7 +583,7 @@ def components_distributed(
         def per_block(block: pa.Table) -> pa.Table:
             n = len(block)
             if n == 0:
-                return pa.table({"c": pa.array([], id_type), "p": pa.array([], id_type)})
+                return pa.table({"c": pa.array([], id_type), "p": pa.array([], id_type), "leaf": pa.array([], pa.int8())})
             block = block.sort_by([("k", "ascending"), ("s", "ascending")])
             k = _flat(block.column("k"), id_type)
             c = _flat(block.column("c"), id_type)
@@ -589,7 +610,9 @@ def components_distributed(
             chg = int(pc.sum(pc.not_equal(p_out, p.filter(em))).as_py() or 0)
             if chg:
                 ray.get(counter.add.remote(pass_key, chg))
-            return pa.table({"c": c.filter(em), "p": p_out})
+            return pa.table(
+                {"c": c.filter(em), "p": p_out, "leaf": block.column("leaf").filter(em)}
+            )
 
         return per_block
 
@@ -598,10 +621,26 @@ def components_distributed(
     else:
         # peeled children are globally unique and absent from the star
         # edges (degree-1 by construction), so the union is still a
-        # forest and the jump loop resolves peeled chains exactly
-        active, act_rows = eds, rows
-        for pp_ds in peeled_parts:
-            active = active.union(pp_ds)
+        # forest and the jump loop resolves peeled chains exactly.
+        # leaf=1 marks PASS-0 peeled records only: their children are
+        # nobody's parent in the full original graph, so their self rows
+        # can be skipped forever (see _jump_expand). Later passes peel
+        # relative to the reduced graph and stay leaf=0.
+        def _with_leaf(flag: int):
+            def f(t: pa.Table) -> pa.Table:
+                import numpy as _np
+
+                return t.append_column(
+                    "leaf", pa.array(_np.full(len(t), flag, dtype=_np.int8))
+                )
+
+            return f
+
+        active, act_rows = eds.map_batches(_with_leaf(0), batch_format="pyarrow"), rows
+        for i, pp_ds in enumerate(peeled_parts):
+            active = active.union(
+                pp_ds.map_batches(_with_leaf(1 if i == 0 else 0), batch_format="pyarrow")
+            )
         if peeled_parts:
             active = staged(active)
             act_rows = rows + peeled_rows
@@ -641,7 +680,9 @@ def components_distributed(
                     }
                 )
             if chg == 0:  # every parent is a root
-                finals.append(active)
+                # select_columns (a projection, not a skippable UDF)
+                # restores the (c, p) schema for the finalize union
+                finals.append(active.select_columns(["c", "p"]))
                 break
         else:
             raise RuntimeError("components_distributed: jump phase did not converge")
