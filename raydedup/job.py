@@ -90,8 +90,10 @@ def main(argv: list[str] | None = None) -> dict:
     owns_session = not ray.is_initialized()
     if owns_session:
         # Under `ray job submit` RAY_ADDRESS points at the cluster and
-        # this attaches; standalone it starts a local session.
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"), ignore_reinit_error=True)
+        # ray.init() (which honors that env var itself) attaches;
+        # standalone — no cluster, no env var — it starts a local
+        # session. address="auto" would raise instead of falling back.
+        ray.init(ignore_reinit_error=True)
 
     from raydedup.pipeline import dedup_pipeline
     from raydedup.schema import read_dataset

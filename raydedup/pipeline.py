@@ -196,14 +196,23 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
     if signatures.count() == 0:
         # empty corpus: Ray Data reports schema()=None for an empty
         # materialized dataset, which the pair stages can't type against
-        # — short-circuit with the canonical empty result instead
+        # — short-circuit with the canonical empty result instead. The
+        # id type comes from the (still schema-bearing) INPUT dataset so
+        # a non-string id column keeps a union-compatible empty schema
+        # (ADVICE r03; matches the ann.py empty path).
         import ray.data as rd
 
+        in_sch = ds.schema()
+        id_t = (
+            in_sch.base_schema.field(cfg.id_col).type
+            if in_sch is not None and cfg.id_col in in_sch.base_schema.names
+            else pa.string()
+        )
         empty_pairs = pa.table(
-            {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())}
+            {"id_a": pa.array([], id_t), "id_b": pa.array([], id_t)}
         )
         empty_clusters = pa.table(
-            {"image_id": pa.array([], pa.string()), "cluster_id": pa.array([], pa.string())}
+            {"image_id": pa.array([], id_t), "cluster_id": pa.array([], id_t)}
         )
         ck.flush_metrics()
         return {

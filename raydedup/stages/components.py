@@ -219,13 +219,17 @@ def components_distributed(
 
     **Forest endgame:** the moment a small-star pass no-ops, the state
     is a parent forest, and the remaining work (flattening chains) is
-    pointer jumping — done here with PEELING: each jump pass rewrites
-    ``(c, u) → (c, parent(u))`` and finalizes edges whose parent is a
-    root; settled edges leave the iteration, so the active set shrinks
-    geometrically instead of reshuffling all n edges O(log depth)
-    times. A remainder below ``driver_finish_rows`` (slim 2-column
-    rows; the default bounds driver memory to ~100 MB) is flattened on
-    the driver in one dictionary chase — pass 0 to force the fully
+    pure pointer DOUBLING: each jump pass rewrites ``(c, u) → (c,
+    parent(u))`` for every record at once — nothing is retired
+    mid-loop (an early-retirement rule mislabels depth-≥3 forests
+    whose retired records hold stale parents), so the active set stays
+    constant and the loop stops when a pass changes zero parents
+    (depth halves each pass ⇒ O(log depth) passes). Records peeled in
+    pass 0 (globally never parents) skip their self rows, halving jump
+    bytes on star-shaped dedup graphs. If at jump-phase ENTRY the whole
+    record set fits under ``driver_finish_rows`` (slim 2-column rows;
+    the default bounds driver memory to ~100 MB) it is flattened on the
+    driver in one dictionary chase instead — pass 0 to force the fully
     distributed endgame.
 
     Returns a Dataset (image_id, cluster_id); like the driver path,
@@ -539,7 +543,7 @@ def components_distributed(
         # original graph (a global, permanent property), so no edge row
         # can ever query it: dropping its self row halves the jump
         # volume on star-shaped dedup graphs with zero information loss.
-        # (Pass ≥1 peels are leaf only w.r.t. the残 kept graph — earlier
+        # (Pass ≥1 peels are leaf only w.r.t. the residual kept graph — earlier
         # peeled edges may point at them — so they stay leaf=0.)
         c, p = _flat(t.column("c"), id_type), _flat(t.column("p"), id_type)
         n = len(c)
