@@ -667,6 +667,45 @@ def _shingle_blob_table(slim_ds, id_col: str, text_col: str, n: int):
     return slim_ds.map_batches(pack, batch_format="pyarrow")
 
 
+def _blob_values(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Flat uint64 values + per-row set sizes of a binary column whose
+    rows are packed little-endian uint64 buffers. Zero-copy: reads the
+    Arrow offsets/data buffers directly (binary offsets are monotonic,
+    so ``data[off[0]:off[-1]]`` IS the row-order concatenation); null
+    rows read as empty sets."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, np.uint64), np.zeros(0, np.int64)
+    off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], off_dt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = np.frombuffer(buf, np.uint8) if buf is not None else np.empty(0, np.uint8)
+    flat = np.ascontiguousarray(data[off[0] : off[-1]])
+    return flat.view(np.uint64), (off[1:] - off[:-1]) // 8
+
+
+def _batch_intersections(va, la, vb, lb) -> np.ndarray:
+    """|A_i ∩ B_i| for a batch of set pairs given as flat uint64 value
+    arrays with per-pair lengths (each side duplicate-free). One global
+    lexsort by (pair, value); a value shared by both sides of a pair is
+    exactly an adjacent duplicate."""
+    npairs = len(la)
+    if npairs == 0 or (len(va) == 0 and len(vb) == 0):
+        return np.zeros(npairs, np.int64)
+    rid = np.concatenate(
+        [np.repeat(np.arange(npairs, dtype=np.int64), la),
+         np.repeat(np.arange(npairs, dtype=np.int64), lb)]
+    )
+    vals = np.concatenate([va, vb])
+    order = np.lexsort((vals, rid))
+    sr, sv = rid[order], vals[order]
+    dup = (sr[1:] == sr[:-1]) & (sv[1:] == sv[:-1])
+    return np.bincount(sr[1:][dup], minlength=npairs)
+
+
 def _pair_set_verify(
     pairs,
     slim_ds,
@@ -678,6 +717,7 @@ def _pair_set_verify(
     score_fn,
     threshold,
     broadcast_limit_rows: int = 100_000,
+    n_docs: int | None = None,
 ):
     """Exact set-overlap verification for candidate pairs.
 
@@ -691,12 +731,27 @@ def _pair_set_verify(
     *half* rows keyed by their own doc id, union the blob table, and
     hand each half its blob inside one run; (2) re-join the halves on
     (id_a, id_b) — candidate multiplicity collapses here for free — and
-    score both sets with ``score_fn(sa, sb) -> float``, keeping rows ≥
-    ``threshold``. Each doc's set transits once per half, never once
-    per prefix row."""
+    score both sets, keeping rows ≥ ``threshold``. Each doc's set
+    transits once per half, never once per prefix row.
+
+    ``score_fn(inter, la, lb) -> np.ndarray[float64]`` is VECTORIZED
+    over whole candidate batches (r04 rewrite, VERDICT r03 wrong-#1):
+    blob gathers are Arrow ``take`` + flat-buffer views and every
+    intersection in a batch is computed by one lexsort-merge
+    (``_batch_intersections``) — no per-row Python on any path.
+
+    Candidate multiplicity collapses BEFORE scoring (r04): one distinct
+    shuffle sized by the PAIR count (the candidate table is often 50×
+    the corpus row count, so corpus-sized partitioning under-parallelizes
+    the scoring), then scoring needs no trailing dedupe shuffle at all."""
     import ray
 
-    from raydedup.stages.grouped import map_key_runs, staged, unique_rows_partitioned
+    from raydedup.stages.grouped import (
+        auto_partitions,
+        map_key_runs,
+        staged,
+        unique_rows_partitioned,
+    )
 
     pairs = staged(pairs)  # candidate shuffle finishes before the joins start
     psch = pairs.schema()
@@ -715,40 +770,54 @@ def _pair_set_verify(
             )
         )
     id_type = psch.base_schema.field("id_a").type
+    # collapse candidate multiplicity FIRST, partitioned by the pair
+    # count (not the corpus row count — candidates are routinely 50×
+    # the docs); everything downstream scores each pair exactly once
+    pair_parts = auto_partitions(pairs.count())
+    deduped = unique_rows_partitioned(pairs, ["id_a", "id_b"], pair_parts)
     blobs = _shingle_blob_table(slim_ds, id_col, text_col, n)
+    if n_docs is None:
+        n_docs = slim_ds.count()
 
-    if slim_ds.count() <= broadcast_limit_rows:
-        blob_ref = ray.put(
-            {r["image_key"]: r["sigblob"] for r in blobs.take_all()}
-        )
+    if n_docs <= broadcast_limit_rows:
+        # downstream of the dedupe shuffle is map-only here, so it can
+        # stay lazy — one execution for shuffle + score + consume
+        pairs = deduped
+        rows = blobs.take_all()
+        keys_arr = pa.array([r["image_key"] for r in rows], id_type)
+        # sentinel empty blob at index len(keys): ids outside the corpus
+        # (can't happen for self-join candidates, defensive) score as ∅
+        blob_arr = pa.array([r["sigblob"] for r in rows] + [b""], pa.binary())
+        blob_ref = ray.put((keys_arr, blob_arr))
 
         def score_map(batch: pa.Table) -> pa.Table:
-            d = ray.get(blob_ref)
-            ida = batch.column("id_a").to_pylist()
-            idb = batch.column("id_b").to_pylist()
-            o_a, o_b, o_s = [], [], []
-            seen = set()
-            for a, b in zip(ida, idb):
-                if (a, b) in seen:  # batch-local dedupe; global below
-                    continue
-                seen.add((a, b))
-                sa = np.frombuffer(d.get(a, b""), dtype=np.uint64)
-                sb = np.frombuffer(d.get(b, b""), dtype=np.uint64)
-                val = score_fn(sa, sb)
-                if val >= threshold:
-                    o_a.append(a)
-                    o_b.append(b)
-                    o_s.append(val)
+            keys, blob_tab = ray.get(blob_ref)
+            k = len(keys)
+            ia = pc.fill_null(pc.index_in(batch.column("id_a"), value_set=keys), k)
+            ib = pc.fill_null(pc.index_in(batch.column("id_b"), value_set=keys), k)
+            va, la = _blob_values(blob_tab.take(ia))
+            vb, lb = _blob_values(blob_tab.take(ib))
+            inter = _batch_intersections(va, la, vb, lb)
+            sc = score_fn(
+                inter.astype(np.float64), la.astype(np.float64), lb.astype(np.float64)
+            )
+            keep = sc >= threshold
+            sel = pa.array(np.flatnonzero(keep))
             return pa.table(
                 {
-                    "id_a": pa.array(o_a, id_type),
-                    "id_b": pa.array(o_b, id_type),
-                    score_col: pa.array(o_s, pa.float64()),
+                    "id_a": batch.column("id_a").take(sel),
+                    "id_b": batch.column("id_b").take(sel),
+                    score_col: pa.array(sc[keep], pa.float64()),
                 }
             )
 
-        scored = pairs.map_batches(score_map, batch_format="pyarrow")
-        return unique_rows_partitioned(scored, ["id_a", "id_b", score_col], num_partitions)
+        # pairs are already globally distinct — pure map, no more shuffles
+        return pairs.map_batches(score_map, batch_format="pyarrow", batch_size=None)
+
+    # shuffle branch: the attach stage is itself a keyed shuffle, so pin
+    # the dedupe shuffle first (two live HashShuffleOperators run ~2×
+    # slower — round-2 notes)
+    pairs = staged(deduped)
 
     def halves(batch: pa.Table) -> pa.Table:
         n_rows = len(batch)
@@ -788,67 +857,84 @@ def _pair_set_verify(
         blobs.map_batches(tag_blobs, batch_format="pyarrow")
     )
 
+    def _first_in_runs(rows: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+        """Per run, the first member of sorted position array ``rows``,
+        or -1 when the run has none. O(runs·log|rows|)."""
+        if len(rows) == 0:
+            return np.full(len(starts), -1, np.int64)
+        fi = np.searchsorted(rows, starts)
+        pos = rows[np.minimum(fi, len(rows) - 1)]
+        return np.where((fi < len(rows)) & (pos < ends), pos, -1)
+
     def attach(block: pa.Table, starts, ends) -> pa.Table:
+        # each run = one doc id: ONE blob row (tag 1) + every pair-half
+        # row (tag 0) waiting for that doc's set. Gather = find the blob
+        # row per run, broadcast its position to the run's half rows,
+        # then two Arrow takes — no Python rows (r04, VERDICT r03 #1).
         tags = block.column("tag").to_numpy(zero_copy_only=False)
-        sides = block.column("side").to_numpy(zero_copy_only=False)
-        ida = block.column("id_a").to_pylist()
-        idb = block.column("id_b").to_pylist()
-        blobs_col = block.column("blob").to_pylist()
-        o_a, o_b, o_side, o_blob = [], [], [], []
-        for s, e in zip(starts, ends):
-            seg = tags[s:e]
-            bidx = np.nonzero(seg == 1)[0]
-            if len(bidx) == 0:
-                continue
-            blob = blobs_col[s + int(bidx[0])]
-            for k in range(s, e):
-                if tags[k] == 0:
-                    o_a.append(ida[k])
-                    o_b.append(idb[k])
-                    o_side.append(sides[k])
-                    o_blob.append(blob)
+        starts = np.asarray(starts, np.int64)
+        ends = np.asarray(ends, np.int64)
+        blob_pos = _first_in_runs(np.flatnonzero(tags == 1), starts, ends)
+        half_rows = np.flatnonzero(tags == 0)
+        run_of = np.searchsorted(starts, half_rows, side="right") - 1
+        keep = blob_pos[run_of] >= 0
+        hr = pa.array(half_rows[keep])
+        bp = pa.array(blob_pos[run_of[keep]])
         return pa.table(
             {
-                "id_a": pa.array(o_a, id_type),
-                "id_b": pa.array(o_b, id_type),
-                "side": pa.array(o_side, pa.int8()),
-                "blob": pa.array(o_blob, pa.binary()),
+                "id_a": block.column("id_a").take(hr),
+                "id_b": block.column("id_b").take(hr),
+                "side": block.column("side").take(hr),
+                "blob": block.column("blob").take(bp),
             }
         )
 
-    half_blobs = staged(map_key_runs(joined_in, "key", attach, num_partitions))
+    # the attach shuffle carries 2·pairs half rows + the corpus blobs —
+    # size by whichever dominates
+    half_blobs = staged(
+        map_key_runs(joined_in, "key", attach, max(num_partitions, pair_parts))
+    )
 
     def score(block: pa.Table, starts, ends) -> pa.Table:
+        # each run = one (id_a, id_b) candidate: locate the side-0 and
+        # side-1 half rows, gather both blob sets with Arrow takes, and
+        # score the WHOLE block's intersections in one lexsort-merge.
         sides = block.column("side").to_numpy(zero_copy_only=False)
-        ida = block.column("id_a").to_pylist()
-        idb = block.column("id_b").to_pylist()
-        blobs_col = block.column("blob").to_pylist()
-        o_a, o_b, o_s = [], [], []
-        for s, e in zip(starts, ends):
-            seg = sides[s:e]
-            a_idx = np.nonzero(seg == 0)[0]
-            b_idx = np.nonzero(seg == 1)[0]
-            if len(a_idx) == 0 or len(b_idx) == 0:
-                continue
-            sa = np.frombuffer(blobs_col[s + int(a_idx[0])], dtype=np.uint64)
-            sb = np.frombuffer(blobs_col[s + int(b_idx[0])], dtype=np.uint64)
-            val = score_fn(sa, sb)
-            if val >= threshold:
-                o_a.append(ida[s])
-                o_b.append(idb[s])
-                o_s.append(val)
+        starts = np.asarray(starts, np.int64)
+        ends = np.asarray(ends, np.int64)
+        a_pos = _first_in_runs(np.flatnonzero(sides == 0), starts, ends)
+        b_pos = _first_in_runs(np.flatnonzero(sides == 1), starts, ends)
+        valid = (a_pos >= 0) & (b_pos >= 0)
+        ap, bp = a_pos[valid], b_pos[valid]
+        blob_col = block.column("blob")
+        va, la = _blob_values(blob_col.take(pa.array(ap)))
+        vb, lb = _blob_values(blob_col.take(pa.array(bp)))
+        inter = _batch_intersections(va, la, vb, lb)
+        sc = score_fn(
+            inter.astype(np.float64), la.astype(np.float64), lb.astype(np.float64)
+        )
+        keep = sc >= threshold
+        sel = pa.array(ap[keep])  # ids constant within a run
         return pa.table(
             {
-                "id_a": pa.array(o_a, id_type),
-                "id_b": pa.array(o_b, id_type),
-                score_col: pa.array(o_s, pa.float64()),
+                "id_a": block.column("id_a").take(sel),
+                "id_b": block.column("id_b").take(sel),
+                score_col: pa.array(sc[keep], pa.float64()),
             }
         )
 
-    return map_key_runs(half_blobs, ["id_a", "id_b"], score, num_partitions)
+    return map_key_runs(half_blobs, ["id_a", "id_b"], score, pair_parts)
 
 
-def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5, num_partitions: int | None = None):
+def ngram_jaccard_pairs(
+    ds,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int | None = None,
+    broadcast_limit_rows: int = 100_000,
+):
     """EXACT n-gram-Jaccard near-dup pairs via prefix filtering
     (AllPairs / PPJoin, Bayardo et al. WWW'07): order each doc's shingle
     set by ascending global document frequency; any pair with J ≥ t
@@ -887,7 +973,12 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: f
         )
     id_type = sch.base_schema.field(id_col).type
     if num_partitions is None:
-        num_partitions = auto_partitions(slim)
+        # size from ds, not the select_columns projection: a projection
+        # has lineage, so its _meta_count is None and auto_partitions
+        # would fall back to the CPU cap — a 32-partition shuffle for a
+        # 5k-doc corpus costs ~4s of aggregator spawn (r04 fix; this was
+        # the r03 ngram_jaccard regression)
+        num_partitions = auto_partitions(ds)
 
     cms_counts = build_df_sketch(slim, text_col, n)
     cms_ref = ray.put(cms_counts)
@@ -964,13 +1055,18 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, n: int = 3, threshold: f
     # 10 s → 4.5 s on the sf0.1 query
     pairs = staged(map_key_runs(exploded, "anchor", pairs_in_runs, num_partitions))
 
-    def jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        return inter / union if union else 0.0
+    def jaccard(inter: np.ndarray, la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+        # vectorized over a candidate batch (see _pair_set_verify);
+        # same scalar double division as the SQL oracle per pair
+        union = la + lb - inter
+        return np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+
+    from raydedup.stages.grouped import meta_count
 
     return _pair_set_verify(
-        pairs, slim, id_col, text_col, n, num_partitions, "jaccard", jaccard, threshold
+        pairs, slim, id_col, text_col, n, num_partitions, "jaccard", jaccard,
+        threshold, broadcast_limit_rows=broadcast_limit_rows,
+        n_docs=meta_count(ds),
     )
 
 

@@ -88,6 +88,15 @@ def auto_partitions(ds_or_rows, requested: int | None = None, rows_per_partition
     return max(2, min(cap, rows // rows_per_partition))
 
 
+def meta_count(ds) -> int | None:
+    """Row count when it is METADATA-cheap (parquet reads, materialized
+    stages), else None — never pays an execution."""
+    try:
+        return ds._meta_count()
+    except Exception:  # pragma: no cover - private-API drift
+        return None
+
+
 def staged(ds):
     """Execute-and-pin a stage output (object-store blocks, spillable).
 

@@ -230,7 +230,15 @@ def forest_topk(prefix_ds, query_sigs: np.ndarray, query_ids, topk: int = 10, id
 
 
 # -------------------------------------------- exact containment (AllPairs)
-def containment_pairs_exact(ds, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5, num_partitions: int | None = None):
+def containment_pairs_exact(
+    ds,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int | None = None,
+    broadcast_limit_rows: int = 100_000,
+):
     """EXACT pairs with shingle containment |A∩B|/|A| ≥ threshold.
 
     Prefix filter on the contained side only (containment is
@@ -252,57 +260,89 @@ def containment_pairs_exact(ds, id_col: str, text_col: str, n: int = 3, threshol
     slim = ds.select_columns([id_col, text_col])
     id_type = ds.schema().base_schema.field(id_col).type
     if num_partitions is None:
-        num_partitions = auto_partitions(slim)
+        # size from ds, not the projection — a select_columns has no
+        # _meta_count, which silently falls back to the CPU cap (r04)
+        num_partitions = auto_partitions(ds)
 
     cms_counts = build_df_sketch(slim, text_col, n)
     cms_ref = ray.put(cms_counts)
 
     def explode_roles(batch: pa.Table) -> pa.Table:
+        # vectorized (r04; was a per-doc Python shingle loop) — and in
+        # the SAME xxhash64-window space as build_df_sketch and the
+        # verify blobs: the old hash_bytes64 anchors queried the CMS in
+        # a different hash space, so the "rare-first" prefix order was
+        # noise and the candidate set ballooned (correctness was safe —
+        # any consistent order keeps AllPairs lossless — but slow)
+        from raydedup.suffix import flat_ngram_hashes64, unique_per_row
+
         cms = CountMinSketch(counts=ray.get(cms_ref))
-        memo: dict = {}
-        out_id, out_anchor, out_role = [], [], []
-        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            sh = word_ngram_shingles(t or "", n=n)
-            if not sh:
-                continue
-            hs = np.unique(hash_bytes64(sorted(sh), memo))
-            df = cms.estimate(hs)
-            order = np.lexsort((hs, df))
-            plen = int(len(hs) * (1.0 - threshold)) + 1
-            pre = hs[order[:plen]]
-            out_id.extend([i] * (len(pre) + len(hs)))
-            out_anchor.append(pre)  # contained-side prefix
-            out_anchor.append(hs)  # container-side: all shingles
-            out_role.append(np.zeros(len(pre), np.int8))
-            out_role.append(np.ones(len(hs), np.int8))
-        anchors = np.concatenate(out_anchor) if out_anchor else np.empty(0, np.uint64)
-        roles = np.concatenate(out_role) if out_role else np.empty(0, np.int8)
+        cnt, w = flat_ngram_hashes64(batch.column(text_col), n)
+        ucnt, hs = unique_per_row(cnt, w)
+        if len(hs) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    "anchor": pa.array([], pa.uint64()),
+                    "role": pa.array([], pa.int8()),
+                    "sz": pa.array([], pa.uint32()),
+                }
+            )
+        rid = np.repeat(np.arange(len(ucnt), dtype=np.int64), ucnt)
+        df = cms.estimate(hs)
+        order = np.lexsort((hs, df, rid))  # per row: rare-first
+        pos = np.arange(len(hs), dtype=np.int64) - np.repeat(
+            np.cumsum(ucnt) - ucnt, ucnt
+        )
+        plen = (ucnt * (1.0 - threshold)).astype(np.int64) + 1
+        pre = order[pos < plen[rid[order]]]  # contained-side prefix rows
+        idx = np.concatenate([rid[pre], rid])  # container side: ALL rows
         return pa.table(
             {
-                id_col: pa.array(out_id, id_type),
-                "anchor": pa.array(anchors, pa.uint64()),
-                "role": pa.array(roles, pa.int8()),
+                id_col: batch.column(id_col).take(pa.array(idx)),
+                "anchor": pa.array(np.concatenate([hs[pre], hs]), pa.uint64()),
+                "role": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(pre), np.int8), np.ones(len(hs), np.int8)]
+                    )
+                ),
+                "sz": pa.array(ucnt[idx].astype(np.uint32)),
             }
         )
 
     exploded = slim.map_batches(explode_roles, batch_format="pyarrow")
 
     def per_runs(block: pa.Table, starts, ends) -> pa.Table:
+        # containment LENGTH filter: C(A,B) ≥ t ⇒ |B| ≥ t·|A| (since
+        # |A∩B| ≤ |B|). Containers in each anchor run are sorted by set
+        # size; each contained doc pairs only with the tail of
+        # qualifying sizes — same windowing as the ngram AllPairs kernel.
         roles = block.column("role").to_numpy(zero_copy_only=False)
         ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        szs = block.column("sz").to_numpy(zero_copy_only=False).astype(np.float64)
         out_a, out_b = [], []
         for s, e in zip(starts, ends):
             rr = roles[s:e]
-            run_ids = ids[s:e]
-            qs = np.unique(run_ids[rr == 0])
-            cs = np.unique(run_ids[rr == 1])
-            if len(qs) == 0 or len(cs) == 0:
+            qm = rr == 0
+            if not qm.any() or qm.all():
                 continue
-            a = np.repeat(qs, len(cs))
-            b = np.tile(cs, len(qs))
-            keep = a != b
-            out_a.append(a[keep])
-            out_b.append(b[keep])
+            qid, qsz = ids[s:e][qm], szs[s:e][qm]
+            cid, csz = ids[s:e][~qm], szs[s:e][~qm]
+            o = np.argsort(csz, kind="stable")
+            cid, csz = cid[o], csz[o]
+            lo = np.searchsorted(csz, qsz * threshold, side="left")
+            cnt = len(cid) - lo
+            total = int(cnt.sum())
+            if not total:
+                continue
+            ai = np.repeat(np.arange(len(qid)), cnt)
+            bj = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            ) + lo[ai]
+            a, b = qid[ai], cid[bj]
+            ne = a != b
+            out_a.append(a[ne])
+            out_b.append(b[ne])
         if out_a:
             a, b = np.concatenate(out_a), np.concatenate(out_b)
         else:
@@ -311,13 +351,16 @@ def containment_pairs_exact(ds, id_col: str, text_col: str, n: int = 3, threshol
 
     pairs = map_key_runs(exploded, "anchor", per_runs, num_partitions)
 
-    def containment(sa: np.ndarray, sb: np.ndarray) -> float:
-        if len(sa) == 0:
-            return 0.0
-        return len(np.intersect1d(sa, sb, assume_unique=True)) / len(sa)
+    def containment(inter: np.ndarray, la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+        # vectorized over a candidate batch (see _pair_set_verify)
+        return np.where(la > 0, inter / np.maximum(la, 1.0), 0.0)
+
+    from raydedup.stages.grouped import meta_count
 
     return _pair_set_verify(
-        pairs, slim, id_col, text_col, n, num_partitions, "containment", containment, threshold
+        pairs, slim, id_col, text_col, n, num_partitions, "containment",
+        containment, threshold, broadcast_limit_rows=broadcast_limit_rows,
+        n_docs=meta_count(ds),
     )
 
 

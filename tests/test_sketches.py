@@ -482,3 +482,73 @@ def test_hll_wire_format_round_trips_with_reference(reference_datasketch):
     assert np.array_equal(backpp.reg, refpp.reg)
     refpp2 = reference_datasketch.HyperLogLogPlusPlus.deserialize(minepp.serialize())
     assert np.array_equal(refpp2.reg, refpp.reg)
+
+
+def test_batch_intersection_kernels():
+    """_blob_values + _batch_intersections match per-pair np.intersect1d."""
+    import pyarrow as pa
+
+    from raydedup.stages.dedup import _batch_intersections, _blob_values
+
+    rng = np.random.default_rng(11)
+    sets = []
+    for _ in range(200):
+        k = int(rng.integers(0, 30))
+        sets.append(np.unique(rng.integers(0, 50, size=k).astype(np.uint64)))
+    blob_arr = pa.array([s.tobytes() for s in sets] + [None], pa.binary())
+    # sliced array exercises the arr.offset path
+    for arr in (blob_arr, blob_arr.slice(3, 150)):
+        vals, lens = _blob_values(arr)
+        off = np.cumsum(lens) - lens
+        base = 3 if arr is not blob_arr else 0
+        for i, (o, c) in enumerate(zip(off, lens)):
+            assert np.array_equal(vals[o : o + c], sets[base + i] if base + i < len(sets) else np.empty(0, np.uint64))
+    ia = rng.integers(0, len(sets), size=500)
+    ib = rng.integers(0, len(sets), size=500)
+    va, la = _blob_values(blob_arr.take(pa.array(ia)))
+    vb, lb = _blob_values(blob_arr.take(pa.array(ib)))
+    got = _batch_intersections(va, la, vb, lb)
+    want = [len(np.intersect1d(sets[a], sets[b], assume_unique=True)) for a, b in zip(ia, ib)]
+    assert got.tolist() == want
+    assert _batch_intersections(*_blob_values(pa.array([], pa.binary())), *_blob_values(pa.array([], pa.binary()))).tolist() == []
+
+
+def test_ngram_jaccard_shuffle_branch_matches_broadcast(ray_session):
+    """The keyed-shuffle verify path (broadcast_limit_rows=0) returns the
+    same scored pairs as the broadcast path and as brute force."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.hashing import word_ngram_shingles
+    from raydedup.stages.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(vocab[j] for j in rng.integers(0, 30, size=rng.integers(5, 18)))
+        for _ in range(80)
+    ]
+    texts[70] = texts[0]  # exact dup
+    texts[71] = texts[1] + " " + vocab[0]  # near dup
+    t = pa.table({"doc_id": pa.array(range(80), pa.int64()), "text": pa.array(texts)})
+
+    def run(limit):
+        return {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                rd.from_arrow(t), "doc_id", "text", n=3, threshold=0.4,
+                num_partitions=4, broadcast_limit_rows=limit,
+            ).take_all()
+        }
+
+    broad, shuf = run(100_000), run(0)
+    assert broad == shuf
+    sh = [word_ngram_shingles(x, 3) for x in texts]
+    want = {}
+    for i in range(80):
+        for j in range(i + 1, 80):
+            u = len(sh[i] | sh[j])
+            val = len(sh[i] & sh[j]) / u if u else 0.0
+            if val >= 0.4:
+                want[(i, j)] = val
+    assert broad == want
