@@ -212,8 +212,17 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
        container) class lives in exactly one anchor run, so verified
        pairs are already globally unique — no final dedupe shuffle.
 
-    Docs shorter than ``window`` tokens are collected to the driver
-    (tiny) and broadcast-checked — completeness, not a hot path."""
+    Docs shorter than ``window`` tokens ride the SAME machinery (r04,
+    VERDICT r03 wrong-#2 — the old path broadcast every short doc and
+    ran an O(shorts × docs) Python scan on the driver): one slim
+    pre-pass finds the distinct short token-counts present (≤ window-1
+    values), then ``explode`` emits each short doc as a query row whose
+    anchor is the fold of its WHOLE token list, and every doc emits
+    container windows at exactly those short lengths. Anchor shuffle,
+    candidate emission and hash verify are unchanged and fully
+    distributed; with no short docs the only cost is the pre-pass
+    column scan (at warehouse scale, feed that from token-count stats
+    instead)."""
     import ray
     from raydedup.stages.grouped import auto_partitions, map_key_runs
     from raydedup.suffix import (
@@ -228,6 +237,23 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
     if num_partitions is None:
         num_partitions = auto_partitions(ds)
 
+    # ---- pre-pass: which short token-counts exist? (≤ window-1 distinct
+    # values; ≤ that many rows per block reach the driver)
+    def short_lens_batch(t: pa.Table) -> pa.Table:
+        c = pc.count_substring_regex(pc.fill_null(t.column(text_col), ""), r"\S+")
+        arr = c.to_numpy(zero_copy_only=False)
+        u = np.unique(arr[(arr >= 1) & (arr < window)])
+        return pa.table({"L": pa.array(u.astype(np.int32))})
+
+    short_lens = sorted(
+        {
+            r["L"]
+            for r in ds.select_columns([text_col])
+            .map_batches(short_lens_batch, batch_format="pyarrow")
+            .take_all()
+        }
+    )
+
     empty_exploded = pa.table(
         {
             "anchor": pa.array([], pa.uint64()),
@@ -240,69 +266,135 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
         }
     )
 
+    def _fold_windows(hv: np.ndarray, starts_flat: np.ndarray, w: int) -> np.ndarray:
+        """FNV fold of ``w`` consecutive token hashes at each flat start."""
+        anc = np.full(len(starts_flat), _W_FNV_OFFSET, dtype=np.uint64)
+        for j in range(w):
+            anc ^= hv[starts_flat + j]
+            anc *= _W_FNV_PRIME
+        return anc
+
     def explode(batch: pa.Table) -> pa.Table:
         """Fully vectorized: tokenize with Arrow whitespace-split
         kernels (``split_ws_tokens`` — str.split parity, no Python
         lists), then ONE flat hash call for every token in the batch;
         window-anchor FNV folds, per-doc min-anchor selection and the
         whole-doc polynomial hash are all segment ops on the flat
-        array."""
+        array. Short docs (1 ≤ tokens < window) become query rows whose
+        anchor folds their WHOLE token list; every doc additionally
+        emits container windows at each short length present in the
+        corpus (``short_lens``, broadcast via closure)."""
         idc = batch.column(id_col)
         if isinstance(idc, pa.ChunkedArray):
             idc = idc.combine_chunks()
         tlc = batch.column(text_col)
         lens, flat = split_ws_tokens(tlc)
-        keep = np.flatnonzero(lens >= window)  # short docs via the broadcast path
-        if len(keep) == 0:
+        alive = np.flatnonzero(lens >= 1)
+        if len(alive) == 0:
             return empty_exploded
-        kl = lens[keep]
+        al = lens[alive].astype(np.int64)
         hv_all = flat_token_hashes64(flat)
-        if len(keep) == len(lens):
-            hv = hv_all
-        else:  # gather the kept docs' token hashes contiguously
-            off_all = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            koff = np.concatenate(([0], np.cumsum(kl)[:-1]))
-            tok_idx = (
-                np.arange(int(kl.sum())) - np.repeat(koff, kl) + np.repeat(off_all[keep], kl)
-            )
-            hv = hv_all[tok_idx]
-        off = np.concatenate(([0], np.cumsum(kl)[:-1]))  # doc start in flat
-        nwin = kl - window + 1
-        totw = int(nwin.sum())
-        seg = np.concatenate(([0], np.cumsum(nwin)[:-1]))  # doc's first window
-        # flat start position of every window (never crossing a doc)
-        wstart = np.arange(totw) - np.repeat(seg, nwin) + np.repeat(off, nwin)
-        anc = np.full(totw, _W_FNV_OFFSET, dtype=np.uint64)
-        for j in range(window):
-            anc ^= hv[wstart + j]
-            anc *= _W_FNV_PRIME
-        # per-doc min anchor + its first position (the query row)
-        mins = np.minimum.reduceat(anc, seg)
-        eq = np.flatnonzero(anc == np.repeat(mins, nwin))
-        seg_of = np.searchsorted(seg, eq, side="right") - 1
-        first = eq[np.unique(seg_of, return_index=True)[1]]
-        qoff = (first - seg).astype(np.int32)
-        # whole-doc polynomial hash: Σ hv[k]·B^(L-1-k), segment-summed
-        bpow, _ = poly_powers(int(kl.max()))
-        expo = np.repeat(off + kl - 1, kl) - np.arange(len(hv), dtype=np.int64)
-        qhash = np.atleast_1d(np.add.reduceat(hv * bpow[expo], off))
-        qchars = (
-            pc.fill_null(pc.utf8_length(tlc if not isinstance(tlc, pa.ChunkedArray) else tlc.combine_chunks()), 0)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)[keep]
+        off_all = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+        # whole-doc polynomial hash + char count for every non-empty doc
+        bpow, _ = poly_powers(int(al.max()))
+        expo = np.repeat(off_all[alive] + al - 1, al) - np.arange(
+            len(hv_all), dtype=np.int64
         )
-        # query rows first, then one container row per window
-        winpos = (np.arange(totw) - np.repeat(seg, nwin)).astype(np.int32)
-        take_idx = np.concatenate([keep, np.repeat(keep, nwin)])
+        qhash_alive = np.atleast_1d(np.add.reduceat(hv_all * bpow[expo], off_all[alive]))
+        qchars_all = (
+            pc.fill_null(
+                pc.utf8_length(
+                    tlc if not isinstance(tlc, pa.ChunkedArray) else tlc.combine_chunks()
+                ),
+                0,
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+        out_anchor, out_role, out_idx, out_pos, out_qlen, out_qhash, out_qchars = (
+            [], [], [], [], [], [], [],
+        )
+
+        def emit_windows(doc_rows: np.ndarray, w: int):
+            """Container rows: every w-window of each doc in doc_rows.
+            Returns (anchors, flat doc row index, window pos)."""
+            dl = lens[doc_rows].astype(np.int64)
+            nwin = dl - w + 1
+            totw = int(nwin.sum())
+            seg = np.concatenate(([0], np.cumsum(nwin)[:-1]))
+            wstart = (
+                np.arange(totw, dtype=np.int64)
+                - np.repeat(seg, nwin)
+                + np.repeat(off_all[doc_rows], nwin)
+            )
+            anc = _fold_windows(hv_all, wstart, w)
+            winpos = (np.arange(totw, dtype=np.int64) - np.repeat(seg, nwin)).astype(np.int32)
+            return anc, np.repeat(doc_rows, nwin), winpos, seg, nwin
+
+        # ---- main path: docs with ≥ window tokens
+        keep = np.flatnonzero(lens >= window)
+        if len(keep):
+            anc, crows, winpos, seg, nwin = emit_windows(keep, window)
+            # per-doc min anchor + its first position (the query row)
+            mins = np.minimum.reduceat(anc, seg)
+            eq = np.flatnonzero(anc == np.repeat(mins, nwin))
+            seg_of = np.searchsorted(seg, eq, side="right") - 1
+            first = eq[np.unique(seg_of, return_index=True)[1]]
+            qoff = (first - seg).astype(np.int32)
+            pos_in_alive = np.searchsorted(alive, keep)
+            kq = qhash_alive[pos_in_alive]
+            out_anchor += [mins, anc]
+            out_role += [np.zeros(len(keep), np.int8), np.ones(len(anc), np.int8)]
+            out_idx += [keep, crows]
+            out_pos += [qoff, winpos]
+            out_qlen += [lens[keep].astype(np.int32), np.zeros(len(anc), np.int32)]
+            out_qhash += [kq, kq[np.searchsorted(keep, crows)]]
+            out_qchars += [
+                qchars_all[keep].astype(np.int32),
+                np.zeros(len(anc), np.int32),
+            ]
+
+        # ---- short-doc path: one query row per short doc (anchor =
+        # fold of its whole token list) + container windows at each
+        # short length over every doc long enough to hold one
+        for L in short_lens:
+            sq = np.flatnonzero(lens == L)
+            if len(sq):
+                anc_q = _fold_windows(hv_all, off_all[sq], L)
+                out_anchor.append(anc_q)
+                out_role.append(np.zeros(len(sq), np.int8))
+                out_idx.append(sq)
+                out_pos.append(np.zeros(len(sq), np.int32))
+                out_qlen.append(np.full(len(sq), L, np.int32))
+                out_qhash.append(qhash_alive[np.searchsorted(alive, sq)])
+                out_qchars.append(qchars_all[sq].astype(np.int32))
+            elig = np.flatnonzero(lens >= L)
+            if len(elig):
+                anc_c, crows, winpos, _, _ = emit_windows(elig, L)
+                out_anchor.append(anc_c)
+                out_role.append(np.ones(len(anc_c), np.int8))
+                out_idx.append(crows)
+                out_pos.append(winpos)
+                out_qlen.append(np.zeros(len(anc_c), np.int32))
+                out_qhash.append(
+                    qhash_alive[np.searchsorted(alive, elig)][
+                        np.searchsorted(elig, crows)
+                    ]
+                )
+                out_qchars.append(np.zeros(len(anc_c), np.int32))
+
+        if not out_anchor:
+            return empty_exploded
         return pa.table(
             {
-                "anchor": pa.array(np.concatenate([mins, anc])),
-                "role": pa.array(np.concatenate([np.zeros(len(keep), np.int8), np.ones(totw, np.int8)])),
-                id_col: idc.take(pa.array(take_idx)),
-                "pos": pa.array(np.concatenate([qoff, winpos])),
-                "qlen": pa.array(np.concatenate([kl.astype(np.int32), np.zeros(totw, np.int32)])),
-                "qhash": pa.array(np.concatenate([qhash, np.repeat(qhash, nwin)])),
-                "qchars": pa.array(np.concatenate([qchars.astype(np.int32), np.zeros(totw, np.int32)])),
+                "anchor": pa.array(np.concatenate(out_anchor)),
+                "role": pa.array(np.concatenate(out_role)),
+                id_col: idc.take(pa.array(np.concatenate(out_idx))),
+                "pos": pa.array(np.concatenate(out_pos)),
+                "qlen": pa.array(np.concatenate(out_qlen)),
+                "qhash": pa.array(np.concatenate(out_qhash)),
+                "qchars": pa.array(np.concatenate(out_qchars)),
             }
         )
 
@@ -614,37 +706,10 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
         pairs = staged(pairs)
         timings["verify_shuffle"] = round(time.perf_counter() - _t0, 2)
 
-    # short-query completeness path: collect docs with < window tokens
-    short = ds.select_columns([id_col, text_col]).map_batches(
-        lambda t: t.filter(
-            pc.less(pc.count_substring_regex(t.column(text_col), r"\S+"), window)
-        ),
-        batch_format="pyarrow",
-    )
-    short_rows = short.take_all()
-    if short_rows:
-        ref = ray.put([(r[id_col], r[text_col]) for r in short_rows])
-
-        def scan(batch: pa.Table) -> pa.Table:
-            shorts = ray.get(ref)
-            a, b = [], []
-            for cid, ccap in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-                padded = f" {ccap} "
-                for qid, qcap in shorts:
-                    if qid != cid and len(qcap) < len(ccap or "") and f" {qcap} " in padded:
-                        a.append(qid)
-                        b.append(cid)
-            typ = batch.column(id_col).type
-            return pa.table({"id_a": pa.array(a, typ), "id_b": pa.array(b, typ)})
-
-        pairs = pairs.union(
-            ds.select_columns([id_col, text_col]).map_batches(scan, batch_format="pyarrow")
-        )
-
     # pairs are globally unique by construction: each (query-class,
-    # container) is generated in exactly one anchor run, deduped per
-    # container run in verify; short-path pairs are disjoint (query has
-    # < window tokens). No dedupe shuffle needed.
+    # container) is generated in exactly one anchor run (short docs'
+    # single whole-doc anchor included), deduped per container run in
+    # verify. No dedupe shuffle needed.
     return pairs
 
 

@@ -383,3 +383,50 @@ def test_stage_functions_accept_empty_inputs(ray_session):
         pa.table({"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())})
     )
     assert connected_components(ee).num_rows == 0
+
+
+def test_substring_short_doc_heavy_corpus(ray_session):
+    """Short docs (< window tokens, here ~35% of the corpus) route
+    through the distributed anchor machinery (r04; formerly an
+    unbounded driver broadcast + nested Python scan). Compared against
+    the SQL-oracle semantics brute-forced in Python: strict char-length
+    + space-delimited containment."""
+    import ray.data as rd
+
+    from raydedup.stages.dedup import substring_pairs
+
+    rng = np.random.default_rng(13)
+    vocab = [f"t{i}" for i in range(25)]
+    texts = []
+    for i in range(65):  # long docs (>= window)
+        k = int(rng.integers(4, 14))
+        texts.append(" ".join(vocab[j] for j in rng.integers(0, 25, size=k)))
+    for i in range(35):  # short docs: 1..3 tokens
+        k = int(rng.integers(1, 4))
+        texts.append(" ".join(vocab[j] for j in rng.integers(0, 25, size=k)))
+    # planted cases
+    texts[65] = "t1 t2"                       # short contained mid-doc
+    texts[0] = "t9 t8 t1 t2 t7 t6 t5"
+    texts[66] = "t3"                          # 1-token doc in many docs
+    texts[67] = "t3 t4 t3"                    # short containing texts[66]
+    texts[68] = texts[69] = "t4 t5"           # identical shorts: no pair
+    ids = [f"d{i:03d}" for i in range(100)]
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in substring_pairs(
+            rd.from_arrow(t), "doc_id", "text", window=4, num_partitions=4
+        ).take_all()
+    }
+    want = {
+        (ids[i], ids[j])
+        for i in range(100)
+        for j in range(100)
+        if i != j
+        and len(texts[i]) < len(texts[j])
+        and f" {texts[i]} " in f" {texts[j]} "
+    }
+    assert got == want
+    assert ("d065", "d000") in want  # the planted short-in-long pair
+    assert ("d066", "d067") in want  # short-in-short
