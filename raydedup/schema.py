@@ -31,7 +31,12 @@ IMAGES_SCHEMA = pa.schema(
     ]
 )
 
-SIGNATURE_FIELD = ("minhash", pa.list_(pa.uint64(), 128))  # fixed_size_list, zero-copy to (N,128)
+# Stored/shuffled as uint32: MinHash slot values are < 2^32 by the
+# reference's _max_hash contract, so the persisted column (and every
+# band/verify shuffle and checkpoint it feeds) ships HALF the bytes of
+# the uint64 kernels. sig_to_numpy upcasts, so all kernel math stays
+# uint64 (VERDICT r03 next-#9).
+SIGNATURE_FIELD = ("minhash", pa.list_(pa.uint32(), 128))
 
 
 def write_table(table: pa.Table, path: str) -> str:
@@ -59,17 +64,24 @@ def read_dataset(path: str, columns: list[str] | None = None):
 
 
 def sig_to_numpy(col: pa.ChunkedArray | pa.Array, num_perm: int = 128):
-    """Zero-copy view of a fixed_size_list<uint64, P> column as (N, P)."""
+    """(N, P) uint64 view of a fixed_size_list<uint32|uint64, P> column
+    — zero-copy for uint64 input, one upcast for the (default) uint32
+    storage so every kernel keeps uint64 math."""
     import numpy as np
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     flat = col.flatten()
-    return np.asarray(flat.to_numpy(zero_copy_only=False)).reshape(-1, num_perm)
+    arr = np.asarray(flat.to_numpy(zero_copy_only=False)).reshape(-1, num_perm)
+    return arr if arr.dtype == np.uint64 else arr.astype(np.uint64)
 
 
 def numpy_to_sig(arr, num_perm: int = 128) -> pa.Array:
+    """Pack an (N, P) signature matrix into the storage column
+    (fixed_size_list<uint32, P> — values are < 2^32 by _max_hash)."""
     import numpy as np
 
     arr = np.ascontiguousarray(arr, dtype=np.uint64)
-    return pa.FixedSizeListArray.from_arrays(pa.array(arr.reshape(-1)), num_perm)
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(arr.reshape(-1).astype(np.uint32)), num_perm
+    )

@@ -99,7 +99,7 @@ class SignatureStage:
         for c in self.drop_cols:
             if c in out.column_names:
                 out = out.drop_columns([c])
-        out = out.append_column(pa.field("minhash", pa.list_(pa.uint64(), self.num_perm)), numpy_to_sig(sig, self.num_perm))
+        out = out.append_column(pa.field("minhash", pa.list_(pa.uint32(), self.num_perm)), numpy_to_sig(sig, self.num_perm))
         if self.phash_col and self.phash_col in batch.column_names:
             ph = batch.column(self.phash_col).to_numpy(zero_copy_only=False)
             out = out.append_column("simhash", pa.array(simhash_from_phash(ph), pa.uint64()))

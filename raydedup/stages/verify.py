@@ -59,33 +59,31 @@ def _attach_side(pairs_ds, slim, side: str, num_partitions: int, out_prefix: str
     )
 
     def emit(block: pa.Table, starts, ends) -> pa.Table:
+        # vectorized (r04, same gather as dedup._pair_set_verify's
+        # attach): find each run's signature row, broadcast its position
+        # to the run's pair rows, then Arrow takes — no per-row Python
         tags = block.column("tag").to_numpy(zero_copy_only=False)
-        keys = block.column("key")
-        others = block.column("other")
-        blobs = block.column("blob").to_pylist()
-        carries = {c: block.column(f"c_{c}").to_pylist() for c in carry}
-        out = {side: [], other: [], out_col: []}
-        out_c = {c: [] for c in carry}
-        for s, e in zip(starts, ends):
-            seg = tags[s:e]
-            sig_idx = np.nonzero(seg == 1)[0]
-            if len(sig_idx) == 0:
-                continue
-            blob = blobs[s + int(sig_idx[0])]
-            for k in range(s, e):
-                if tags[k] == 0:
-                    out[side].append(keys[k].as_py())
-                    out[other].append(others[k].as_py())
-                    out[out_col].append(blob)
-                    for c in carry:
-                        out_c[c].append(carries[c][k])
+        starts = np.asarray(starts, np.int64)
+        ends = np.asarray(ends, np.int64)
+        sig_rows = np.flatnonzero(tags == 1)
+        if len(sig_rows) == 0:
+            blob_pos = np.full(len(starts), -1, np.int64)
+        else:
+            fi = np.searchsorted(sig_rows, starts)
+            pos = sig_rows[np.minimum(fi, len(sig_rows) - 1)]
+            blob_pos = np.where((fi < len(sig_rows)) & (pos < ends), pos, -1)
+        pair_rows = np.flatnonzero(tags == 0)
+        run_of = np.searchsorted(starts, pair_rows, side="right") - 1
+        keep = blob_pos[run_of] >= 0
+        pr = pa.array(pair_rows[keep])
+        bp = pa.array(blob_pos[run_of[keep]])
         cols = {
-            side: pa.array(out[side], keys.type),
-            other: pa.array(out[other], keys.type),
-            out_col: pa.array(out[out_col], pa.binary()),
+            side: block.column("key").take(pr),
+            other: block.column("other").take(pr),
+            out_col: block.column("blob").take(bp),
         }
         for c in carry:
-            cols[c] = pa.array(out_c[c], carry_types[c])
+            cols[c] = block.column(f"c_{c}").take(pr)
         return pa.table(cols)
 
     return map_key_runs(tagged, "key", emit, num_partitions)
@@ -97,9 +95,11 @@ def attach_signatures(pairs_ds, sig_ds, id_col: str, num_partitions: int = 16):
     table. Only ids + 1 KB blobs transit the shuffle."""
 
     def pack(batch: pa.Table) -> pa.Table:
-        sig = np.ascontiguousarray(sig_to_numpy(batch.column("minhash")), dtype=np.uint64)
+        # uint32 blobs: slot values are < 2^32, so the joined blob ships
+        # half the bytes (jaccard_filter compares equality — width-safe)
+        sig = np.ascontiguousarray(sig_to_numpy(batch.column("minhash")).astype(np.uint32))
         buf = sig.tobytes()
-        w = sig.shape[1] * 8
+        w = sig.shape[1] * 4
         blobs = [buf[i * w : (i + 1) * w] for i in range(sig.shape[0])]
         return pa.table(
             {"image_key": batch.column(id_col), "sigblob": pa.array(blobs, pa.binary())}
@@ -117,8 +117,8 @@ def jaccard_filter(pairs_with_sigs, threshold: float, num_perm: int = 128, keep_
         if len(batch) == 0:
             out = batch.select(["id_a", "id_b"])
             return out.append_column("jaccard", pa.array([], pa.float64())) if keep_estimate else out
-        sa = np.frombuffer(b"".join(batch.column("minhash_a").to_pylist()), dtype=np.uint64).reshape(-1, num_perm)
-        sb = np.frombuffer(b"".join(batch.column("minhash_b").to_pylist()), dtype=np.uint64).reshape(-1, num_perm)
+        sa = np.frombuffer(b"".join(batch.column("minhash_a").to_pylist()), dtype=np.uint32).reshape(-1, num_perm)
+        sb = np.frombuffer(b"".join(batch.column("minhash_b").to_pylist()), dtype=np.uint32).reshape(-1, num_perm)
         est = jaccard_estimate(sa, sb)
         keep = est >= threshold
         out = batch.select(["id_a", "id_b"]).filter(pa.array(keep))

@@ -110,3 +110,39 @@ def test_ivf_topk_recall(ray_session):
         hits += len(set(by_q.get(qi, [])) & true)
     recall = hits / (10 * len(qidx))
     assert recall >= 0.85, recall
+
+
+def test_embedding_near_dup_flop_switch(ray_session):
+    """Above the flop cap the auto-switch takes the LSH-bucketed path
+    (forced here with a tiny max_exact_flops) and still finds planted
+    duplicates; below it the exact path returns the full pair set."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(120, 16))
+    base[100] = base[0]  # exact dup pairs (same bucket deterministically)
+    base[101] = base[1]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(120), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(base.ravel(), pa.float32()), 16
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(ds, threshold=0.999).take_all()
+    }
+    assert (0, 100) in exact and (1, 101) in exact
+    # force the bucketed path: 120 rows > sqrt(1e3/16) ≈ 7
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(ds, threshold=0.999, max_exact_flops=1e3).take_all()
+    }
+    assert (0, 100) in bucketed and (1, 101) in bucketed
+    assert bucketed <= exact  # LSH bucketing can only miss, never invent
