@@ -121,6 +121,33 @@ def _make_shard_state():
         def band_counts(self) -> dict[tuple[int, bytes], int]:
             return {bh: len(lst) for bh, lst in self.buckets.items()}
 
+        # ------------------------------------------------- persistence
+        def dump_to_file(self, path: str) -> int:
+            """Write this shard's key→band-keys slice as parquet (the
+            bucket slice is derivable: restore re-fans every key's band
+            keys through the same deterministic routing)."""
+            import pickle
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            kbs, pkeys, hss = [], [], []
+            for kb, (key, hs) in self.key_hs.items():
+                kbs.append(kb)
+                pkeys.append(pickle.dumps(key))
+                hss.append(list(hs))
+            pq.write_table(
+                pa.table(
+                    {
+                        "kb": pa.array(kbs, pa.binary()),
+                        "key": pa.array(pkeys, pa.binary()),
+                        "hs": pa.array(hss, pa.list_(pa.binary())),
+                    }
+                ),
+                path,
+            )
+            return len(kbs)
+
 
     return _ShardState
 
@@ -298,9 +325,14 @@ class MinHashLshSession:
             )
             if any(any(c) for c in checks):
                 raise ValueError("The keys are overlapping, duplicate key exists.")
+        self._load_items([k for k, _ in items], [h for _, h in items])
+
+    def _load_items(self, keys, hs_rows) -> None:
+        """Fan pre-computed (key, band-keys) rows into the shards — the
+        shared tail of ``merge`` and ``restore``. No duplication checks."""
         key_items = [[] for _ in range(self.num_shards)]
         entries = [[] for _ in range(self.num_shards)]
-        for key, hs in items:
+        for key, hs in zip(keys, hs_rows):
             kb = _stable_key_bytes(key)
             key_items[self._key_shard(kb)].append((kb, key, hs))
             for band, H in enumerate(hs):
@@ -308,6 +340,69 @@ class MinHashLshSession:
         futs = [self.shards[s].put_keys.remote(lst) for s, lst in enumerate(key_items) if lst]
         futs += [self.shards[s].insert_entries.remote(lst) for s, lst in enumerate(entries) if lst]
         self._ray.get(futs)
+
+    # ------------------------------------------------------- persistence
+    def save(self, path: str) -> dict:
+        """Checkpoint the live index (reference parity:
+        ``datasketch/lsh.py:592-631`` pickle support and
+        ``storage.py:725-741`` external-storage re-attach): every shard
+        writes its key→band-keys slice as ``shard-<i>.parquet`` in
+        parallel (the driver never touches the data), and
+        ``manifest.json`` pins (b, r, num_perm, num_shards). Bucket
+        slices are NOT stored — routing is deterministic, so restore
+        rebuilds them exactly. Requires a path visible to all shard
+        actors (shared fs on a multi-node cluster)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        counts = self._ray.get(
+            [
+                s.dump_to_file.remote(os.path.join(path, f"shard-{i}.parquet"))
+                for i, s in enumerate(self.shards)
+            ]
+        )
+        manifest = {
+            "format": 1,
+            "b": self.b,
+            "r": self.r,
+            "num_perm": self.num_perm,
+            "num_shards": self.num_shards,
+            "keys": int(sum(counts)),
+        }
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return manifest
+
+    @classmethod
+    def restore(
+        cls, path: str, num_shards: int | None = None, batch_rows: int = 100_000
+    ) -> "MinHashLshSession":
+        """Rebuild a session from ``save`` output. ``num_shards`` may
+        differ from the saved layout (rows re-route deterministically);
+        files stream in ``batch_rows`` chunks so driver memory stays
+        bounded."""
+        import glob
+        import json
+        import os
+        import pickle
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(path, "manifest.json")) as f:
+            m = json.load(f)
+        sess = cls(
+            params=(m["b"], m["r"]),
+            num_perm=m["num_perm"],
+            num_shards=num_shards or m["num_shards"],
+        )
+        for fp in sorted(glob.glob(os.path.join(path, "shard-*.parquet"))):
+            for rb in pq.ParquetFile(fp).iter_batches(batch_size=batch_rows):
+                t = pa.Table.from_batches([rb])
+                keys = [pickle.loads(k) for k in t.column("key").to_pylist()]
+                sess._load_items(keys, t.column("hs").to_pylist())
+        return sess
 
     # ---------------------------------------------------------- introspect
     def __contains__(self, key) -> bool:

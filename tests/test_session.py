@@ -179,3 +179,47 @@ def test_weighted_minhash_session_matches_reference(ray_session, reference_datas
             assert set(got[i]) == exp, i
     finally:
         sess.shutdown()
+
+
+def test_session_save_restore(ray_session, tmp_path):
+    """Insert → save → kill the session → restore: identical query
+    results, counts, and remove semantics; restoring into a different
+    shard count re-routes deterministically."""
+    import numpy as np
+
+    from raydedup.hashing import generate_permutations
+    from raydedup.minhash import minhash_batch
+    from raydedup.session import MinHashLshSession
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = [
+        [vocab[j].encode() for j in rng.integers(0, 60, size=12)] for _ in range(40)
+    ]
+    docs[30] = docs[0]  # planted near-dups
+    docs[31] = docs[1]
+    a, b = generate_permutations(128, 1)
+    sigs = minhash_batch(docs, a, b)
+    keys = [f"k{i}" for i in range(20)] + list(range(20, 40))  # mixed key types
+
+    sess = MinHashLshSession(threshold=0.8, num_perm=128, num_shards=4)
+    sess.insert_batch(keys, sigs)
+    before = {str(k): sorted(map(str, sess.query(sigs[i]))) for i, k in enumerate(keys)}
+    counts_before = sess.get_counts()
+    m = sess.save(str(tmp_path / "ckpt"))
+    assert m["keys"] == 40
+    sess.shutdown()
+
+    for shards in (4, 3):  # same and different shard layouts
+        back = MinHashLshSession.restore(str(tmp_path / "ckpt"), num_shards=shards)
+        assert back.count_keys() == 40
+        after = {str(k): sorted(map(str, back.query(sigs[i]))) for i, k in enumerate(keys)}
+        assert after == before
+        merged = [{} for _ in range(back.b)]
+        for band, d in enumerate(back.get_counts()):
+            merged[band] = d
+        assert merged == counts_before
+        assert "k0" in back and 25 in back
+        back.remove("k0")
+        assert "k0" not in back and back.count_keys() == 39
+        back.shutdown()
