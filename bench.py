@@ -41,16 +41,20 @@ BENCH_QUERIES = [
 ]
 
 
-def ensure_bench_table(n_base: int) -> str:
-    """Generate-and-cache the synthetic image corpus (deterministic)."""
-    path = f"/tmp/raydedup_bench/images_{n_base}_rg4k.parquet"
+def ensure_bench_table(n_base: int, with_images: bool = True) -> str:
+    """Generate-and-cache the synthetic image corpus (deterministic).
+    ``with_images=False`` writes 1-pixel payloads — the caption/phash
+    workload is identical and the multi-million-row rehearsal corpus
+    stays generable."""
+    suffix = "" if with_images else "_nopix"
+    path = f"/tmp/raydedup_bench/images_{n_base}{suffix}_rg4k.parquet"
     if not os.path.exists(path):
         os.makedirs("/tmp/raydedup_bench", exist_ok=True)
         import pyarrow.parquet as pq
 
         from raydedup.synth import make_images_table
 
-        table, _ = make_images_table(n_base=n_base)
+        table, _ = make_images_table(n_base=n_base, with_images=with_images)
         # small row groups → the read parallelizes across tasks instead
         # of one reader decoding a single giant row group
         pq.write_table(table, path + ".tmp", row_group_size=4096)
@@ -322,9 +326,86 @@ def run_components() -> dict:
     }
 
 
+def run_rehearsal() -> dict:
+    """End-to-end 100-TB-configuration rehearsal (VERDICT r03 next-#8):
+    the flagship pipeline at ~5M rows with ``max_driver_edges=0``
+    (forced distributed connected components) — the substring Bloom
+    semi-join prune auto-enables at this row count. The driver-DSU
+    components path then runs on the SAME pair table and the two
+    labelings are asserted identical (the at-scale stand-in for the
+    ``minhash_clusters_md5`` oracle), with the wall ratio reported."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from raydedup.pipeline import DedupConfig, dedup_pipeline
+    from raydedup.stages.components import connected_components
+
+    n_base = int(os.environ.get("RAYDEDUP_REHEARSAL_N", "2800000"))
+    img_path = ensure_bench_table(n_base, with_images=False)
+    consume(rd.read_parquet(img_path, columns=["image_id"]))  # warm page cache
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda t: t, batch_format="pyarrow", num_cpus=1
+    ).count()
+
+    cfg = DedupConfig(
+        signature_concurrency=max(2, NUM_CPUS - 2), max_driver_edges=0
+    )
+    ds = rd.read_parquet(img_path, columns=["image_id", "caption", "phash", "w", "h", "fmt"])
+    t0 = time.perf_counter()
+    out = dedup_pipeline(ds, cfg)
+    clusters = out["clusters"]
+    if hasattr(clusters, "to_arrow_refs"):
+        clusters = pa.concat_tables(ray.get(clusters.to_arrow_refs()))
+    flagship_sec = time.perf_counter() - t0
+    stage_walls = {m["stage"]: m.get("wall_sec") for m in out["metrics"] if "stage" in m}
+
+    # driver-path components on the SAME pairs: label check + wall ratio
+    pairs = out["pairs"]
+    t0 = time.perf_counter()
+    drv = connected_components(pairs, max_driver_edges=2**62)
+    if hasattr(drv, "to_arrow_refs"):
+        drv = pa.concat_tables(ray.get(drv.to_arrow_refs()))
+    driver_cc_sec = time.perf_counter() - t0
+
+    def canon(t: pa.Table) -> pd.DataFrame:
+        return t.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+    assert canon(clusters).equals(canon(drv)), "distributed labels != driver labels"
+    return {
+        "metric": "rehearsal_flagship_sec",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "rows": int(ds.count()),
+        "n_clustered": int(clusters.num_rows),
+        "stage_walls": stage_walls,
+        "distributed_cc_sec": stage_walls.get("components"),
+        "driver_cc_sec": round(driver_cc_sec, 3),
+        "labels_match": True,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--rehearsal" in sys.argv:
+        print(json.dumps(run_rehearsal()))
+        import ray
+
+        ray.shutdown()
     elif "--components" in sys.argv:
         print(json.dumps(run_components()))
         import ray

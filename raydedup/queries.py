@@ -308,29 +308,31 @@ def q_sliding_window_counts(sf_dir: str):
     event belongs to 4 overlapping windows, exploded in-map (4 slim
     rows/event) and pre-counted per batch before the small groupby —
     the streaming-shaped custom operator pattern."""
-    from collections import Counter
-
     from ray.data.aggregate import Sum
 
     slide_us = 900_000_000  # 15 min
     n_windows = 4  # 1 h / 15 min
 
     def explode_windows(batch: pa.Table) -> pa.Table:
+        # window w covers [w·slide, w·slide + 1h) → an event at base
+        # belongs to windows base-3 .. base. Pre-count per batch fully
+        # vectorized (r04; was a Python Counter over events × 4): one
+        # lexsort over the exploded (user, win) keys + run-length counts.
         us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
         users = batch.column("user_id").to_numpy(zero_copy_only=False)
         base = us // slide_us
-        c: Counter = Counter()
-        for k in range(n_windows):
-            # window w covers [w*slide, w*slide + 1h) → event in windows
-            # base-3 .. base
-            for u, w in zip(users, base - k):
-                c[(int(u), int(w))] += 1
-        ks = list(c.keys())
+        keys_u = np.tile(users, n_windows)
+        keys_w = np.concatenate([base - k for k in range(n_windows)])
+        order = np.lexsort((keys_w, keys_u))
+        su, sw = keys_u[order], keys_w[order]
+        change = np.concatenate(([True], (su[1:] != su[:-1]) | (sw[1:] != sw[:-1])))
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(su)))
         return pa.table(
             {
-                "user_id": pa.array([a for a, _ in ks], pa.int64()),
-                "win": pa.array([b for _, b in ks], pa.int64()),
-                "n_part": pa.array([c[k] for k in ks], pa.int64()),
+                "user_id": pa.array(su[starts], pa.int64()),
+                "win": pa.array(sw[starts], pa.int64()),
+                "n_part": pa.array(counts, pa.int64()),
             }
         )
 

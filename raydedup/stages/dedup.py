@@ -1214,12 +1214,13 @@ def remove_ids(ds, ids_to_remove, id_col: str):
     table-shaped index never mutates shared state."""
     import ray
 
-    ref = ray.put(frozenset(ids_to_remove))
+    ref = ray.put(pa.array(sorted(set(ids_to_remove))))
 
     def drop(batch: pa.Table) -> pa.Table:
         gone = ray.get(ref)
-        keep = [v not in gone for v in batch.column(id_col).to_pylist()]
-        return batch.filter(pa.array(keep))
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column(id_col), value_set=gone))
+        )
 
     return ds.map_batches(drop, batch_format="pyarrow")
 

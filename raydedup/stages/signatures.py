@@ -39,7 +39,8 @@ def make_shingler(kind: str):
 
 
 class SignatureStage:
-    """Adds ``minhash`` (fixed_size_list<uint64, P>) and optionally
+    """Adds ``minhash`` (fixed_size_list<uint32, P> storage — kernels
+    compute in uint64, values fit uint32 by _max_hash) and optionally
     ``simhash`` (uint64) columns; drops the heavy payload column if asked
     (the shuffle must never carry image bytes — SURVEY.md §7.5)."""
 

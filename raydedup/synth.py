@@ -108,7 +108,7 @@ def make_images_table(
     dims: tuple[int, ...] = (16, 32, 64),
     with_images: bool = True,
 ) -> tuple[pa.Table, GroundTruth]:
-    """Build the F1 corpus. ``with_images=False`` emits 1-pixel payloads
+    """Build the F1 corpus. ``with_images=False`` emits 8×8 payloads
     (for caption-only benches at large row counts)."""
     rng = np.random.default_rng(seed)
     vocab = vocab_200()
@@ -148,7 +148,8 @@ def make_images_table(
             h = int(dims[int(rng.integers(0, len(dims)))])
             px = _pixels(i, w, h, seed)
         else:
-            px = _pixels(i, 1, 1, seed)
+            # 8×8 = the smallest payload phash64's box-downsample accepts
+            px = _pixels(i, 8, 8, seed)
         # fmt mix: mostly raw; some lossless png; a small lossy-path slice
         u = rng.random()
         if u < 0.90 or not with_images:
