@@ -47,7 +47,7 @@ def ensure_bench_table(n_base: int, with_images: bool = True) -> str:
     workload is identical and the multi-million-row rehearsal corpus
     stays generable."""
     suffix = "" if with_images else "_nopix"
-    path = f"/tmp/raydedup_bench/images_{n_base}{suffix}_rg4k.parquet"
+    path = f"/tmp/raydedup_bench/images_{n_base}{suffix}_rg4k_v2.parquet"
     if not os.path.exists(path):
         os.makedirs("/tmp/raydedup_bench", exist_ok=True)
         import pyarrow.parquet as pq

@@ -6,6 +6,9 @@ The input table carries images as opaque ``bytes`` with typed metadata
 - ``raw``: ``h*w*3`` uint8 RGB buffer (zero-copy reshape).
 - ``png``: the minimal RGB8 codec in :mod:`raydedup.png` (no PIL/cv2 in
   this environment; real libraries slot in here unchanged).
+- ``jpeg``/``jpg``: the from-scratch baseline JFIF codec in
+  :mod:`raydedup.jpeg` — the real lossy path behind the PSNR ≥ 40 dB
+  per-row decode invariant.
 - anything else → ``NotImplementedError`` (clearly-marked stub per the
   task brief; the Ray-side plumbing — schema, batch size, actor
   signature — is real and tested either way).
@@ -18,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from raydedup.jpeg import decode_jpeg_rgb8, encode_jpeg_rgb8  # noqa: F401 (re-export)
 from raydedup.png import decode_png_rgb8, encode_png_rgb8  # noqa: F401 (re-export)
 
 
@@ -27,6 +31,8 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "png":
         return decode_png_rgb8(data)
+    if fmt in ("jpeg", "jpg"):
+        return decode_jpeg_rgb8(data)
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")
 
 

@@ -3,11 +3,12 @@
 Images are opaque ``binary`` payloads with typed metadata (w, h, fmt).
 Each stage is a callable class for ``map_batches(Cls, concurrency=N,
 batch_size=B)`` — small batches because payloads are wide (the brief's
-memory-aware rule). The raw/png codecs are real (raydedup.media /
-raydedup.png); other codecs raise ``NotImplementedError`` — a
-clearly-marked stub where this environment lacks image libraries, with
-the Ray-side plumbing (schema, actor signature, output layout) real and
-tested.
+memory-aware rule). The raw/png/jpeg codecs are real from-scratch
+implementations (raydedup.media / raydedup.png / raydedup.jpeg — the
+jpeg one covers the lossy PSNR-invariant path); other codecs raise
+``NotImplementedError`` — a clearly-marked stub where this environment
+lacks image libraries, with the Ray-side plumbing (schema, actor
+signature, output layout) real and tested.
 """
 
 from __future__ import annotations

@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow as pa
 
+from raydedup.jpeg import decode_jpeg_rgb8, encode_jpeg_rgb8
 from raydedup.media import phash64
 from raydedup.png import encode_png_rgb8
 from raydedup.schema import IMAGES_SCHEMA
@@ -81,6 +82,23 @@ def _pixels(i: int, w: int, h: int, seed: int) -> np.ndarray:
     return np.random.default_rng(seed + i).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+def _pixels_smooth(i: int, w: int, h: int, seed: int) -> np.ndarray:
+    """Deterministic band-limited image for the lossy (JPEG) slice.
+    Uniform noise is the JPEG worst case (no quality setting reaches
+    40 dB on it); real photographs are band-limited, which is the
+    premise of transform coding — so the lossy rows get smooth content
+    with per-row random frequencies/phases."""
+    r = np.random.default_rng(seed + 500_000_000 + i)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.empty((h, w, 3))
+    for c in range(3):
+        f1, f2 = r.uniform(3.0, 9.0, size=2)
+        p1, p2 = r.uniform(0.0, 2 * np.pi, size=2)
+        amp = r.uniform(30.0, 70.0)
+        img[..., c] = 128.0 + amp * np.sin(xx / f1 + p1) * np.cos(yy / f2 + p2)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def _caption(rng: np.random.Generator, vocab: list[str]) -> str:
     n = int(rng.integers(8, 41))
     idx = rng.integers(0, len(vocab), size=n)
@@ -130,6 +148,12 @@ def make_images_table(
         h, w, _ = pixels.shape
         if fmt == "png":
             data = encode_png_rgb8(pixels)
+        elif fmt == "jpeg":
+            # real lossy path: the stored phash must describe what a
+            # consumer DECODES, so it is computed on the round-tripped
+            # pixels, not the pre-encode buffer
+            data = encode_jpeg_rgb8(pixels, quality=90, subsample="444")
+            pixels = decode_jpeg_rgb8(data)
         else:
             data = pixels.tobytes()
         ids.append(iid)
@@ -150,16 +174,17 @@ def make_images_table(
         else:
             # 8×8 = the smallest payload phash64's box-downsample accepts
             px = _pixels(i, 8, 8, seed)
-        # fmt mix: mostly raw; some lossless png; a small lossy-path slice
+        # fmt mix: mostly raw; some lossless png; a small genuinely
+        # lossy JPEG slice (baseline JFIF, quality 90, 4:4:4 — decodes
+        # at PSNR ≈ 46 dB, comfortably above the 40 dB invariant)
         u = rng.random()
         if u < 0.90 or not with_images:
             fmt = "raw"
         elif u < 0.98:
             fmt = "png"
         else:
-            # lossy path: quantize to 6 bits before encoding → PSNR ≈ 42.7 dB
-            px = (px >> 2) << 2
-            fmt = "png"
+            fmt = "jpeg"
+            px = _pixels_smooth(i, px.shape[1], px.shape[0], seed)
         cap = _caption(rng, vocab)
         iid = add_row(px, cap, fmt)
         base_rows.append((iid, px, cap))

@@ -17,12 +17,71 @@ def test_png_roundtrip():
     assert np.array_equal(img, back)
 
 
+def _smooth_image(h: int, w: int) -> np.ndarray:
+    """Band-limited test image (the synth corpus is similarly smooth)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        img[..., c] = 128 + 60 * np.sin(xx / (5 + 3 * c)) * np.cos(yy / (7 + 2 * c))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_psnr():
+    from raydedup.jpeg import decode_jpeg_rgb8, encode_jpeg_rgb8
+
+    # non-multiple-of-8 dims exercise edge-padding on both sides
+    for h, w in [(64, 64), (33, 41), (8, 8)]:
+        img = _smooth_image(h, w)
+        data = encode_jpeg_rgb8(img, quality=90, subsample="444")
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        out = decode_jpeg_rgb8(data)
+        assert out.shape == img.shape
+        assert psnr(img, out) >= 40.0  # the input_hint lossy invariant
+    # 4:2:0 subsampling: chroma halves, still a faithful decode
+    img = _smooth_image(48, 40)
+    out = decode_jpeg_rgb8(encode_jpeg_rgb8(img, quality=95, subsample="420"))
+    assert out.shape == img.shape
+    assert psnr(img, out) >= 35.0
+
+
+def test_jpeg_quality_monotone_and_stuffing():
+    from raydedup.jpeg import decode_jpeg_rgb8, encode_jpeg_rgb8
+
+    rng = np.random.default_rng(3)
+    # noise maximizes entropy-coded bytes → exercises 0xFF byte stuffing
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    sizes, errs = [], []
+    for q in (50, 75, 95):
+        data = encode_jpeg_rgb8(img, quality=q)
+        out = decode_jpeg_rgb8(data)
+        sizes.append(len(data))
+        errs.append(np.mean((img.astype(float) - out.astype(float)) ** 2))
+    assert sizes[0] < sizes[1] < sizes[2]
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_jpeg_unsupported_modes():
+    from raydedup.jpeg import decode_jpeg_rgb8, encode_jpeg_rgb8
+
+    img = _smooth_image(16, 16)
+    with pytest.raises(NotImplementedError):
+        encode_jpeg_rgb8(img, subsample="422")
+    data = bytearray(encode_jpeg_rgb8(img))
+    # flip SOF0 → SOF2 (progressive): decoder must refuse, not garble
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_rgb8(bytes(data))
+
+
 def test_decode_raw_and_unknown_fmt():
     rng = np.random.default_rng(1)
     img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(img.tobytes(), 8, 8, "raw"), img)
     with pytest.raises(NotImplementedError):
-        decode_image(b"xxxx", 8, 8, "jpeg")  # stubbed codec path
+        decode_image(b"xxxx", 8, 8, "webp")  # stubbed codec path
+    with pytest.raises(ValueError):
+        decode_image(b"xxxx", 8, 8, "jpeg")  # real codec, invalid bytes
 
 
 def test_psnr_and_phash():
@@ -71,18 +130,21 @@ def test_decode_invariant_stage(ray_session):
     import ray.data as rd
 
     from raydedup.stages.verify import DecodeInvariantStage
-    from raydedup.synth import _pixels, make_images_table
+    from raydedup.synth import _pixels, _pixels_smooth, make_images_table
 
     table, _ = make_images_table(n_base=40, seed=42)
-    # attach the regenerated reference pixels for base rows
+    # attach the regenerated reference pixels for base rows (the lossy
+    # slice draws from the band-limited generator)
     refs = []
     for i in range(table.num_rows):
         iid = table.column("image_id")[i].as_py()
         idx = int(iid.split("-")[1])
         w = table.column("w")[i].as_py()
         h = table.column("h")[i].as_py()
+        fmt = table.column("fmt")[i].as_py()
         if idx < 40:
-            refs.append(_pixels(idx, w, h, 42).tobytes())
+            gen = _pixels_smooth if fmt == "jpeg" else _pixels
+            refs.append(gen(idx, w, h, 42).tobytes())
         else:
             refs.append(None)
     t = table.append_column("ref_pixels", pa.array(refs, pa.binary()))
