@@ -286,20 +286,34 @@ def q_hll_users_per_type(sf_dir: str):
 
 
 def q_window_counts(sf_dir: str):
-    """Tumbling 1-hour window counts per user (streaming-shaped op)."""
+    """Tumbling 1-hour window counts per user (streaming-shaped op),
+    pre-counted per batch (lexsort + run lengths) so the shuffle moves
+    one row per (user, window) per block rather than one per event —
+    the shuffle-byte reduction that matters at corpus scale."""
+    from ray.data.aggregate import Sum
 
-    def add_window(batch: pa.Table) -> pa.Table:
-        us = pc.cast(batch.column("ts"), pa.int64())  # µs since epoch
-        win = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
-        return batch.append_column("win", win)
-
-    from ray.data.aggregate import Count
+    def pre_count(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        win = us // 3_600_000_000  # µs → hour bucket
+        order = np.lexsort((win, users))
+        su, sw = users[order], win[order]
+        change = np.concatenate(([True], (su[1:] != su[:-1]) | (sw[1:] != sw[:-1])))
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(su)))
+        return pa.table(
+            {
+                "user_id": pa.array(su[starts], pa.int64()),
+                "win": pa.array(sw[starts], pa.int64()),
+                "n_part": pa.array(counts, pa.int64()),
+            }
+        )
 
     return (
         _read(sf_dir, "events", columns=["user_id", "ts"])
-        .map_batches(add_window, batch_format="pyarrow")
+        .map_batches(pre_count, batch_format="pyarrow")
         .groupby(["user_id", "win"])
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n_part", alias_name="n"))
     )
 
 
@@ -345,12 +359,27 @@ def q_sliding_window_counts(sf_dir: str):
 
 
 def q_lineitem_agg(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    """Grouped sum/count with a map-side combiner: each block collapses
+    to ≤ |groups| rows before the shuffle, so the exchange moves
+    O(blocks × groups) rows instead of the whole table, and the final
+    groupby needs only a handful of partitions (in-process A/B at
+    sf0.1/32 CPUs, min-over-3: 4.4 s raw groupby → 1.9 s combined —
+    aggregator spawn cost ∝ partitions dominates small aggregates).
+    l_quantity is integer-valued, so re-ordered double summation is
+    exact and the DuckDB oracle still hash-matches."""
+    from ray.data.aggregate import Sum
+
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([("l_quantity", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(keys + ["s", "c"])
 
     return (
-        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n"))
+        _read(sf_dir, "lineitem", columns=keys + ["l_quantity"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby(keys, num_partitions=4)
+        .aggregate(Sum("s", alias_name="sum_qty"), Sum("c", alias_name="n"))
     )
 
 
@@ -367,18 +396,24 @@ def q_orders_by_segment(sf_dir: str):
     cs = pa.array([r["c_mktsegment"] for r in cust], pa.string())
     seg_ref = ray.put((ck, cs))
 
-    def attach(batch: pa.Table) -> pa.Table:
+    def attach_count(batch: pa.Table) -> pa.Table:
         keys_arr, vals_arr = ray.get(seg_ref)
         idx = pc.index_in(batch.column("o_custkey"), value_set=keys_arr)
-        return batch.append_column("c_mktsegment", vals_arr.take(idx))
+        seg = vals_arr.take(idx)
+        # map-side combine: one row per segment per block (≤ 5 rows);
+        # count_all so a null segment (unmatched key) still counts rows
+        g = pa.table({"c_mktsegment": seg}).group_by(["c_mktsegment"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["c_mktsegment", "c"])
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     return (
         _read(sf_dir, "orders", columns=["o_custkey"])
-        .map_batches(attach, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n_orders"))
+        .map_batches(attach_count, batch_format="pyarrow")
+        .groupby("c_mktsegment", num_partitions=4)
+        .aggregate(Sum("c", alias_name="n_orders"))
     )
 
 
