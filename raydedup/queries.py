@@ -192,17 +192,16 @@ def q_fingerprint_docs(sf_dir: str):
 
 def q_top_terms(sf_dir: str):
     """Corpus-wide term frequencies, top 20 (count desc, token asc) —
-    partial counts per batch, then a small groupby (pre-aggregation
-    pattern)."""
-    from collections import Counter
+    partial counts per batch (Arrow split + value_counts, no Python
+    row loop), then a small groupby (pre-aggregation pattern)."""
 
     def explode_counts(batch: pa.Table) -> pa.Table:
-        c = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update((t or "").split())
-        return pa.table(
-            {"token": pa.array(list(c.keys()), pa.string()), "n_part": pa.array(list(c.values()), pa.int64())}
-        )
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch.column("text")))
+        # drop the empty tokens the kernel emits at string edges so the
+        # semantics stay identical to str.split()
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field(0), "n_part": vc.field(1)})
 
     from ray.data.aggregate import Sum
 
@@ -231,22 +230,41 @@ def q_top_terms(sf_dir: str):
 
 # --------------------------------------------------------- aggregates / SQL
 def q_docs_per_source(sf_dir: str):
-    from ray.data.aggregate import Count, Mean
+    """Count + mean per source with a map-side combiner: blocks emit
+    (source, count, sum) and the mean is one exact division of exact
+    integers at the end (matches SQL avg bit-for-bit)."""
+    from ray.data.aggregate import Sum
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source"]).aggregate([([], "count_all"), ("n_chars", "sum")])
+        return g.rename_columns(["source", "c", "s"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        avg = pc.divide(pc.cast(t.column("sum_chars"), pa.float64()), pc.cast(t.column("n"), pa.float64()))
+        return pa.table({"source": t.column("source"), "n": t.column("n"), "avg_chars": avg})
 
     return (
         _read(sf_dir, "documents", columns=["source", "n_chars"])
-        .groupby("source")
-        .aggregate(Count(alias_name="n"), Mean("n_chars", alias_name="avg_chars"))
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("source", num_partitions=4)
+        .aggregate(Sum("c", alias_name="n"), Sum("s", alias_name="sum_chars"))
+        .map_batches(finalize, batch_format="pyarrow")
     )
 
 
 def q_events_per_type(sf_dir: str):
-    from ray.data.aggregate import Count
+    """Count per type, pre-counted per block before a tiny shuffle."""
+    from ray.data.aggregate import Sum
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "c"])
 
     return (
         _read(sf_dir, "events", columns=["event_type"])
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"))
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=4)
+        .aggregate(Sum("c", alias_name="n"))
     )
 
 
