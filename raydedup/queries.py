@@ -297,7 +297,9 @@ def q_hll_users_per_type(sf_dir: str):
 
     return (
         _read(sf_dir, "events", columns=["event_type", "user_id"])
-        .groupby("event_type")
+        # handful of event types: 4 partitions beats the CPU-count
+        # default (aggregator spawn cost; in-process A/B 2.84→1.95 s)
+        .groupby("event_type", num_partitions=4)
         .aggregate(hll_aggregate_fn("user_id", p=12, alias_name="ndv_users", hashfunc="md5"))
         .map_batches(round6, batch_format="pyarrow")
     )
@@ -744,7 +746,7 @@ def q_source_union_signatures(sf_dir: str):
         concurrency=(1, 4),
         num_cpus=1,
     )
-    agg = sig_ds.groupby("source").aggregate(minhash_union_aggregate("minhash", 128, alias_name="u"))
+    agg = sig_ds.groupby("source", num_partitions=4).aggregate(minhash_union_aggregate("minhash", 128, alias_name="u"))
 
     def finalize(batch: pa.Table) -> pa.Table:
         sigs = np.array(batch.column("u").to_pylist(), dtype=np.uint64)
