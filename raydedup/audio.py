@@ -1,0 +1,309 @@
+"""Audio column primitives: RIFF/WAV container, G.711 µ-law/A-law,
+IMA ADPCM — from-scratch, numpy-vectorized where the format allows.
+
+Built purely from the public specs (RIFF/WAVE chunk layout, ITU-T
+G.711 companding tables, the IMA/DVI ADPCM step + index tables); no
+audio libraries exist in this environment. These close the
+"compressed audio codec" env-stub from the round-3 review: the
+AudioFeatureStage decodes ``wav`` (PCM8/PCM16/µ-law/A-law/IMA-ADPCM
+format tags), raw ``ulaw``/``alaw`` streams and raw ``pcm16`` for
+real; anything else still raises the clearly-marked
+``NotImplementedError``.
+
+Decode conventions: every decoder returns float64 samples in
+[-1, 1); multi-channel WAV is mean-mixed to mono (features are
+channel-agnostic). µ-law/A-law decode via 256-entry tables built
+from the ITU expansion formulas (bit-exact with the usual reference
+tables); encode is the vectorized segment/mantissa compander. IMA
+ADPCM is a per-sample state recurrence by construction, so its inner
+loop is sequential per spec block (state resets each block header,
+so blocks decode independently).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def _build_ulaw_decode_table() -> np.ndarray:
+    codes = np.arange(256, dtype=np.uint8)
+    u = (~codes) & 0xFF
+    sign = (u & 0x80) != 0
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    # standard expansion: ((mantissa << 3) + 0x84) << exponent, minus bias
+    magnitude = (((mantissa.astype(np.int32) << 3) + _ULAW_BIAS) << exponent) - _ULAW_BIAS
+    return np.where(sign, -magnitude, magnitude).astype(np.int16)
+
+
+_ULAW_DECODE = _build_ulaw_decode_table()
+
+
+def encode_ulaw(pcm: np.ndarray) -> np.ndarray:
+    """Compand int16 PCM to 8-bit µ-law (vectorized)."""
+    x = np.asarray(pcm, dtype=np.int32)
+    sign = x < 0
+    mag = np.where(sign, -x, x)
+    mag = np.minimum(mag, _ULAW_CLIP) + _ULAW_BIAS
+    # exponent = position of the highest set bit above bit 7
+    exponent = np.zeros_like(mag)
+    for e in range(7, 0, -1):
+        exponent = np.where((mag >> (e + 7)) & 1 != 0, np.maximum(exponent, e), exponent)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    code = (np.where(sign, 0x80, 0) | (exponent << 4) | mantissa).astype(np.uint8)
+    return (~code) & 0xFF
+
+
+def decode_ulaw(data: bytes | np.ndarray) -> np.ndarray:
+    """Expand 8-bit µ-law to int16 PCM (table lookup)."""
+    codes = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    return _ULAW_DECODE[codes]
+
+
+# ---------------------------------------------------------------------------
+# G.711 A-law
+
+
+_ALAW_SEG_END = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int32
+)
+
+
+def _build_alaw_decode_table() -> np.ndarray:
+    codes = np.arange(256, dtype=np.uint8)
+    a = codes ^ 0x55
+    positive = (a & 0x80) != 0  # sign bit SET means positive in A-law
+    exponent = (a >> 4) & 0x07
+    mantissa = (a & 0x0F).astype(np.int32)
+    mag = np.where(
+        exponent == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent.astype(np.int32) - 1, 0),
+    )
+    return np.where(positive, mag, -mag).astype(np.int16)
+
+
+_ALAW_DECODE = _build_alaw_decode_table()
+
+
+def encode_alaw(pcm: np.ndarray) -> np.ndarray:
+    """Compand int16 PCM to 8-bit A-law (vectorized; 13-bit domain and
+    segment ends per the public G.711 reference algorithm)."""
+    x13 = np.asarray(pcm, dtype=np.int32) >> 3
+    mask = np.where(x13 >= 0, 0xD5, 0x55)
+    mag = np.where(x13 >= 0, x13, -x13 - 1)
+    seg = np.searchsorted(_ALAW_SEG_END, mag, side="left")
+    shift = np.where(seg < 2, 1, seg)
+    aval = (seg << 4) | ((mag >> shift) & 0x0F)
+    code = np.where(seg >= 8, 0x7F, aval) ^ mask
+    return code.astype(np.uint8)
+
+
+def decode_alaw(data: bytes | np.ndarray) -> np.ndarray:
+    codes = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    return _ALAW_DECODE[codes]
+
+
+# ---------------------------------------------------------------------------
+# IMA (DVI4) ADPCM — 4-bit, the WAV format-0x11 block layout
+
+_IMA_STEPS = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32,
+)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_nibbles(nibbles: np.ndarray, predictor: int, index: int) -> np.ndarray:
+    """Decode one block's nibble stream given the block-header state.
+    Sequential per sample — the ADPCM recurrence admits no batching."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    pred = int(predictor)
+    idx = int(index)
+    steps = _IMA_STEPS
+    adj = _IMA_INDEX_ADJ
+    for i, nib in enumerate(nibbles):
+        step = int(steps[idx])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        if nib & 8:
+            pred -= diff
+        else:
+            pred += diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(adj[nib & 7])))
+        out[i] = pred
+    return out
+
+
+def _ima_encode_block(pcm: np.ndarray, index: int) -> tuple[bytes, int]:
+    """Encode one mono block: 4-byte header (predictor, index) + nibbles.
+    Returns (block bytes, final index) so blocks chain the step index."""
+    pred = int(pcm[0])
+    idx = int(index)
+    header = struct.pack("<hBB", pred, idx, 0)
+    nibbles = []
+    for s in pcm[1:]:
+        step = int(_IMA_STEPS[idx])
+        delta = int(s) - pred
+        nib = 0
+        if delta < 0:
+            nib = 8
+            delta = -delta
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        # reconstruct exactly as the decoder will
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[nib & 7])))
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes(
+        (nibbles[i] & 0x0F) | ((nibbles[i + 1] & 0x0F) << 4)
+        for i in range(0, len(nibbles), 2)
+    )
+    return header + packed, idx
+
+
+def decode_ima_adpcm(data: bytes, block_align: int, channels: int = 1) -> np.ndarray:
+    """Decode a WAV-layout IMA ADPCM stream (mono only — the synth and
+    feature paths are mono; stereo interleaving is out of scope)."""
+    if channels != 1:
+        raise NotImplementedError("IMA ADPCM: only mono streams supported")
+    buf = memoryview(data)
+    chunks = []
+    for off in range(0, len(buf) - 3, block_align):
+        block = buf[off : off + block_align]
+        pred, idx, _ = struct.unpack_from("<hBB", block, 0)
+        payload = np.frombuffer(block[4:], dtype=np.uint8)
+        nibbles = np.empty(payload.size * 2, dtype=np.uint8)
+        nibbles[0::2] = payload & 0x0F
+        nibbles[1::2] = payload >> 4
+        chunks.append(np.concatenate([[np.int16(pred)], _ima_decode_nibbles(nibbles, pred, idx)]))
+    return np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int16)
+
+
+def encode_ima_adpcm(pcm: np.ndarray, block_align: int = 1024) -> bytes:
+    """Encode mono int16 PCM to WAV-layout IMA ADPCM blocks."""
+    pcm = np.asarray(pcm, dtype=np.int16)
+    samples_per_block = (block_align - 4) * 2 + 1
+    out = []
+    idx = 0
+    for off in range(0, len(pcm), samples_per_block):
+        chunk = pcm[off : off + samples_per_block]
+        if len(chunk) < samples_per_block:
+            chunk = np.concatenate([chunk, np.zeros(samples_per_block - len(chunk), dtype=np.int16)])
+        block, idx = _ima_encode_block(chunk, idx)
+        out.append(block)
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE container
+
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_ALAW = 0x0006
+WAVE_FORMAT_MULAW = 0x0007
+WAVE_FORMAT_IMA_ADPCM = 0x0011
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE payload → (mono float64 samples in [-1, 1),
+    sample_rate). Walks chunks by declared size (fmt anywhere before
+    data, unknown chunks skipped), handling PCM8/PCM16, A-law, µ-law
+    and mono IMA ADPCM format tags."""
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid, csz = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            tag, channels, rate, _brate, balign, bits = struct.unpack_from("<HHIIHH", body, 0)
+            fmt = (tag, channels, rate, balign, bits)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    tag, channels, rate, balign, bits = fmt
+    if tag == WAVE_FORMAT_PCM and bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif tag == WAVE_FORMAT_PCM and bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif tag == WAVE_FORMAT_MULAW:
+        x = decode_ulaw(raw).astype(np.float64) / 32768.0
+    elif tag == WAVE_FORMAT_ALAW:
+        x = decode_alaw(raw).astype(np.float64) / 32768.0
+    elif tag == WAVE_FORMAT_IMA_ADPCM:
+        x = decode_ima_adpcm(raw, balign, channels).astype(np.float64) / 32768.0
+        channels = 1
+    else:
+        raise NotImplementedError(f"WAVE format tag 0x{tag:04x} not supported")
+    if channels > 1:
+        n = (len(x) // channels) * channels
+        x = x[:n].reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
+def _wav_container(tag: int, channels: int, rate: int, bits: int, balign: int, payload: bytes) -> bytes:
+    brate = rate * balign if tag == WAVE_FORMAT_IMA_ADPCM else rate * channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", tag, channels, rate, brate, balign, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_wav_pcm16(pcm: np.ndarray, rate: int) -> bytes:
+    pcm = np.asarray(pcm, dtype="<i2")
+    return _wav_container(WAVE_FORMAT_PCM, 1, rate, 16, 2, pcm.tobytes())
+
+
+def encode_wav_ulaw(pcm: np.ndarray, rate: int) -> bytes:
+    return _wav_container(WAVE_FORMAT_MULAW, 1, rate, 8, 1, encode_ulaw(pcm).tobytes())
+
+
+def encode_wav_alaw(pcm: np.ndarray, rate: int) -> bytes:
+    return _wav_container(WAVE_FORMAT_ALAW, 1, rate, 8, 1, encode_alaw(pcm).tobytes())
+
+
+def encode_wav_adpcm(pcm: np.ndarray, rate: int, block_align: int = 1024) -> bytes:
+    payload = encode_ima_adpcm(pcm, block_align)
+    return _wav_container(WAVE_FORMAT_IMA_ADPCM, 1, rate, 4, block_align, payload)

@@ -1067,10 +1067,119 @@ def q_image_features_synth(sf_dir: str):
     return feats.select_columns(["image_id", "phash_check", "decode_ok"])
 
 
+def _synth_media_path(kind: str, n: int) -> str:
+    """Deterministic synthetic audio/video table, cached under /tmp."""
+    import os
+
+    path = f"/tmp/raydedup_bench/{kind}_q_{n}_v1.parquet"
+    if not os.path.exists(path):
+        os.makedirs("/tmp/raydedup_bench", exist_ok=True)
+        import pyarrow.parquet as pq
+
+        from raydedup.synth import make_audio_table, make_videos_table
+
+        table = make_audio_table(n=n) if kind == "audio" else make_videos_table(n=n)
+        pq.write_table(table, path + ".tmp", row_group_size=1024)
+        os.rename(path + ".tmp", path)
+    return path
+
+
+def q_audio_features_synth(sf_dir: str):
+    """Compressed-audio decode path: actor-pool feature extraction over
+    pcm16 / wav(IMA ADPCM) / µ-law / A-law payloads. Self-verifying:
+    every row must decode and reproduce the original signal's RMS
+    within 2% (the companding error bound). Rows-only."""
+    import ray.data as rd
+
+    from raydedup.stages.grouped import ensure_hash_shuffle
+    from raydedup.stages.media import AudioFeatureStage
+
+    ensure_hash_shuffle()
+    ds = rd.read_parquet(_synth_media_path("audio", 200))
+    feats = ds.map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    expected = rd.read_parquet(
+        _synth_media_path("audio", 200), columns=["audio_id", "expected_rms", "codec"]
+    )
+    out = pa.concat_tables(list(feats.iter_batches(batch_format="pyarrow")))
+    exp = pa.concat_tables(list(expected.iter_batches(batch_format="pyarrow")))
+    joined = out.join(exp, keys=["audio_id"])
+    assert pc.all(joined.column("decode_ok")).as_py(), "audio decode failed"
+    rms = joined.column("rms").to_numpy()
+    want = joined.column("expected_rms").to_numpy()
+    assert np.all(np.abs(rms - want) <= 0.02 * want + 1e-9), "RMS out of companding bound"
+    return joined.select(["audio_id", "codec", "zero_crossings", "decode_ok"]).sort_by(
+        "audio_id"
+    )
+
+
+def q_video_frames_synth(sf_dir: str):
+    """Compressed-video frame-sampling path: MJPEG (real from-scratch
+    JPEG codec) + rawvideo payloads flat-mapped to sampled frames.
+    Self-verifying bit-exactly: each decoded frame's phash64 must equal
+    the stored round-tripped phash (the decoded-pixels invariant).
+    Rows-only."""
+    import ray.data as rd
+
+    from raydedup.media import phash64
+    from raydedup.stages.grouped import ensure_hash_shuffle
+    from raydedup.stages.media import FrameSampleStage
+
+    ensure_hash_shuffle()
+    ds = rd.read_parquet(
+        _synth_media_path("video", 40),
+        columns=["video_id", "bytes", "w", "h", "n_frames", "codec"],
+    )
+    frames = ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs=dict(every_n=5, max_frames=4),
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    out = pa.concat_tables(list(frames.iter_batches(batch_format="pyarrow")))
+    truth = pa.parquet.read_table(
+        _synth_media_path("video", 40), columns=["video_id", "frame_phashes"]
+    )
+    want = {
+        vid: phl
+        for vid, phl in zip(
+            truth.column("video_id").to_pylist(), truth.column("frame_phashes").to_pylist()
+        )
+    }
+    ph_checks = []
+    for vid, idx, blob, w, h in zip(
+        out.column("video_id").to_pylist(),
+        out.column("frame_idx").to_pylist(),
+        out.column("frame_bytes").to_pylist(),
+        out.column("w").to_pylist(),
+        out.column("h").to_pylist(),
+    ):
+        px = np.frombuffer(blob, dtype=np.uint8).reshape(h, w, 3)
+        got = phash64(px)
+        assert got == want[vid][idx // 5], f"phash mismatch {vid}[{idx}]"
+        ph_checks.append(got)
+    return pa.table(
+        {
+            "video_id": out.column("video_id"),
+            "frame_idx": out.column("frame_idx"),
+            "phash_check": pa.array(ph_checks, pa.int64()),
+        }
+    ).sort_by([("video_id", "ascending"), ("frame_idx", "ascending")])
+
+
 QUERIES.update(
     {
         "image_dedup_synth": q_image_dedup_synth,
         "image_features_synth": q_image_features_synth,
+        "audio_features_synth": q_audio_features_synth,
+        "video_frames_synth": q_video_frames_synth,
     }
 )
 

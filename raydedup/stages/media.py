@@ -92,11 +92,14 @@ class AudioFeatureStage:
     typed metadata (sample_rate:int32, n_samples:int32, codec:string).
 
     The Ray-side plumbing is real — actor-pool signature, small batch
-    sizing, feature-only output schema (audio bytes never re-emitted) —
-    while the decoders are environment-gated: raw PCM16 decodes for
-    real (numpy), compressed codecs raise ``NotImplementedError``
-    (clearly-marked stub: no audio libraries in this container; a real
-    decoder slots into ``_decode`` unchanged)."""
+    sizing, feature-only output schema (audio bytes never re-emitted).
+    Decoders (:mod:`raydedup.audio`, from the public specs): raw
+    ``pcm16``, RIFF ``wav`` containers (PCM8/PCM16, G.711 µ-law/A-law,
+    mono IMA ADPCM format tags), and raw ``ulaw``/``alaw`` streams.
+    Codecs this environment genuinely can't build from scratch (opus,
+    mp3, aac) raise ``NotImplementedError`` — a clearly-marked
+    env-gated stub; a library decoder slots into ``_decode``
+    unchanged."""
 
     SCHEMA = pa.schema(
         [
@@ -113,8 +116,16 @@ class AudioFeatureStage:
         self.strict = strict
 
     def _decode(self, data: bytes, codec: str) -> np.ndarray:
+        from raydedup import audio
+
         if codec == "pcm16":
             return np.frombuffer(data, dtype=np.int16).astype(np.float64) / 32768.0
+        if codec == "wav":
+            return audio.decode_wav(data)[0]
+        if codec == "ulaw":
+            return audio.decode_ulaw(data).astype(np.float64) / 32768.0
+        if codec == "alaw":
+            return audio.decode_alaw(data).astype(np.float64) / 32768.0
         raise NotImplementedError(
             f"audio codec {codec!r}: no audio libraries in this environment"
         )
@@ -124,10 +135,17 @@ class AudioFeatureStage:
         blobs = batch.column("bytes").to_pylist()
         codecs = batch.column("codec").to_pylist()
         rates = batch.column("sample_rate").to_pylist()
+        nsamp = (
+            batch.column("n_samples").to_pylist()
+            if "n_samples" in batch.column_names
+            else [None] * len(ids)
+        )
         rms, peak, zc, dur, ok = [], [], [], [], []
-        for blob, codec, rate in zip(blobs, codecs, rates):
+        for blob, codec, rate, n in zip(blobs, codecs, rates, nsamp):
             try:
                 x = self._decode(blob, codec)
+                if n:  # block codecs (ADPCM) pad the final block
+                    x = x[:n]
                 rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
                 peak.append(float(np.abs(x).max()) if len(x) else 0.0)
                 zc.append(int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))))
@@ -159,9 +177,12 @@ class FrameSampleStage:
     SAMPLED FRAME (video_id, frame_idx, frame_bytes, w, h) — the
     flat-map layout downstream image stages consume directly.
 
-    ``rawvideo`` (concatenated h*w*3 frames) samples for real; other
-    codecs raise ``NotImplementedError`` (stub — no video libraries in
-    this container; the Ray plumbing is the deliverable)."""
+    ``rawvideo`` (concatenated h*w*3 frames) and ``mjpeg``
+    (concatenated baseline JPEGs, decoded by the from-scratch codec in
+    :mod:`raydedup.video` — sampled frames are marker-indexed first so
+    unsampled frames' bytes are never entropy-decoded) sample for
+    real; inter-frame codecs (h264 etc.) raise ``NotImplementedError``
+    (env-gated stub — not buildable from scratch here)."""
 
     def __init__(self, every_n: int = 10, max_frames: int = 4, strict: bool = False):
         self.every_n = every_n
@@ -169,6 +190,8 @@ class FrameSampleStage:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from raydedup.video import decode_mjpeg_frame, mjpeg_frame_offsets
+
         ids = batch.column("video_id").to_pylist()
         blobs = batch.column("bytes").to_pylist()
         ws = batch.column("w").to_pylist()
@@ -177,21 +200,34 @@ class FrameSampleStage:
         codecs = batch.column("codec").to_pylist()
         o_id, o_idx, o_bytes, o_w, o_h = [], [], [], [], []
         for vid, blob, w, h, n, codec in zip(ids, blobs, ws, hs, nf, codecs):
-            if codec != "rawvideo":
-                if self.strict:
-                    raise NotImplementedError(
-                        f"video codec {codec!r}: no video libraries in this environment"
-                    )
+            if codec == "rawvideo":
+                frame_sz = w * h * 3
+                for k, f in enumerate(range(0, n, self.every_n)):
+                    if k >= self.max_frames:
+                        break
+                    o_id.append(vid)
+                    o_idx.append(f)
+                    o_bytes.append(blob[f * frame_sz : (f + 1) * frame_sz])
+                    o_w.append(w)
+                    o_h.append(h)
+            elif codec == "mjpeg":
+                offs = mjpeg_frame_offsets(blob)
+                for k, f in enumerate(range(0, min(n, len(offs)), self.every_n)):
+                    if k >= self.max_frames:
+                        break
+                    a, b = offs[f]
+                    px = decode_mjpeg_frame(blob[a:b])
+                    o_id.append(vid)
+                    o_idx.append(f)
+                    o_bytes.append(px.tobytes())
+                    o_w.append(px.shape[1])
+                    o_h.append(px.shape[0])
+            elif self.strict:
+                raise NotImplementedError(
+                    f"video codec {codec!r}: no video libraries in this environment"
+                )
+            else:
                 continue
-            frame_sz = w * h * 3
-            for k, f in enumerate(range(0, n, self.every_n)):
-                if k >= self.max_frames:
-                    break
-                o_id.append(vid)
-                o_idx.append(f)
-                o_bytes.append(blob[f * frame_sz : (f + 1) * frame_sz])
-                o_w.append(w)
-                o_h.append(h)
         return pa.table(
             {
                 "video_id": pa.array(o_id, pa.string()),

@@ -256,3 +256,97 @@ def make_images_table(
         schema=IMAGES_SCHEMA,
     )
     return table, truth
+
+
+def make_audio_table(n: int = 200, seed: int = 11, rate: int = 16000) -> pa.Table:
+    """Deterministic audio corpus over every real codec path: each row
+    is a two-tone + noise signal encoded as one of pcm16 / wav(IMA
+    ADPCM) / ulaw / alaw, with the ORIGINAL signal's RMS stored as
+    ``expected_rms`` so feature extraction self-verifies (companded
+    codecs reproduce RMS within ~2%)."""
+    from raydedup import audio
+
+    codecs = ["pcm16", "wav", "ulaw", "alaw"]
+    ids, blobs, rates, ns, cods, exp = [], [], [], [], [], []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        dur = int(rate * (0.25 + 0.5 * rng.random()))
+        t = np.arange(dur)
+        f1, f2 = rng.uniform(80, 500), rng.uniform(500, 3000)
+        a1, a2 = rng.uniform(3000, 12000), rng.uniform(1000, 6000)
+        x = a1 * np.sin(2 * np.pi * f1 * t / rate) + a2 * np.sin(2 * np.pi * f2 * t / rate)
+        pcm = np.clip(x + rng.normal(0, 200, dur), -32768, 32767).astype(np.int16)
+        codec = codecs[i % len(codecs)]
+        if codec == "pcm16":
+            blob = pcm.tobytes()
+        elif codec == "wav":
+            blob = audio.encode_wav_adpcm(pcm, rate)
+        elif codec == "ulaw":
+            blob = audio.encode_ulaw(pcm).tobytes()
+        else:
+            blob = audio.encode_alaw(pcm).tobytes()
+        ids.append(f"aud-{i:06d}")
+        blobs.append(blob)
+        rates.append(rate)
+        ns.append(dur)
+        cods.append(codec)
+        exp.append(float(np.sqrt(np.mean((pcm.astype(np.float64) / 32768.0) ** 2))))
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "n_samples": pa.array(ns, pa.int32()),
+            "codec": pa.array(cods, pa.string()),
+            "expected_rms": pa.array(exp, pa.float64()),
+        }
+    )
+
+
+def make_videos_table(n: int = 40, seed: int = 13, w: int = 48, h: int = 32) -> pa.Table:
+    """Deterministic video corpus: alternating mjpeg (real lossy codec)
+    and rawvideo payloads of smooth drifting-gradient frames. Stores
+    the phash64 of each ROUND-TRIPPED sampled frame (every 5th, ≤4) as
+    ``frame_phashes`` so the sampling+decode path self-verifies
+    bit-exactly — the same decoded-pixels-invariant pattern the image
+    corpus uses for its JPEG slice."""
+    from raydedup.media import phash64 as _ph
+    from raydedup.video import decode_mjpeg_frame, encode_mjpeg, split_mjpeg
+
+    ids, blobs, ws, hs, nfs, cods, phl = [], [], [], [], [], [], []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        n_frames = int(rng.integers(8, 20))
+        frames = []
+        phase = rng.uniform(0, 6.28)
+        for fidx in range(n_frames):
+            y, x = np.mgrid[0:h, 0:w]
+            base = 128 + 60 * np.sin(x / 7.0 + phase + fidx * 0.5) + 50 * np.cos(y / 5.0 - fidx * 0.3)
+            f = np.stack([base, np.roll(base, fidx, axis=1), base[::-1]], axis=-1)
+            frames.append(np.clip(f + rng.normal(0, 2, f.shape), 0, 255).astype(np.uint8))
+        codec = "mjpeg" if i % 2 == 0 else "rawvideo"
+        if codec == "mjpeg":
+            blob = encode_mjpeg(frames, quality=90)
+            decoded = [decode_mjpeg_frame(p) for p in split_mjpeg(blob)]
+        else:
+            blob = b"".join(f.tobytes() for f in frames)
+            decoded = frames
+        sampled = [decoded[fidx] for k, fidx in enumerate(range(0, n_frames, 5)) if k < 4]
+        ids.append(f"vid-{i:06d}")
+        blobs.append(blob)
+        ws.append(w)
+        hs.append(h)
+        nfs.append(n_frames)
+        cods.append(codec)
+        phl.append([_ph(f) for f in sampled])
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "n_frames": pa.array(nfs, pa.int32()),
+            "codec": pa.array(cods, pa.string()),
+            "frame_phashes": pa.array(phl, pa.list_(pa.int64())),
+        }
+    )

@@ -1,0 +1,224 @@
+"""From-scratch audio (RIFF/WAV, G.711, IMA ADPCM) and video (MJPEG)
+codecs + their actor-pool stages. These close the compressed audio /
+video env-stubs: the feature and frame-sampling stages now decode
+real compressed payloads (reference parity target: the multimodal
+decode invariant from the task brief — PSNR ≥ 40 dB for lossy image
+paths, bounded SNR for companded audio)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _tone(n=16000, rate=16000, seed=7):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    x = (
+        9000 * np.sin(2 * np.pi * 440 * t / rate)
+        + 4000 * np.sin(2 * np.pi * 97 * t / rate)
+        + rng.normal(0, 300, n)
+    )
+    return x.astype(np.int16)
+
+
+def _snr_db(ref, dec):
+    ref = np.asarray(ref, dtype=np.float64)
+    dec = np.asarray(dec, dtype=np.float64)[: len(ref)]
+    return 10 * np.log10(np.sum(ref**2) / max(np.sum((ref - dec) ** 2), 1e-9))
+
+
+def test_g711_spec_anchors_and_idempotence():
+    """Decode tables match the published G.711 expansion values at the
+    corner codes, and decode∘encode is the identity on every decoded
+    codeword (the compander fixpoint property) for all 256 codes."""
+    from raydedup import audio
+
+    # µ-law: 0xFF (and 0x7F) are ±0; 0x80/0x00 are the ±32124 extremes
+    assert audio._ULAW_DECODE[0xFF] == 0 and audio._ULAW_DECODE[0x7F] == 0
+    assert audio._ULAW_DECODE[0x80] == 32124 and audio._ULAW_DECODE[0x00] == -32124
+    # A-law: 0xD5/0x55 are ±8 (smallest magnitudes); extremes ±32256
+    assert audio._ALAW_DECODE[0xD5] == 8 and audio._ALAW_DECODE[0x55] == -8
+    assert audio._ALAW_DECODE.max() == 32256 and audio._ALAW_DECODE.min() == -32256
+    for enc, table in (
+        (audio.encode_ulaw, audio._ULAW_DECODE),
+        (audio.encode_alaw, audio._ALAW_DECODE),
+    ):
+        dec = table.astype(np.int16)
+        again = table[enc(dec)]
+        assert np.array_equal(again, dec)
+
+
+def test_g711_and_adpcm_snr():
+    from raydedup import audio
+
+    pcm = _tone()
+    assert _snr_db(pcm, audio.decode_ulaw(audio.encode_ulaw(pcm))) > 35.0
+    assert _snr_db(pcm, audio.decode_alaw(audio.encode_alaw(pcm))) > 35.0
+    blob = audio.encode_ima_adpcm(pcm, block_align=1024)
+    assert len(blob) < 0.27 * 2 * len(pcm)  # ~4:1 vs PCM16
+    assert _snr_db(pcm, audio.decode_ima_adpcm(blob, 1024)) > 25.0
+
+
+def test_wav_container_all_format_tags():
+    from raydedup import audio
+
+    pcm = _tone()
+    bars = {"pcm16": 90.0, "ulaw": 35.0, "alaw": 35.0, "adpcm": 25.0}
+    encoders = {
+        "pcm16": audio.encode_wav_pcm16,
+        "ulaw": audio.encode_wav_ulaw,
+        "alaw": audio.encode_wav_alaw,
+        "adpcm": audio.encode_wav_adpcm,
+    }
+    for name, enc in encoders.items():
+        x, rate = audio.decode_wav(enc(pcm, 16000))
+        assert rate == 16000
+        assert _snr_db(pcm / 32768.0, x) > bars[name], name
+
+
+def test_wav_chunk_walk_and_stereo_mix():
+    """The RIFF walker must skip unknown chunks (by declared size, with
+    word alignment) and mean-mix multi-channel data to mono."""
+    import struct
+
+    from raydedup import audio
+
+    pcm = _tone(n=1000)
+    blob = audio.encode_wav_pcm16(pcm, 8000)
+    # splice an odd-sized unknown chunk between WAVE and fmt
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = blob[:12] + junk + blob[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    x, rate = audio.decode_wav(spliced)
+    assert rate == 8000 and len(x) == len(pcm)
+    assert _snr_db(pcm / 32768.0, x) > 90.0
+
+    # stereo: L = tone, R = -tone ⇒ mono mix ≈ 0
+    stereo = np.empty(2 * len(pcm), dtype=np.int16)
+    stereo[0::2] = pcm
+    stereo[1::2] = -pcm
+    payload = stereo.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    x, _ = audio.decode_wav(wav)
+    assert np.abs(x).max() <= 1.0 / 32768.0 + 1e-12
+
+
+def _smooth_frames(n, w=48, h=32, seed=3):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        y, x = np.mgrid[0:h, 0:w]
+        base = 128 + 60 * np.sin(x / 7.0 + i * 0.5) + 50 * np.cos(y / 5.0 - i * 0.3)
+        f = np.stack([base, np.roll(base, i, axis=1), base[::-1]], axis=-1)
+        out.append(np.clip(f + rng.normal(0, 2, f.shape), 0, 255).astype(np.uint8))
+    return out
+
+
+def test_mjpeg_split_roundtrip_psnr():
+    from raydedup.media import psnr
+    from raydedup.video import (
+        decode_mjpeg_frame,
+        encode_mjpeg,
+        mjpeg_frame_offsets,
+        split_mjpeg,
+    )
+
+    frames = _smooth_frames(7)
+    blob = encode_mjpeg(frames, quality=90)
+    parts = split_mjpeg(blob)
+    assert len(parts) == 7 and b"".join(parts) == blob
+    offs = mjpeg_frame_offsets(blob)
+    assert [blob[a:b] for a, b in offs] == parts
+    for f, part in zip(frames, parts):
+        dec = decode_mjpeg_frame(part)
+        assert dec.shape == f.shape
+        assert psnr(f, dec) >= 40.0  # the brief's lossy invariant
+
+    with pytest.raises(ValueError):
+        split_mjpeg(blob[:-1])  # truncated EOI must not silently pass
+
+
+def test_audio_feature_stage_compressed_codecs(ray_session):
+    """The audio actor-pool stage decodes wav (ADPCM tag) and raw ulaw
+    payloads for real — matching features with the pcm16 path."""
+    import ray.data as rd
+
+    from raydedup import audio
+    from raydedup.stages.media import AudioFeatureStage
+
+    pcm = _tone()
+    t = pa.table(
+        {
+            "audio_id": pa.array(["pcm", "wav", "ulaw"], pa.string()),
+            "bytes": pa.array(
+                [
+                    pcm.tobytes(),
+                    audio.encode_wav_adpcm(pcm, 16000),
+                    audio.encode_ulaw(pcm).tobytes(),
+                ],
+                pa.binary(),
+            ),
+            "sample_rate": pa.array([16000] * 3, pa.int32()),
+            "n_samples": pa.array([len(pcm)] * 3, pa.int32()),
+            "codec": pa.array(["pcm16", "wav", "ulaw"], pa.string()),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            AudioFeatureStage,
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=(1, 2),
+            num_cpus=1,
+        )
+        .take_all()
+    )
+    by_id = {r["audio_id"]: r for r in out}
+    assert all(r["decode_ok"] for r in out)
+    ref_rms = by_id["pcm"]["rms"]
+    assert abs(by_id["wav"]["rms"] - ref_rms) < 0.02 * ref_rms
+    assert abs(by_id["ulaw"]["rms"] - ref_rms) < 0.02 * ref_rms
+
+
+def test_frame_sample_stage_mjpeg(ray_session):
+    """mjpeg payloads flat-map into decoded raw-RGB frame rows with the
+    same layout as rawvideo; per-frame PSNR meets the lossy bar."""
+    import ray.data as rd
+
+    from raydedup.media import psnr
+    from raydedup.stages.media import FrameSampleStage
+    from raydedup.video import encode_mjpeg
+
+    frames = _smooth_frames(25)
+    blob = encode_mjpeg(frames, quality=90)
+    t = pa.table(
+        {
+            "video_id": pa.array(["m0"], pa.string()),
+            "bytes": pa.array([blob], pa.binary()),
+            "w": pa.array([48], pa.int32()),
+            "h": pa.array([32], pa.int32()),
+            "n_frames": pa.array([25], pa.int32()),
+            "codec": pa.array(["mjpeg"], pa.string()),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs=dict(every_n=10, max_frames=4),
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=(1, 2),
+            num_cpus=1,
+        )
+        .take_all()
+    )
+    assert [r["frame_idx"] for r in out] == [0, 10, 20]
+    for r in out:
+        assert (r["w"], r["h"]) == (48, 32)
+        dec = np.frombuffer(r["frame_bytes"], dtype=np.uint8).reshape(32, 48, 3)
+        assert psnr(frames[r["frame_idx"]], dec) >= 40.0
