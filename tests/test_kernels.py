@@ -263,3 +263,30 @@ def test_flat_ngram_hashes_match_python_shingles():
             & word_ngram_shingles("the quick brown cat", n)
         )
         assert len(r0 & r1) == shared
+
+
+def test_minhash_batch_xp_bit_exact():
+    """The array-module-dispatched (GPU parity) kernel is bit-exact with
+    the production reduceat kernel, exercised with numpy as the module
+    and np.minimum.at as the scatter-min shim (no GPU in this env; with
+    CuPy importable the same code offloads). Covers empty docs and
+    chunk boundaries."""
+    import numpy as np
+
+    from raydedup.hashing import generate_permutations
+    from raydedup.minhash import minhash_batch, minhash_batch_xp
+
+    a, b = generate_permutations(128, 1)
+    rng = np.random.default_rng(0)
+    docs = [
+        [
+            bytes(rng.integers(97, 123, rng.integers(3, 9), dtype=np.uint8))
+            for _ in range(int(rng.integers(0, 40)))
+        ]
+        for _ in range(50)
+    ]
+    ref = minhash_batch(docs, a, b)
+    got = minhash_batch_xp(docs, a, b, xp=np, scatter_min=np.minimum.at, chunk_tokens=100)
+    assert np.array_equal(ref, got)
+    # without an explicit xp and no cupy installed, it falls back to CPU
+    assert np.array_equal(ref, minhash_batch_xp(docs, a, b))
