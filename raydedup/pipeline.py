@@ -7,12 +7,14 @@ content-hash stars + suffix-array substring pairs) → optional Jaccard
 verification → connected components → (image_id, cluster_id).
 
 Per-stage checkpointing: every materialized stage can persist to a
-named Parquet directory with a manifest (row count, wall time, config
-fingerprint); a resumed run reuses any stage whose manifest is present
-and config-compatible — "resumable from checkpoint mid-shuffle" means
-the expensive signature and pair tables are never recomputed
-(SURVEY.md §4.2/§4.3). The manifest doubles as per-stage lineage +
-metrics output.
+named Parquet directory with a manifest (total rows, wall time, config
+fingerprint, and a per-partition lineage record — file name, rows,
+bytes — read from the parquet footers, never by re-scanning data); a
+resumed run reuses any stage whose manifest is present and
+config-compatible — "resumable from checkpoint mid-shuffle" means the
+expensive signature and pair tables are never recomputed (SURVEY.md
+§4.2/§4.3). The manifest doubles as per-stage + per-partition lineage
+and metrics output (north-rule: "per-partition lineage + metrics").
 """
 
 from __future__ import annotations
@@ -118,13 +120,30 @@ class Checkpointer:
 
             shutil.rmtree(tmp, ignore_errors=True)
             ds.write_parquet(tmp)
-            n = rd.read_parquet(tmp).count()
+            # per-partition lineage from the parquet footers (no data
+            # re-read): one record per written fragment, so a consumer
+            # can audit / skip / re-fetch individual partitions
+            parts = []
+            import pyarrow.parquet as _pq
+
+            for fn in sorted(os.listdir(tmp)):
+                fp = os.path.join(tmp, fn)
+                if not fn.endswith(".parquet"):
+                    continue
+                parts.append(
+                    {
+                        "file": fn,
+                        "rows": _pq.ParquetFile(fp).metadata.num_rows,
+                        "bytes": os.path.getsize(fp),
+                    }
+                )
             shutil.rmtree(stage_dir, ignore_errors=True)
             os.rename(tmp, stage_dir)
             meta = {
-                "rows": n,
+                "rows": sum(p["rows"] for p in parts),
                 "wall_sec": round(time.perf_counter() - t0, 3),
                 "config_fingerprint": self.fp,
+                "partitions": parts,
             }
             with open(os.path.join(self.root, f"{name}.manifest.json"), "w") as f:
                 json.dump(meta, f)

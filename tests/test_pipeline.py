@@ -152,6 +152,17 @@ def test_checkpoint_resume(ray_session, corpus, tmp_path):
     c1 = out1["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
     assert all(not m.get("reused", False) for m in out1["metrics"] if "stage" in m)
 
+    # per-partition lineage: every persisted stage manifest carries one
+    # record per parquet fragment, and their row sums equal the total
+    import json
+
+    for m in out1["metrics"]:
+        if "partitions" in m:
+            assert m["partitions"] and sum(p["rows"] for p in m["partitions"]) == m["rows"]
+            assert all(p["bytes"] > 0 and p["file"].endswith(".parquet") for p in m["partitions"])
+    sig_manifest = json.loads((tmp_path / "ck" / "signatures.manifest.json").read_text())
+    assert sig_manifest["partitions"]
+
     out2 = dedup_pipeline(rd.from_arrow(table), cfg)
     c2 = out2["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
     reused = [m for m in out2["metrics"] if m.get("reused")]
