@@ -45,21 +45,49 @@ def ensure_bench_table(n_base: int, with_images: bool = True) -> str:
     """Generate-and-cache the synthetic image corpus (deterministic).
     ``with_images=False`` writes 1-pixel payloads — the caption/phash
     workload is identical and the multi-million-row rehearsal corpus
-    stays generable."""
+    stays generable. The planted ground truth rides along as
+    ``*_truth.parquet`` (see synth.truth_pairs_table) so benches report
+    dup-pair recall — the north-rule headline — at corpus scale."""
     suffix = "" if with_images else "_nopix"
     path = f"/tmp/raydedup_bench/images_{n_base}{suffix}_rg4k_v2.parquet"
-    if not os.path.exists(path):
+    tpath = truth_path(path)
+    if not (os.path.exists(path) and os.path.exists(tpath)):
         os.makedirs("/tmp/raydedup_bench", exist_ok=True)
         import pyarrow.parquet as pq
 
-        from raydedup.synth import make_images_table
+        from raydedup.synth import make_images_table, truth_pairs_table
 
-        table, _ = make_images_table(n_base=n_base, with_images=with_images)
+        table, truth = make_images_table(n_base=n_base, with_images=with_images)
+        pq.write_table(truth_pairs_table(table, truth), tpath + ".tmp")
+        os.rename(tpath + ".tmp", tpath)
         # small row groups → the read parallelizes across tasks instead
         # of one reader decoding a single giant row group
         pq.write_table(table, path + ".tmp", row_group_size=4096)
         os.rename(path + ".tmp", path)
     return path
+
+
+def truth_path(img_path: str) -> str:
+    return img_path.replace(".parquet", "_truth.parquet")
+
+
+def planted_recall_for(img_path: str, clusters, cfg) -> dict:
+    """Untimed post-check: dup-pair recall of a flagship run against
+    the corpus's planted truth (the north-rule headline metric)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from raydedup.synth import planted_recall
+
+    if hasattr(clusters, "to_arrow_refs"):  # Dataset → driver table
+        clusters = pa.concat_tables(ray.get(clusters.to_arrow_refs()))
+    return planted_recall(
+        clusters,
+        pq.read_table(truth_path(img_path)),
+        substring_window=cfg.substring_window,
+        simhash_bands=cfg.simhash_bands,
+    )
 
 
 def consume(ds) -> int:
@@ -134,6 +162,7 @@ def run_bench() -> dict:
     n_clustered = clusters.num_rows if hasattr(clusters, "num_rows") else clusters.count()
     flagship_sec = time.perf_counter() - t0
     stage_walls = {m["stage"]: m.get("wall_sec") for m in out["metrics"] if "stage" in m}
+    recall = planted_recall_for(img_path, clusters, cfg)  # untimed post-check
 
     # per-query timings over the shared sf tables
     from raydedup.queries import QUERIES
@@ -159,6 +188,9 @@ def run_bench() -> dict:
         "signatures_per_sec": round(n_rows / sig_sec, 1),
         "signature_stage_sec": round(sig_sec, 3),
         "stage_walls": stage_walls,
+        "dup_pair_recall": recall["dup_pair_recall"],
+        "recall_must_pairs": recall["must_pairs"],
+        "recall_per_kind": recall["recall_per_kind"],
     }
 
 
@@ -384,6 +416,7 @@ def run_rehearsal() -> dict:
         return t.to_pandas().sort_values("image_id").reset_index(drop=True)
 
     assert canon(clusters).equals(canon(drv)), "distributed labels != driver labels"
+    recall = planted_recall_for(img_path, clusters, cfg)  # untimed post-check
     return {
         "metric": "rehearsal_flagship_sec",
         "value": round(flagship_sec, 3),
@@ -395,6 +428,9 @@ def run_rehearsal() -> dict:
         "driver_cc_sec": round(driver_cc_sec, 3),
         "labels_match": True,
         "num_cpus": NUM_CPUS,
+        "dup_pair_recall": recall["dup_pair_recall"],
+        "recall_must_pairs": recall["must_pairs"],
+        "recall_per_kind": recall["recall_per_kind"],
     }
 
 

@@ -258,6 +258,98 @@ def make_images_table(
     return table, truth
 
 
+def truth_pairs_table(table: pa.Table, truth: GroundTruth) -> pa.Table:
+    """Planted-pair ground truth with the per-pair detectability
+    ingredients precomputed, so an at-scale recall check needs only the
+    pipeline's (image_id, cluster_id) output plus config thresholds:
+
+    - ``vid_tokens``: token count of the VARIANT caption — a substring
+      dup is findable only when the contained caption spans at least
+      one anchor window (``cfg.substring_window``);
+    - ``simhash_dist``: Hamming distance between the pair's 64-bit
+      SimHash fingerprints — an image near-dup is findable when the
+      distance fits the banded Hamming budget
+      (``cfg.simhash_bands - 1``).
+
+    Kinds: exact_dup / skew_exact_caption (always detectable),
+    substring_dup, image_near_dup (gated as above), caption_near_dup
+    (probabilistic under MinHash LSH — reported, not asserted)."""
+    import numpy as np
+
+    ids = table.column("image_id").to_pylist()
+    pos = {iid: k for k, iid in enumerate(ids)}
+    caps = table.column("caption").to_pylist()
+    ph = table.column("phash").to_numpy(zero_copy_only=False)
+
+    vids = list(truth.root)
+    bases = [truth.root[v] for v in vids]
+    kinds = [truth.kind[v] for v in vids]
+    vi = np.array([pos[v] for v in vids], dtype=np.int64)
+    bi = np.array([pos[b] for b in bases], dtype=np.int64)
+
+    from raydedup.simhash import hamming_distance64, simhash_from_phash
+
+    sd = hamming_distance64(
+        simhash_from_phash(ph[vi]), simhash_from_phash(ph[bi])
+    ).astype(np.int32)
+    ntok = np.array([len(caps[k].split()) for k in vi], dtype=np.int32)
+    return pa.table(
+        {
+            "image_id": pa.array(vids, pa.string()),
+            "base_id": pa.array(bases, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "vid_tokens": pa.array(ntok),
+            "simhash_dist": pa.array(sd),
+        }
+    )
+
+
+def planted_recall(
+    clusters: pa.Table,
+    truth: pa.Table,
+    substring_window: int = 4,
+    simhash_bands: int = 4,
+) -> dict:
+    """Dup-pair recall of a pipeline's (image_id, cluster_id) output
+    against a ``truth_pairs_table``: a planted pair is RECALLED when
+    both members carry the same cluster label. ``must`` pairs are the
+    deterministically-detectable subset at the given config (exact +
+    skew always; substring when the variant spans an anchor window;
+    image near-dups within the banded Hamming budget) — the north-rule
+    bar is recall ≥ 0.99 on these. ``caption_near_dup`` is MinHash-LSH
+    probabilistic (variants straddle the Jaccard threshold) and is
+    reported per-kind, not gated. Driver-side pandas joins: the truth
+    table is planted pairs only (a small fraction of the corpus)."""
+    import numpy as np
+
+    lab = clusters.select(["image_id", "cluster_id"]).to_pandas()
+    tt = truth.to_pandas()
+    m = tt.merge(
+        lab.rename(columns={"cluster_id": "c_v"}), on="image_id", how="left"
+    ).merge(
+        lab.rename(columns={"image_id": "base_id", "cluster_id": "c_b"}),
+        on="base_id",
+        how="left",
+    )
+    hit = (m["c_v"].notna() & (m["c_v"] == m["c_b"])).to_numpy()
+    kind = m["kind"].to_numpy()
+    must = (
+        np.isin(kind, ("exact_dup", "skew_exact_caption"))
+        | ((kind == "substring_dup") & (m["vid_tokens"].to_numpy() >= substring_window))
+        | ((kind == "image_near_dup") & (m["simhash_dist"].to_numpy() <= simhash_bands - 1))
+    )
+    per_kind = {
+        k: round(float(hit[kind == k].mean()), 4)
+        for k in sorted(set(kind.tolist()))
+    }
+    return {
+        "dup_pair_recall": round(float(hit[must].mean()), 4) if must.any() else None,
+        "must_pairs": int(must.sum()),
+        "planted_pairs": int(len(m)),
+        "recall_per_kind": per_kind,
+    }
+
+
 def make_audio_table(n: int = 200, seed: int = 11, rate: int = 16000) -> pa.Table:
     """Deterministic audio corpus over every real codec path: each row
     is a two-tone + noise signal encoded as one of pcm16 / wav(IMA

@@ -135,6 +135,22 @@ def test_fused_pipeline_covers_planted_structure(ray_session, corpus):
             f"{truth.kind[v]} pair {(v, b)} not co-clustered"
         )
 
+    # the same gate through the shipping recall machinery (bench.py
+    # reports this at corpus scale): the persisted truth table's
+    # detectability gates must agree with the explicit logic above,
+    # and the must-pair recall must be exactly 1.0 here
+    from raydedup.synth import planted_recall, truth_pairs_table
+
+    rec = planted_recall(
+        out["clusters"],
+        truth_pairs_table(table, truth),
+        substring_window=cfg.substring_window,
+        simhash_bands=cfg.simhash_bands,
+    )
+    assert rec["must_pairs"] == len(must)
+    assert rec["dup_pair_recall"] == 1.0
+    assert rec["planted_pairs"] == len(truth.root)
+
 
 def test_checkpoint_resume(ray_session, corpus, tmp_path):
     """Second run with the same checkpoint dir reuses every stage;
