@@ -318,8 +318,12 @@ def planted_recall(
     image near-dups within the banded Hamming budget) — the north-rule
     bar is recall ≥ 0.99 on these. ``caption_near_dup`` is MinHash-LSH
     probabilistic (variants straddle the Jaccard threshold) and is
-    reported per-kind, not gated. Driver-side pandas joins: the truth
-    table is planted pairs only (a small fraction of the corpus)."""
+    reported per-kind, not gated. ``recall_per_kind`` averages over ALL
+    planted pairs of the kind — including out-of-budget outliers (e.g.
+    a pixel perturbation that moved the phash beyond the banded Hamming
+    radius), so a kind can sit below 1.0 while the gated
+    ``dup_pair_recall`` is exactly 1.0. Driver-side pandas joins: the
+    truth table is planted pairs only (a small fraction of the corpus)."""
     import numpy as np
 
     lab = clusters.select(["image_id", "cluster_id"]).to_pandas()
