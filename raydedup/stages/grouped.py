@@ -97,6 +97,31 @@ def meta_count(ds) -> int | None:
         return None
 
 
+# Inputs at or below this row count skip the hash-shuffle operator and
+# run keyed grouping as ONE map task over a metadata-level coalesce:
+# in Ray 2.49 a HashShuffleOperator execution costs ~1.3-1.7 s of fixed
+# aggregator-actor machinery even on a 5k-row input (measured vs 0.55 s
+# for a plain map execution), which dominates every small-table query.
+# The single-task path is semantically identical — all rows of a key in
+# one sorted block — and 64k rows of the engine's widest shuffle rows
+# (signature fixed_size_list<uint32,128> ≈ 0.5 KB) is ~32 MB, well
+# inside one worker's heap. Large inputs are untouched: any corpus
+# beyond the threshold takes the distributed aggregator path exactly as
+# before, so cluster-scale behavior is unchanged.
+SMALL_SHUFFLE_ROWS = 65536
+
+
+def _keyed_partitions(ds, keys: list[str], num_partitions: int):
+    """Keyed repartition with the small-input fast path (see
+    SMALL_SHUFFLE_ROWS). Only a metadata-cheap row count can trigger
+    the coalesce — datasets with real lineage never pay an execution
+    to size themselves."""
+    rows = meta_count(ds)
+    if rows is not None and rows <= SMALL_SHUFFLE_ROWS:
+        return ds.repartition(1)  # split/merge of block refs, no actors
+    return ds.repartition(effective_partitions(num_partitions), keys=keys)
+
+
 def staged(ds):
     """Execute-and-pin a stage output (object-store blocks, spillable).
 
@@ -163,7 +188,7 @@ def map_key_runs(ds, keys: str | list[str], run_fn, num_partitions: int, min_run
         keys = [keys]
     ensure_hash_shuffle()
     tune_for_session(ds)
-    parted = ds.repartition(effective_partitions(num_partitions), keys=keys)
+    parted = _keyed_partitions(ds, keys, num_partitions)
 
     sort_cols = list(keys) + [c for c in sort_extra if c not in keys]
 
@@ -185,7 +210,7 @@ def unique_rows_partitioned(ds, keys: list[str], num_partitions: int):
     inside the block UDF, never in shuffle finalize (see map_key_runs)."""
     ensure_hash_shuffle()
     tune_for_session(ds)
-    parted = ds.repartition(effective_partitions(num_partitions), keys=keys)
+    parted = _keyed_partitions(ds, keys, num_partitions)
 
     def per_block(block: pa.Table) -> pa.Table:
         block = block.select(keys)
