@@ -476,10 +476,10 @@ def q_ann_topk(sf_dir: str):
         order = np.lexsort((ids, -cos))[:10]
         return group.take(pa.array(order))
 
-    return (
-        filtered.groupby("query_idx")
-        .map_groups(topk, batch_format="pyarrow")
-        .select_columns(["query_idx", "vec_id"])
+    from raydedup.stages.grouped import merge_key_groups
+
+    return merge_key_groups(filtered, "query_idx", topk).select_columns(
+        ["query_idx", "vec_id"]
     )
 
 
@@ -538,10 +538,10 @@ def q_ann_lsh_topk(sf_dir: str):
         order = np.lexsort((ids, -cos))[: min(k, len(cos))]
         return group.take(pa.array(order))
 
-    return (
-        scored.groupby("query_id")
-        .map_groups(merge, batch_format="pyarrow")
-        .select_columns(["query_id", "vec_id"])
+    from raydedup.stages.grouped import merge_key_groups
+
+    return merge_key_groups(scored, "query_id", merge).select_columns(
+        ["query_id", "vec_id"]
     )
 
 

@@ -97,7 +97,9 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10, id_col: str = "vec
         order = np.lexsort((ids, -cos))[:kk]
         return group.take(pa.array(order))
 
-    return scored.groupby("query_idx").map_groups(merge, batch_format="pyarrow")
+    from raydedup.stages.grouped import merge_key_groups
+
+    return merge_key_groups(scored, "query_idx", merge)
 
 
 def add_hyperplane_bucket(ds, emb_col: str = "embedding", bits: int = 8, seed: int = 7, dim: int | None = None):
@@ -352,7 +354,9 @@ def ivf_topk(ds, query_vecs: np.ndarray, k: int = 10, nprobe: int = 4, n_centroi
         order = np.lexsort((ids, -cos))[: min(k, len(cos))]
         return group.take(pa.array(order))
 
-    return scored.groupby("query_idx").map_groups(merge, batch_format="pyarrow")
+    from raydedup.stages.grouped import merge_key_groups
+
+    return merge_key_groups(scored, "query_idx", merge)
 
 
 def embedding_near_dup_pairs(

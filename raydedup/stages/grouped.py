@@ -203,6 +203,28 @@ def map_key_runs(ds, keys: str | list[str], run_fn, num_partitions: int, min_run
     return parted.map_batches(per_block, batch_size=None, batch_format="pyarrow", **map_kwargs)
 
 
+def merge_key_groups(ds, key: str, group_fn):
+    """Tail merge for per-block partial results (e.g. top-k candidates
+    per (query, block)): the input is tiny BY CONSTRUCTION — k × Q ×
+    num_blocks rows — so a hash-shuffle ``groupby().map_groups`` costs
+    more in aggregator machinery (~1.3-1.7 s fixed per execution, see
+    SMALL_SHUFFLE_ROWS) than the merge itself. Coalesce the block refs
+    into ONE map task, sort by ``key``, and call ``group_fn`` once per
+    key run — Q Python calls on a few hundred rows, never driver-side."""
+
+    def per_block(block: pa.Table) -> pa.Table:
+        if len(block) == 0:
+            return group_fn(block)
+        block = block.sort_by([(key, "ascending")])
+        starts, ends = _run_bounds(block, [key])
+        outs = [group_fn(block.slice(s, e - s)) for s, e in zip(starts, ends)]
+        return pa.concat_tables(outs)
+
+    return ds.repartition(1).map_batches(
+        per_block, batch_size=None, batch_format="pyarrow"
+    )
+
+
 def unique_rows_partitioned(ds, keys: list[str], num_partitions: int):
     """Distinct rows over ``keys`` (projection included): hash-partition
     + per-block sort + keep first of each run — the vectorized

@@ -76,7 +76,9 @@ def topk_similar(sig_ds, query_sigs: np.ndarray, query_ids, k: int = 10, id_col:
         order = np.lexsort((ids, -j))[: min(k, len(j))]
         return group.take(pa.array(order))
 
-    return scored.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    from raydedup.stages.grouped import merge_key_groups
+
+    return merge_key_groups(scored, "query_id", merge)
 
 
 # ------------------------------------------------- forest prefix index
