@@ -203,14 +203,10 @@ def q_top_terms(sf_dir: str):
         vc = toks.value_counts()
         return pa.table({"token": vc.field(0), "n_part": vc.field(1)})
 
-    from ray.data.aggregate import Sum
-
-    ds = (
-        _read(sf_dir, "documents", columns=["text"])
-        .map_batches(explode_counts, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n_part", alias_name="n"))
+    pre = _read(sf_dir, "documents", columns=["text"]).map_batches(
+        explode_counts, batch_format="pyarrow"
     )
+    ds = _sum_by_keys(pre, ["token"], "n_part", "n")
 
     # Top-20 WITHOUT a global sort (VERDICT r02 wrong-#4): tokens are
     # disjoint across post-groupby blocks, so each block's local top-20
