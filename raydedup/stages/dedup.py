@@ -528,6 +528,9 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
     # rows on the map side. False positives only let harmless extra
     # containers through; false negatives are impossible (Bloom
     # contract), so the pair set is unchanged.
+    from raydedup.stages.grouped import meta_count
+
+    n_docs = meta_count(ds)
     if prefilter is None:
         # auto: the semi-join prune pays two extra scans of the exploded
         # table + a filter broadcast to shrink the anchor/verify
@@ -536,11 +539,13 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
         # dominates and pruning is the 100-TB shape. Threshold on a
         # metadata-cheap row count (unknown lineage → stay off at this
         # scale; the flagship always passes a materialized table).
-        try:
-            n_docs = ds._meta_count()
-        except Exception:  # pragma: no cover - private-API drift
-            n_docs = None
         prefilter = bool(n_docs and n_docs >= 1_000_000)
+    if n_docs is not None and n_docs <= 2048 and not prefilter:
+        # tiny corpus: one cheap materialization makes the explode's
+        # row count metadata-visible, so the anchor shuffle can take
+        # the coalesced small path (the aggregator machinery would
+        # otherwise cost ~1.9 s on a few thousand anchor rows)
+        exploded = staged(exploded)
     if prefilter:
         _t0 = time.perf_counter()
         exploded = staged(exploded)
@@ -698,7 +703,14 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
         return out.group_by(["id_a", "id_b"]).aggregate([]).cast(empty_pairs.schema)
 
     _t0 = time.perf_counter()
-    pairs = map_key_runs(verify_input, "key", verify, num_partitions)
+    # exact upper bound for the union the planner can't size: tag_docs
+    # emits ≤ n_docs rows (the Bloom prune only removes), pad_candidates
+    # exactly the staged candidate count — lets tiny corpora coalesce
+    n_cand = meta_count(candidates)
+    approx_verify = (n_docs + n_cand) if (n_docs is not None and n_cand is not None) else None
+    pairs = map_key_runs(
+        verify_input, "key", verify, num_partitions, approx_rows=approx_verify
+    )
     if timings is not None:
         # timing mode pays an extra materialize barrier to attribute the
         # verify shuffle's wall; production callers (timings=None) keep
