@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "hll_users_per_type",
     "top_terms",
     "image_dedup_synth",
+    "sliding_window_counts",
+    "audio_features_synth",
+    "video_frames_synth",
 ]
 
 
