@@ -25,7 +25,20 @@ def _ds_from_table(t: pa.Table, blocks: int):
     return rd.from_arrow(t).repartition(blocks)
 
 
-def test_map_key_runs_more_partitions_than_keys(ray_session):
+@pytest.fixture(params=["distributed", "coalesced"])
+def shuffle_mode(request, monkeypatch):
+    """Run keyed-shuffle tests on BOTH paths: the in-memory test tables
+    are metadata-countable, so without forcing SMALL_SHUFFLE_ROWS=0 the
+    small-input coalesce would silently take over and the distributed
+    empty-partition regressions would go unexercised."""
+    import raydedup.stages.grouped as G
+
+    if request.param == "distributed":
+        monkeypatch.setattr(G, "SMALL_SHUFFLE_ROWS", 0)
+    return request.param
+
+
+def test_map_key_runs_more_partitions_than_keys(ray_session, shuffle_mode):
     from raydedup.stages.grouped import map_key_runs, unique_rows_partitioned
 
     # ONE distinct key, 64 requested partitions → nearly every hash
@@ -58,7 +71,7 @@ def test_map_key_runs_more_partitions_than_keys(ray_session):
     assert {r["id_b"] for r in rows} == set(range(1, 50))
 
 
-def test_map_key_runs_unsorted_input_runs_are_whole_groups(ray_session):
+def test_map_key_runs_unsorted_input_runs_are_whole_groups(ray_session, shuffle_mode):
     """Groups arrive unsorted within a partition (no finalize sort);
     per-block sort must still present each key as one contiguous run."""
     from raydedup.stages.grouped import map_key_runs
@@ -87,7 +100,7 @@ def test_map_key_runs_unsorted_input_runs_are_whole_groups(ray_session):
     assert got == expected
 
 
-def test_exact_dedup_sparse_keys_many_partitions(ray_session):
+def test_exact_dedup_sparse_keys_many_partitions(ray_session, shuffle_mode):
     from raydedup.stages.dedup import exact_dedup
 
     t = pa.table(
@@ -102,7 +115,7 @@ def test_exact_dedup_sparse_keys_many_partitions(ray_session):
     assert ids == [0] + list(range(20, 40))
 
 
-def test_substring_pairs_slim_path(ray_session):
+def test_substring_pairs_slim_path(ray_session, shuffle_mode):
     """The two-phase substring path: min-window anchors, hash verify,
     duplicate-class expansion — against a brute-force token-slice oracle."""
     import itertools
@@ -136,3 +149,99 @@ def test_substring_pairs_slim_path(ray_session):
         if len(ta) < len(tb) and f" {ta} " in f" {tb} ":
             want.add((a, b))
     assert got == want
+
+
+def test_merge_key_groups_matches_groupby(ray_session):
+    """The coalesced tail merge must equal a per-group map_groups."""
+    from raydedup.stages.grouped import merge_key_groups
+
+    rng = np.random.default_rng(5)
+    t = pa.table(
+        {
+            "q": pa.array(rng.integers(0, 7, size=300), pa.int64()),
+            "v": pa.array(rng.random(300), pa.float64()),
+            "id": pa.array(np.arange(300), pa.int64()),
+        }
+    )
+
+    def top3(group: pa.Table) -> pa.Table:
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -v))[:3]
+        return group.take(pa.array(order))
+
+    got = {
+        (r["q"], r["id"])
+        for r in merge_key_groups(_ds_from_table(t, 5), "q", top3).take_all()
+    }
+    want = {
+        (r["q"], r["id"])
+        for r in _ds_from_table(t, 5)
+        .groupby("q")
+        .map_groups(top3, batch_format="pyarrow")
+        .take_all()
+    }
+    assert got == want and len(got) == 7 * 3
+
+
+def test_sum_by_keys_matches_pandas(ray_session, shuffle_mode):
+    from raydedup.queries import _sum_by_keys
+
+    rng = np.random.default_rng(9)
+    t = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 11, size=500), pa.int64()),
+            "b": pa.array(rng.integers(0, 3, size=500), pa.int64()),
+            "n_part": pa.array(rng.integers(1, 100, size=500), pa.int64()),
+        }
+    )
+    out = _sum_by_keys(_ds_from_table(t, 4), ["a", "b"], "n_part", "n").take_all()
+    got = {(r["a"], r["b"]): r["n"] for r in out}
+    want = t.to_pandas().groupby(["a", "b"])["n_part"].sum().to_dict()
+    assert got == want
+
+
+def test_map_key_runs_approx_rows_hint(ray_session):
+    """A union the planner can't size takes the coalesced path when the
+    caller supplies a sound row bound — and the result matches the
+    distributed path exactly."""
+    import raydedup.stages.grouped as G
+    from raydedup.stages.grouped import map_key_runs, meta_count
+
+    t = pa.table(
+        {
+            "k": pa.array(np.repeat(np.arange(10), 10), pa.int64()),
+            "v": pa.array(np.arange(100), pa.int64()),
+        }
+    )
+    # a union of two datasets loses the metadata count
+    ds = _ds_from_table(t, 3).union(_ds_from_table(t, 2))
+    assert meta_count(ds) is None
+
+    def span(block: pa.Table, starts, ends) -> pa.Table:
+        ks = block.column("k").to_numpy(zero_copy_only=False)
+        vs = block.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([int(ks[s]) for s in starts], pa.int64()),
+                "lo": pa.array([int(vs[s:e].min()) for s, e in zip(starts, ends)], pa.int64()),
+                "n": pa.array([int(e - s) for s, e in zip(starts, ends)], pa.int64()),
+            }
+        )
+
+    hinted = {
+        (r["k"], r["lo"], r["n"])
+        for r in map_key_runs(ds, "k", span, 16, approx_rows=200).take_all()
+    }
+    forced = G.SMALL_SHUFFLE_ROWS
+    try:
+        G.SMALL_SHUFFLE_ROWS = 0
+        dist = {
+            (r["k"], r["lo"], r["n"])
+            for r in map_key_runs(ds, "k", span, 16, approx_rows=200).take_all()
+        }
+    finally:
+        G.SMALL_SHUFFLE_ROWS = forced
+    assert hinted == dist
+    assert {k for k, _, _ in hinted} == set(range(10))
+    assert all(n == 20 for _, _, n in hinted)
