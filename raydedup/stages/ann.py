@@ -26,6 +26,14 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     if pa.types.is_fixed_size_list(arr.type):
         dim = arr.type.list_size
         return np.asarray(arr.flatten().to_numpy(zero_copy_only=False), dtype=np.float64).reshape(-1, dim)
+    if (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)) and arr.null_count == 0:
+        # parquet embeddings arrive as variable list<float>; when every
+        # row has the same length (the embedding contract) the values
+        # buffer reshapes zero-copy — no per-row Python materialization
+        lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+        if len(lens) and lens.min() == lens.max():
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return np.asarray(flat, dtype=np.float64).reshape(-1, int(lens[0]))
     pylist = arr.to_pylist()
     return np.asarray(pylist, dtype=np.float64)
 

@@ -48,7 +48,10 @@ def _hash_id_array(col) -> np.ndarray:
     try:
         import polars as pl
 
-        return pl.Series(col.to_pylist()).hash(seed=0x1D5).to_numpy().astype(np.uint64)
+        # zero-copy Arrow → polars; both Bloom build and probe sides go
+        # through this same function within a run, so the hash only
+        # needs internal consistency
+        return pl.from_arrow(col).hash(seed=0x1D5).to_numpy().astype(np.uint64)
     except ImportError:  # pragma: no cover - polars is baked into the env
         return np.fromiter(
             (
