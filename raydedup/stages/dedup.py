@@ -1006,6 +1006,146 @@ def _pair_set_verify(
     return map_key_runs(half_blobs, ["id_a", "id_b"], score, pair_parts)
 
 
+# Corpora at or below this metadata-cheap doc count run n-gram Jaccard
+# as ONE fused map task (exact DF + prefix/length filter + in-memory
+# dedupe + exact scoring): the distributed shape costs 5-6 Dataset
+# executions (~1-2 s fixed each on this Ray version — DF-sketch pass,
+# anchor shuffle, staging barrier, dedupe shuffle, blob build, score)
+# which dominates any small corpus, while the fused kernel is <1 s at
+# this size. The verified pair set is IDENTICAL: AllPairs is lossless
+# under any consistent frequency order (exact DF here, count-min
+# estimate on the distributed path), the shingle hash space is shared
+# (flat_ngram_hashes64), and scoring is the same double division.
+# Beyond the gate the distributed path runs exactly as before
+# (exercised at 480k docs — BASELINE.md round-4).
+NGRAM_FUSED_DOCS = 20_000
+
+
+def _ngram_pairs_fused(slim, id_col, text_col, n, threshold, id_type):
+    """Single-task AllPairs + exact-Jaccard verify for small corpora.
+
+    Same kernels as the distributed path: ``flat_ngram_hashes64`` →
+    ``unique_per_row`` (per-doc sorted distinct shingles), prefix filter
+    over the exact-document-frequency order, per-anchor length-filtered
+    pair emission, row-code dedupe, chunked ``_batch_intersections``
+    scoring. Tests force both paths on one corpus and assert equality
+    (tests/test_pipeline.py::test_ngram_fused_matches_distributed)."""
+    import ray.data as rd
+
+    from raydedup.suffix import flat_ngram_hashes64, unique_per_row
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], id_type),
+            "id_b": pa.array([], id_type),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def one_task(batch: pa.Table) -> pa.Table:
+        nrows = len(batch)
+        cnt, w = flat_ngram_hashes64(batch.column(text_col), n)
+        ucnt, hs = unique_per_row(cnt, w)  # sorted ascending per row
+        if len(hs) == 0:
+            return empty
+        off = np.cumsum(ucnt) - ucnt
+        rid = np.repeat(np.arange(nrows, dtype=np.int64), ucnt)
+        # exact DF: how many docs contain each distinct shingle. The
+        # compact codes (inv) double as the scoring domain below.
+        uq, inv, dfc = np.unique(hs, return_inverse=True, return_counts=True)
+        ncodes = np.int64(len(uq))
+        order = np.lexsort((hs, dfc[inv], rid))  # per row: rare-first
+        pos = np.arange(len(hs), dtype=np.int64) - np.repeat(off, ucnt)
+        plen = (ucnt * (1.0 - threshold)).astype(np.int64) + 1
+        keep = order[pos < plen[rid[order]]]
+        anc, arow = hs[keep], rid[keep]
+        asz = ucnt[arow].astype(np.float64)
+        # anchor runs, size-sorted inside each run (length filter below)
+        o2 = np.lexsort((asz, anc))
+        anc, arow, asz = anc[o2], arow[o2], asz[o2]
+        change = np.flatnonzero(anc[1:] != anc[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(anc)]))
+        multi = (ends - starts) >= 2
+        a_out, b_out = [], []
+        for s, e in zip(starts[multi], ends[multi]):
+            m = e - s
+            rsz, rrow = asz[s:e], arow[s:e]
+            hi = np.searchsorted(rsz, rsz / threshold, side="right")
+            cnt_ = np.maximum(hi - np.arange(m) - 1, 0)
+            tot = int(cnt_.sum())
+            if not tot:
+                continue
+            ai = np.repeat(np.arange(m), cnt_)
+            bj = np.arange(tot) - np.repeat(np.cumsum(cnt_) - cnt_, cnt_) + ai + 1
+            ra, rb = rrow[ai], rrow[bj]
+            a_out.append(np.minimum(ra, rb))
+            b_out.append(np.maximum(ra, rb))
+        if not a_out:
+            return empty
+        # dedupe candidate multiplicity on row codes (cheaper than id
+        # pairs; ids are unique per row on every query surface)
+        codes = np.unique(
+            np.concatenate(a_out) * np.int64(nrows) + np.concatenate(b_out)
+        )
+        ri, rj = codes // nrows, codes % nrows
+        oa, ob, osc = [], [], []
+        for c0 in range(0, len(ri), 1 << 16):  # bound gather memory
+            ric, rjc = ri[c0 : c0 + (1 << 16)], rj[c0 : c0 + (1 << 16)]
+            npairs = len(ric)
+            la, lb = ucnt[ric], ucnt[rjc]
+            pref = np.cumsum(la) - la
+            pid_a = np.repeat(np.arange(npairs, dtype=np.int64), la)
+            ga = (
+                np.arange(int(la.sum()), dtype=np.int64)
+                - np.repeat(pref, la)
+                + np.repeat(off[ric], la)
+            )
+            pref = np.cumsum(lb) - lb
+            pid_b = np.repeat(np.arange(npairs, dtype=np.int64), lb)
+            gb = (
+                np.arange(int(lb.sum()), dtype=np.int64)
+                - np.repeat(pref, lb)
+                + np.repeat(off[rjc], lb)
+            )
+            # per-row shingle codes are ascending (unique_per_row sorts
+            # values, np.unique codes preserve value order), so
+            # pair·ncodes+code is GLOBALLY sorted on both sides — one
+            # searchsorted membership probe replaces the lexsort-merge
+            # (measured 6× on the sf0.1 corpus: 12.1 s → 1.9 s)
+            ka = pid_a * ncodes + inv[ga]
+            kb = pid_b * ncodes + inv[gb]
+            idx = np.searchsorted(kb, ka)
+            idxc = np.minimum(idx, max(len(kb) - 1, 0))
+            hit = (idx < len(kb)) & (kb[idxc] == ka) if len(kb) else np.zeros(len(ka), bool)
+            inter = np.bincount(pid_a[hit], minlength=npairs).astype(np.float64)
+            union = (la + lb).astype(np.float64) - inter
+            sc = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+            kp = sc >= threshold
+            oa.append(ric[kp])
+            ob.append(rjc[kp])
+            osc.append(sc[kp])
+        ri, rj, sc = np.concatenate(oa), np.concatenate(ob), np.concatenate(osc)
+        if len(ri) == 0:
+            return empty
+        idc = batch.column(id_col)
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        ia = idc.take(pa.array(ri)).to_numpy(zero_copy_only=False)
+        ib = idc.take(pa.array(rj)).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(ia, ib), id_type),
+                "id_b": pa.array(np.maximum(ia, ib), id_type),
+                "jaccard": pa.array(sc, pa.float64()),
+            }
+        )
+
+    return slim.repartition(1).map_batches(
+        one_task, batch_size=None, batch_format="pyarrow"
+    )
+
+
 def ngram_jaccard_pairs(
     ds,
     id_col: str,
@@ -1052,6 +1192,15 @@ def ngram_jaccard_pairs(
             )
         )
     id_type = sch.base_schema.field(id_col).type
+    from raydedup.stages.grouped import meta_count as _mc
+
+    n_docs_meta = _mc(ds)
+    if n_docs_meta is not None and 0 < n_docs_meta <= NGRAM_FUSED_DOCS:
+        # metadata-provably-small corpus: one fused map task, no
+        # shuffles (see NGRAM_FUSED_DOCS). The 0-row case stays on the
+        # distributed path — Ray skips map UDFs on empty blocks, so the
+        # fused task could never fix the schema of an empty corpus.
+        return _ngram_pairs_fused(slim, id_col, text_col, n, threshold, id_type)
     if num_partitions is None:
         # size from ds, not the select_columns projection: a projection
         # has lineage, so its _meta_count is None and auto_partitions

@@ -412,6 +412,34 @@ def test_stage_functions_accept_empty_inputs(ray_session):
     assert connected_components(ee).num_rows == 0
 
 
+def test_ngram_fused_matches_distributed(ray_session, corpus, monkeypatch):
+    """The metadata-small fused AllPairs path (NGRAM_FUSED_DOCS gate)
+    must produce the identical (id_a, id_b, jaccard) set as the
+    distributed AllPairs+verify path: exact-DF vs count-min prefix
+    order changes only intermediate candidate volume, never the
+    verified pair set, and both score with the same double division."""
+    import ray.data as rd
+
+    import raydedup.stages.dedup as dd
+
+    table, _ = corpus
+    docs = pa.table(
+        {"doc_id": table.column("image_id"), "text": table.column("caption")}
+    )
+    assert len(docs) <= dd.NGRAM_FUSED_DOCS  # the gate engages
+    fused = dd.ngram_jaccard_pairs(
+        rd.from_arrow(docs), "doc_id", "text", n=3, threshold=0.5
+    ).take_all()
+    monkeypatch.setattr(dd, "NGRAM_FUSED_DOCS", 0)
+    dist = dd.ngram_jaccard_pairs(
+        rd.from_arrow(docs), "doc_id", "text", n=3, threshold=0.5
+    ).take_all()
+    kf = sorted((r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in fused)
+    kd = sorted((r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in dist)
+    assert kf == kd
+    assert len(kf) > 0  # the synth corpus plants caption near-dups
+
+
 def test_substring_short_doc_heavy_corpus(ray_session):
     """Short docs (< window tokens, here ~35% of the corpus) route
     through the distributed anchor machinery (r04; formerly an
