@@ -1021,24 +1021,30 @@ def _pair_set_verify(
 NGRAM_FUSED_DOCS = 20_000
 
 
-def _ngram_pairs_fused(slim, id_col, text_col, n, threshold, id_type):
-    """Single-task AllPairs + exact-Jaccard verify for small corpora.
+def _ngram_pairs_fused(slim, id_col, text_col, n, threshold, id_type, mode="jaccard"):
+    """Single-task AllPairs + exact set-overlap verify for small corpora.
 
-    Same kernels as the distributed path: ``flat_ngram_hashes64`` →
+    Same kernels as the distributed paths: ``flat_ngram_hashes64`` →
     ``unique_per_row`` (per-doc sorted distinct shingles), prefix filter
     over the exact-document-frequency order, per-anchor length-filtered
-    pair emission, row-code dedupe, chunked ``_batch_intersections``
-    scoring. Tests force both paths on one corpus and assert equality
-    (tests/test_pipeline.py::test_ngram_fused_matches_distributed)."""
+    pair emission, row-code dedupe, chunked searchsorted-membership
+    scoring. ``mode="jaccard"`` emits unordered pairs scored
+    |A∩B|/|A∪B|; ``mode="containment"`` prefixes only the contained
+    side, pairs each contained doc with every same-anchor container of
+    size ≥ t·|A|, and scores |A∩B|/|A| (ordered pairs, both directions
+    possible). Tests force both paths on one corpus and assert equality
+    (tests/test_pipeline.py::test_ngram_fused_matches_distributed,
+    test_containment_fused_matches_distributed)."""
     import ray.data as rd
 
     from raydedup.suffix import flat_ngram_hashes64, unique_per_row
 
+    score_col = "jaccard" if mode == "jaccard" else "containment"
     empty = pa.table(
         {
             "id_a": pa.array([], id_type),
             "id_b": pa.array([], id_type),
-            "jaccard": pa.array([], pa.float64()),
+            score_col: pa.array([], pa.float64()),
         }
     )
 
@@ -1058,33 +1064,69 @@ def _ngram_pairs_fused(slim, id_col, text_col, n, threshold, id_type):
         pos = np.arange(len(hs), dtype=np.int64) - np.repeat(off, ucnt)
         plen = (ucnt * (1.0 - threshold)).astype(np.int64) + 1
         keep = order[pos < plen[rid[order]]]
-        anc, arow = hs[keep], rid[keep]
-        asz = ucnt[arow].astype(np.float64)
-        # anchor runs, size-sorted inside each run (length filter below)
-        o2 = np.lexsort((asz, anc))
-        anc, arow, asz = anc[o2], arow[o2], asz[o2]
-        change = np.flatnonzero(anc[1:] != anc[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(anc)]))
-        multi = (ends - starts) >= 2
         a_out, b_out = [], []
-        for s, e in zip(starts[multi], ends[multi]):
-            m = e - s
-            rsz, rrow = asz[s:e], arow[s:e]
-            hi = np.searchsorted(rsz, rsz / threshold, side="right")
-            cnt_ = np.maximum(hi - np.arange(m) - 1, 0)
-            tot = int(cnt_.sum())
-            if not tot:
-                continue
-            ai = np.repeat(np.arange(m), cnt_)
-            bj = np.arange(tot) - np.repeat(np.cumsum(cnt_) - cnt_, cnt_) + ai + 1
-            ra, rb = rrow[ai], rrow[bj]
-            a_out.append(np.minimum(ra, rb))
-            b_out.append(np.maximum(ra, rb))
+        if mode == "jaccard":
+            anc, arow = hs[keep], rid[keep]
+            asz = ucnt[arow].astype(np.float64)
+            # anchor runs, size-sorted inside each run (length filter)
+            o2 = np.lexsort((asz, anc))
+            anc, arow, asz = anc[o2], arow[o2], asz[o2]
+            change = np.flatnonzero(anc[1:] != anc[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(anc)]))
+            multi = (ends - starts) >= 2
+            for s, e in zip(starts[multi], ends[multi]):
+                m = e - s
+                rsz, rrow = asz[s:e], arow[s:e]
+                hi = np.searchsorted(rsz, rsz / threshold, side="right")
+                cnt_ = np.maximum(hi - np.arange(m) - 1, 0)
+                tot = int(cnt_.sum())
+                if not tot:
+                    continue
+                ai = np.repeat(np.arange(m), cnt_)
+                bj = np.arange(tot) - np.repeat(np.cumsum(cnt_) - cnt_, cnt_) + ai + 1
+                ra, rb = rrow[ai], rrow[bj]
+                a_out.append(np.minimum(ra, rb))
+                b_out.append(np.maximum(ra, rb))
+        else:
+            # containment: container side = the full inverted index
+            # (every flat entry), contained side = the prefix subset
+            pref = np.zeros(len(hs), bool)
+            pref[keep] = True
+            allsz = ucnt[rid].astype(np.float64)
+            o2 = np.lexsort((allsz, hs))  # runs by shingle, size-sorted
+            anc, arow, asz, apr = hs[o2], rid[o2], allsz[o2], pref[o2]
+            change = np.flatnonzero(anc[1:] != anc[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(anc)]))
+            multi = (ends - starts) >= 2
+            for s, e in zip(starts[multi], ends[multi]):
+                qm = apr[s:e]
+                if not qm.any():
+                    continue
+                qrow, qsz = arow[s:e][qm], asz[s:e][qm]
+                crow, csz = arow[s:e], asz[s:e]  # size-sorted already
+                lo = np.searchsorted(csz, qsz * threshold, side="left")
+                cnt_ = len(crow) - lo
+                tot = int(cnt_.sum())
+                if not tot:
+                    continue
+                ai = np.repeat(np.arange(len(qrow)), cnt_)
+                bj = (
+                    np.arange(tot, dtype=np.int64)
+                    - np.repeat(np.cumsum(cnt_) - cnt_, cnt_)
+                    + lo[ai]
+                )
+                ra, rb = qrow[ai], crow[bj]
+                ne = ra != rb  # a doc always contains its own anchor
+                a_out.append(ra[ne])
+                b_out.append(rb[ne])
         if not a_out:
             return empty
         # dedupe candidate multiplicity on row codes (cheaper than id
-        # pairs; ids are unique per row on every query surface)
+        # pairs; ids are unique per row on every query surface).
+        # jaccard rows are pre-canonicalized (min,max); containment rows
+        # stay ordered — both directions are distinct results.
         codes = np.unique(
             np.concatenate(a_out) * np.int64(nrows) + np.concatenate(b_out)
         )
@@ -1119,8 +1161,12 @@ def _ngram_pairs_fused(slim, id_col, text_col, n, threshold, id_type):
             idxc = np.minimum(idx, max(len(kb) - 1, 0))
             hit = (idx < len(kb)) & (kb[idxc] == ka) if len(kb) else np.zeros(len(ka), bool)
             inter = np.bincount(pid_a[hit], minlength=npairs).astype(np.float64)
-            union = (la + lb).astype(np.float64) - inter
-            sc = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+            laf, lbf = la.astype(np.float64), lb.astype(np.float64)
+            if mode == "jaccard":
+                union = laf + lbf - inter
+                sc = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+            else:
+                sc = np.where(laf > 0, inter / np.maximum(laf, 1.0), 0.0)
             kp = sc >= threshold
             oa.append(ric[kp])
             ob.append(rjc[kp])
@@ -1133,11 +1179,13 @@ def _ngram_pairs_fused(slim, id_col, text_col, n, threshold, id_type):
             idc = idc.combine_chunks()
         ia = idc.take(pa.array(ri)).to_numpy(zero_copy_only=False)
         ib = idc.take(pa.array(rj)).to_numpy(zero_copy_only=False)
+        if mode == "jaccard":
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
         return pa.table(
             {
-                "id_a": pa.array(np.minimum(ia, ib), id_type),
-                "id_b": pa.array(np.maximum(ia, ib), id_type),
-                "jaccard": pa.array(sc, pa.float64()),
+                "id_a": pa.array(ia, id_type),
+                "id_b": pa.array(ib, id_type),
+                score_col: pa.array(sc, pa.float64()),
             }
         )
 

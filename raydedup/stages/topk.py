@@ -261,6 +261,17 @@ def containment_pairs_exact(
     ensure_hash_shuffle()
     slim = ds.select_columns([id_col, text_col])
     id_type = ds.schema().base_schema.field(id_col).type
+    from raydedup.stages.dedup import NGRAM_FUSED_DOCS, _ngram_pairs_fused
+    from raydedup.stages.grouped import meta_count as _mc
+
+    n_docs_meta = _mc(ds)
+    if n_docs_meta is not None and 0 < n_docs_meta <= NGRAM_FUSED_DOCS:
+        # metadata-provably-small corpus: one fused map task, no
+        # shuffles (see stages/dedup.NGRAM_FUSED_DOCS — same gate and
+        # kernels as the n-gram Jaccard fused path, asymmetric mode)
+        return _ngram_pairs_fused(
+            slim, id_col, text_col, n, threshold, id_type, mode="containment"
+        )
     if num_partitions is None:
         # size from ds, not the projection — a select_columns has no
         # _meta_count, which silently falls back to the CPU cap (r04)

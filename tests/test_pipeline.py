@@ -440,6 +440,32 @@ def test_ngram_fused_matches_distributed(ray_session, corpus, monkeypatch):
     assert len(kf) > 0  # the synth corpus plants caption near-dups
 
 
+def test_containment_fused_matches_distributed(ray_session, corpus, monkeypatch):
+    """Asymmetric mode of the fused path: contained-side-only prefix,
+    ordered (contained, container) pairs, |A∩B|/|A| scoring — identical
+    to the distributed inverted-index join pair-for-pair."""
+    import ray.data as rd
+
+    import raydedup.stages.dedup as dd
+    from raydedup.stages.topk import containment_pairs_exact
+
+    table, _ = corpus
+    docs = pa.table(
+        {"doc_id": table.column("image_id"), "text": table.column("caption")}
+    )
+    fused = containment_pairs_exact(
+        rd.from_arrow(docs), "doc_id", "text", n=3, threshold=0.5
+    ).take_all()
+    monkeypatch.setattr(dd, "NGRAM_FUSED_DOCS", 0)
+    dist = containment_pairs_exact(
+        rd.from_arrow(docs), "doc_id", "text", n=3, threshold=0.5
+    ).take_all()
+    kf = sorted((r["id_a"], r["id_b"], round(r["containment"], 12)) for r in fused)
+    kd = sorted((r["id_a"], r["id_b"], round(r["containment"], 12)) for r in dist)
+    assert kf == kd
+    assert len(kf) > 0
+
+
 def test_substring_short_doc_heavy_corpus(ray_session):
     """Short docs (< window tokens, here ~35% of the corpus) route
     through the distributed anchor machinery (r04; formerly an
