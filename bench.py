@@ -172,12 +172,21 @@ def run_bench() -> dict:
 
     qtimes = {}
     skip_queries = os.environ.get("RAYDEDUP_SKIP_QUERIES") == "1"
+    # min over 2 legs per query: this host's single-thread speed swings
+    # up to 2× between consecutive runs (BASELINE.md VM-noise protocol);
+    # one retimed leg recovers the representative wall the in-process
+    # A/B records use, at ~2× bench runtime
+    q_legs = int(os.environ.get("RAYDEDUP_QUERY_LEGS", "2"))
     for name in [] if skip_queries else BENCH_QUERIES:
-        t0 = time.perf_counter()
-        res = QUERIES[name](SF_DIR)
-        if hasattr(res, "iter_batches"):
-            consume(res)
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(max(1, q_legs)):
+            t0 = time.perf_counter()
+            res = QUERIES[name](SF_DIR)
+            if hasattr(res, "iter_batches"):
+                consume(res)
+            leg = time.perf_counter() - t0
+            best = leg if best is None else min(best, leg)
+        qtimes[name] = round(best, 3)
 
     return {
         "metric": "flagship_image_dedup_sec",

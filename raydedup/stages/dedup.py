@@ -1007,37 +1007,255 @@ def _pair_set_verify(
 
 
 # Corpora at or below this metadata-cheap doc count run n-gram Jaccard
-# as ONE fused map task (exact DF + prefix/length filter + in-memory
-# dedupe + exact scoring): the distributed shape costs 5-6 Dataset
-# executions (~1-2 s fixed each on this Ray version — DF-sketch pass,
-# anchor shuffle, staging barrier, dedupe shuffle, blob build, score)
-# which dominates any small corpus, while the fused kernel is <1 s at
-# this size. The verified pair set is IDENTICAL: AllPairs is lossless
-# under any consistent frequency order (exact DF here, count-min
-# estimate on the distributed path), the shingle hash space is shared
+# / exact containment as ONE fused candidate task plus a parallel
+# scoring map (exact DF + prefix/length filter + in-memory dedupe,
+# then chunked exact scoring against the broadcast corpus): the
+# distributed shape costs 5-6 Dataset executions (~1-2 s fixed each on
+# this Ray version — DF-sketch pass, anchor shuffle, staging barrier,
+# dedupe shuffle, blob build, score) which dominates any small corpus.
+# The verified pair set is IDENTICAL: AllPairs is lossless under any
+# consistent frequency order (exact DF here, count-min estimate on the
+# distributed path), the shingle hash space is shared
 # (flat_ngram_hashes64), and scoring is the same double division.
 # Beyond the gate the distributed path runs exactly as before
 # (exercised at 480k docs — BASELINE.md round-4).
 NGRAM_FUSED_DOCS = 20_000
 
 
-def _ngram_pairs_fused(slim, id_col, text_col, n, threshold, id_type, mode="jaccard"):
-    """Single-task AllPairs + exact set-overlap verify for small corpora.
-
-    Same kernels as the distributed paths: ``flat_ngram_hashes64`` →
-    ``unique_per_row`` (per-doc sorted distinct shingles), prefix filter
-    over the exact-document-frequency order, per-anchor length-filtered
-    pair emission, row-code dedupe, chunked searchsorted-membership
-    scoring. ``mode="jaccard"`` emits unordered pairs scored
-    |A∩B|/|A∪B|; ``mode="containment"`` prefixes only the contained
-    side, pairs each contained doc with every same-anchor container of
-    size ≥ t·|A|, and scores |A∩B|/|A| (ordered pairs, both directions
-    possible). Tests force both paths on one corpus and assert equality
-    (tests/test_pipeline.py::test_ngram_fused_matches_distributed,
-    test_containment_fused_matches_distributed)."""
-    import ray.data as rd
-
+def _ngram_prep(t: pa.Table, text_col: str, n: int):
+    """Derived shingle arrays for the fused path — MUST be identical
+    between the candidate task and every scoring worker (both derive
+    from the same broadcast table): per-doc sorted distinct shingle
+    hashes (flat), offsets, sizes, compact codes and exact DF."""
     from raydedup.suffix import flat_ngram_hashes64, unique_per_row
+
+    cnt, w = flat_ngram_hashes64(t.column(text_col), n)
+    ucnt, hs = unique_per_row(cnt, w)  # sorted ascending per row
+    off = np.cumsum(ucnt) - ucnt
+    if len(hs):
+        uq, inv, dfc = np.unique(hs, return_inverse=True, return_counts=True)
+    else:
+        uq = inv = dfc = np.empty(0, np.int64)
+    return ucnt, hs, off, inv, np.int64(len(uq)), dfc
+
+
+def _fused_candidate_rows(t: pa.Table, text_col: str, n: int, threshold: float, mode: str, prep=None):
+    """Candidate (row_i, row_j) emission for the fused path: prefix
+    filter over the exact-DF order, per-anchor length-filtered pair
+    emission, row-code dedupe. Returns two int64 row-index arrays
+    (jaccard: canonicalized i<j by row; containment: ordered
+    (contained, container))."""
+    nrows = len(t)
+    if prep is None:
+        prep = _ngram_prep(t, text_col, n)
+    ucnt, hs, off, inv, ncodes, dfc = prep
+    none = np.empty(0, np.int64)
+    if len(hs) == 0:
+        return none, none
+    rid = np.repeat(np.arange(nrows, dtype=np.int64), ucnt)
+    order = np.lexsort((hs, dfc[inv], rid))  # per row: rare-first
+    pos = np.arange(len(hs), dtype=np.int64) - np.repeat(off, ucnt)
+    plen = (ucnt * (1.0 - threshold)).astype(np.int64) + 1
+    keep = order[pos < plen[rid[order]]]
+    a_out, b_out = [], []
+    if mode == "jaccard":
+        anc, arow = hs[keep], rid[keep]
+        asz = ucnt[arow].astype(np.float64)
+        # anchor runs, size-sorted inside each run (length filter)
+        o2 = np.lexsort((asz, anc))
+        anc, arow, asz = anc[o2], arow[o2], asz[o2]
+        change = np.flatnonzero(anc[1:] != anc[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(anc)]))
+        multi = (ends - starts) >= 2
+        for s, e in zip(starts[multi], ends[multi]):
+            m = e - s
+            rsz, rrow = asz[s:e], arow[s:e]
+            hi = np.searchsorted(rsz, rsz / threshold, side="right")
+            cnt_ = np.maximum(hi - np.arange(m) - 1, 0)
+            tot = int(cnt_.sum())
+            if not tot:
+                continue
+            ai = np.repeat(np.arange(m), cnt_)
+            bj = np.arange(tot) - np.repeat(np.cumsum(cnt_) - cnt_, cnt_) + ai + 1
+            ra, rb = rrow[ai], rrow[bj]
+            a_out.append(np.minimum(ra, rb))
+            b_out.append(np.maximum(ra, rb))
+    else:
+        # containment: container side = the full inverted index
+        # (every flat entry), contained side = the prefix subset
+        pref = np.zeros(len(hs), bool)
+        pref[keep] = True
+        allsz = ucnt[rid].astype(np.float64)
+        o2 = np.lexsort((allsz, hs))  # runs by shingle, size-sorted
+        anc, arow, asz, apr = hs[o2], rid[o2], allsz[o2], pref[o2]
+        change = np.flatnonzero(anc[1:] != anc[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(anc)]))
+        multi = (ends - starts) >= 2
+        for s, e in zip(starts[multi], ends[multi]):
+            qm = apr[s:e]
+            if not qm.any():
+                continue
+            qrow, qsz = arow[s:e][qm], asz[s:e][qm]
+            crow, csz = arow[s:e], asz[s:e]  # size-sorted already
+            lo = np.searchsorted(csz, qsz * threshold, side="left")
+            cnt_ = len(crow) - lo
+            tot = int(cnt_.sum())
+            if not tot:
+                continue
+            ai = np.repeat(np.arange(len(qrow)), cnt_)
+            bj = (
+                np.arange(tot, dtype=np.int64)
+                - np.repeat(np.cumsum(cnt_) - cnt_, cnt_)
+                + lo[ai]
+            )
+            ra, rb = qrow[ai], crow[bj]
+            ne = ra != rb  # a doc always contains its own anchor
+            a_out.append(ra[ne])
+            b_out.append(rb[ne])
+    if not a_out:
+        return none, none
+    # dedupe candidate multiplicity on row codes (cheaper than id
+    # pairs; ids are unique per row on every query surface).
+    # jaccard rows are pre-canonicalized (min,max); containment rows
+    # stay ordered — both directions are distinct results.
+    codes = np.unique(
+        np.concatenate(a_out) * np.int64(nrows) + np.concatenate(b_out)
+    )
+    return codes // nrows, codes % nrows
+
+
+def _fused_score_chunk(prep, ri, rj, threshold, mode):
+    """Exact set-overlap scores for one chunk of candidate row pairs.
+    Per-row shingle codes are ascending (unique_per_row sorts values,
+    np.unique codes preserve value order), so pair·ncodes+code is
+    GLOBALLY sorted on both sides — one searchsorted membership probe
+    replaces the lexsort-merge (measured 6× on the sf0.1 corpus:
+    12.1 s → 1.9 s). Returns (keep_mask_indices, scores)."""
+    ucnt, hs, off, inv, ncodes, _ = prep
+    npairs = len(ri)
+    la, lb = ucnt[ri], ucnt[rj]
+    pref = np.cumsum(la) - la
+    pid_a = np.repeat(np.arange(npairs, dtype=np.int64), la)
+    ga = (
+        np.arange(int(la.sum()), dtype=np.int64)
+        - np.repeat(pref, la)
+        + np.repeat(off[ri], la)
+    )
+    pref = np.cumsum(lb) - lb
+    pid_b = np.repeat(np.arange(npairs, dtype=np.int64), lb)
+    gb = (
+        np.arange(int(lb.sum()), dtype=np.int64)
+        - np.repeat(pref, lb)
+        + np.repeat(off[rj], lb)
+    )
+    ka = pid_a * ncodes + inv[ga]
+    kb = pid_b * ncodes + inv[gb]
+    idx = np.searchsorted(kb, ka)
+    idxc = np.minimum(idx, max(len(kb) - 1, 0))
+    hit = (idx < len(kb)) & (kb[idxc] == ka) if len(kb) else np.zeros(len(ka), bool)
+    inter = np.bincount(pid_a[hit], minlength=npairs).astype(np.float64)
+    laf, lbf = la.astype(np.float64), lb.astype(np.float64)
+    if mode == "jaccard":
+        union = laf + lbf - inter
+        sc = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+    else:
+        sc = np.where(laf > 0, inter / np.maximum(laf, 1.0), 0.0)
+    kp = np.flatnonzero(sc >= threshold)
+    return kp, sc[kp]
+
+
+def _fused_scored_table(t, prep, ri, rj, id_col, threshold, mode, id_type, chunk=1 << 16):
+    """Score candidate row pairs against corpus table ``t`` and emit
+    the final (id_a, id_b, score) Arrow table (chunked to bound gather
+    memory). Shared by the inline path and the parallel scoring map."""
+    score_col = "jaccard" if mode == "jaccard" else "containment"
+    idc = t.column(id_col)
+    if isinstance(idc, pa.ChunkedArray):
+        idc = idc.combine_chunks()
+    oa, ob, osc = [], [], []
+    for c0 in range(0, len(ri), chunk):
+        ric, rjc = ri[c0 : c0 + chunk], rj[c0 : c0 + chunk]
+        kp, sc = _fused_score_chunk(prep, ric, rjc, threshold, mode)
+        ia = idc.take(pa.array(ric[kp])).to_numpy(zero_copy_only=False)
+        ib = idc.take(pa.array(rjc[kp])).to_numpy(zero_copy_only=False)
+        if mode == "jaccard":
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        oa.append(ia)
+        ob.append(ib)
+        osc.append(sc)
+    ia = np.concatenate(oa) if oa else np.empty(0, object)
+    ib = np.concatenate(ob) if ob else np.empty(0, object)
+    sc = np.concatenate(osc) if osc else np.empty(0, np.float64)
+    return pa.table(
+        {
+            "id_a": pa.array(ia, id_type),
+            "id_b": pa.array(ib, id_type),
+            score_col: pa.array(sc, pa.float64()),
+        }
+    )
+
+
+# Candidate sets at or below this size are scored INSIDE the candidate
+# task (the whole query is then gather + 1 remote task + from_arrow):
+# splitting out a parallel scoring stage costs ~2-3 s of fixed
+# execution + per-worker prep, more than single-core scoring up to
+# ~half a million pairs (~2 s). Bigger sets — corpora near the 20k-doc
+# gate can emit millions of pairs — fan out over the CPU budget.
+_FUSED_INLINE_PAIRS = 1 << 19
+
+
+def _fused_emit_or_score(corpus, id_col, text_col, n, threshold, mode, id_type):
+    """Remote body: emit deduped candidate row pairs; score inline when
+    the set is small (returns ("scored", table)), else hand the pair
+    table back for the parallel scoring stage (("pairs", table))."""
+    prep = _ngram_prep(corpus, text_col, n)
+    ri, rj = _fused_candidate_rows(corpus, text_col, n, threshold, mode, prep=prep)
+    if len(ri) <= _FUSED_INLINE_PAIRS:
+        return "scored", _fused_scored_table(
+            corpus, prep, ri, rj, id_col, threshold, mode, id_type
+        )
+    return "pairs", pa.table({"ri": pa.array(ri), "rj": pa.array(rj)})
+
+
+_fused_task_handle = None
+
+
+def _fused_task():
+    """Module-cached ray.remote handle (one function export per
+    process, not one per query)."""
+    global _fused_task_handle
+    if _fused_task_handle is None:
+        import ray
+
+        _fused_task_handle = ray.remote(_fused_emit_or_score)
+    return _fused_task_handle
+
+
+def _ngram_pairs_fused(slim, id_col, text_col, n, threshold, id_type, mode="jaccard"):
+    """Fused AllPairs + exact set-overlap verify for small corpora —
+    ONE candidate task plus (only for large candidate sets) a PARALLEL
+    scoring map, zero shuffles.
+
+    The gated-small corpus is gathered once and broadcast via
+    ``ray.put`` (the same small-side pattern as ``_pair_set_verify``'s
+    ≤100k-doc branch); a single remote task emits the deduped
+    candidate row pairs (``_fused_candidate_rows``); scoring fans out
+    over the pair table with each worker deriving the shingle arrays
+    from the broadcast corpus once (``_ngram_prep``, per-worker cache)
+    — so scoring scales with CPUs even for corpora near the gate,
+    where the candidate set can reach millions of pairs.
+    ``mode="jaccard"`` emits unordered pairs scored |A∩B|/|A∪B|;
+    ``mode="containment"`` prefixes only the contained side, pairs
+    each contained doc with every same-anchor container of size
+    ≥ t·|A|, and scores |A∩B|/|A| (ordered pairs, both directions
+    possible). Tests force both paths on one corpus and assert
+    equality (tests/test_pipeline.py::
+    test_ngram_fused_matches_distributed,
+    test_containment_fused_matches_distributed)."""
+    import ray
+    import ray.data as rd
 
     score_col = "jaccard" if mode == "jaccard" else "containment"
     empty = pa.table(
@@ -1047,151 +1265,42 @@ def _ngram_pairs_fused(slim, id_col, text_col, n, threshold, id_type, mode="jacc
             score_col: pa.array([], pa.float64()),
         }
     )
+    tbl = pa.concat_tables(
+        list(slim.iter_batches(batch_size=None, batch_format="pyarrow"))
+    ).combine_chunks()
+    if len(tbl) == 0:
+        return rd.from_arrow(empty)
+    corpus_ref = ray.put(tbl)
 
-    def one_task(batch: pa.Table) -> pa.Table:
-        nrows = len(batch)
-        cnt, w = flat_ngram_hashes64(batch.column(text_col), n)
-        ucnt, hs = unique_per_row(cnt, w)  # sorted ascending per row
-        if len(hs) == 0:
-            return empty
-        off = np.cumsum(ucnt) - ucnt
-        rid = np.repeat(np.arange(nrows, dtype=np.int64), ucnt)
-        # exact DF: how many docs contain each distinct shingle. The
-        # compact codes (inv) double as the scoring domain below.
-        uq, inv, dfc = np.unique(hs, return_inverse=True, return_counts=True)
-        ncodes = np.int64(len(uq))
-        order = np.lexsort((hs, dfc[inv], rid))  # per row: rare-first
-        pos = np.arange(len(hs), dtype=np.int64) - np.repeat(off, ucnt)
-        plen = (ucnt * (1.0 - threshold)).astype(np.int64) + 1
-        keep = order[pos < plen[rid[order]]]
-        a_out, b_out = [], []
-        if mode == "jaccard":
-            anc, arow = hs[keep], rid[keep]
-            asz = ucnt[arow].astype(np.float64)
-            # anchor runs, size-sorted inside each run (length filter)
-            o2 = np.lexsort((asz, anc))
-            anc, arow, asz = anc[o2], arow[o2], asz[o2]
-            change = np.flatnonzero(anc[1:] != anc[:-1]) + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(anc)]))
-            multi = (ends - starts) >= 2
-            for s, e in zip(starts[multi], ends[multi]):
-                m = e - s
-                rsz, rrow = asz[s:e], arow[s:e]
-                hi = np.searchsorted(rsz, rsz / threshold, side="right")
-                cnt_ = np.maximum(hi - np.arange(m) - 1, 0)
-                tot = int(cnt_.sum())
-                if not tot:
-                    continue
-                ai = np.repeat(np.arange(m), cnt_)
-                bj = np.arange(tot) - np.repeat(np.cumsum(cnt_) - cnt_, cnt_) + ai + 1
-                ra, rb = rrow[ai], rrow[bj]
-                a_out.append(np.minimum(ra, rb))
-                b_out.append(np.maximum(ra, rb))
-        else:
-            # containment: container side = the full inverted index
-            # (every flat entry), contained side = the prefix subset
-            pref = np.zeros(len(hs), bool)
-            pref[keep] = True
-            allsz = ucnt[rid].astype(np.float64)
-            o2 = np.lexsort((allsz, hs))  # runs by shingle, size-sorted
-            anc, arow, asz, apr = hs[o2], rid[o2], allsz[o2], pref[o2]
-            change = np.flatnonzero(anc[1:] != anc[:-1]) + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(anc)]))
-            multi = (ends - starts) >= 2
-            for s, e in zip(starts[multi], ends[multi]):
-                qm = apr[s:e]
-                if not qm.any():
-                    continue
-                qrow, qsz = arow[s:e][qm], asz[s:e][qm]
-                crow, csz = arow[s:e], asz[s:e]  # size-sorted already
-                lo = np.searchsorted(csz, qsz * threshold, side="left")
-                cnt_ = len(crow) - lo
-                tot = int(cnt_.sum())
-                if not tot:
-                    continue
-                ai = np.repeat(np.arange(len(qrow)), cnt_)
-                bj = (
-                    np.arange(tot, dtype=np.int64)
-                    - np.repeat(np.cumsum(cnt_) - cnt_, cnt_)
-                    + lo[ai]
-                )
-                ra, rb = qrow[ai], crow[bj]
-                ne = ra != rb  # a doc always contains its own anchor
-                a_out.append(ra[ne])
-                b_out.append(rb[ne])
-        if not a_out:
-            return empty
-        # dedupe candidate multiplicity on row codes (cheaper than id
-        # pairs; ids are unique per row on every query surface).
-        # jaccard rows are pre-canonicalized (min,max); containment rows
-        # stay ordered — both directions are distinct results.
-        codes = np.unique(
-            np.concatenate(a_out) * np.int64(nrows) + np.concatenate(b_out)
-        )
-        ri, rj = codes // nrows, codes % nrows
-        oa, ob, osc = [], [], []
-        for c0 in range(0, len(ri), 1 << 16):  # bound gather memory
-            ric, rjc = ri[c0 : c0 + (1 << 16)], rj[c0 : c0 + (1 << 16)]
-            npairs = len(ric)
-            la, lb = ucnt[ric], ucnt[rjc]
-            pref = np.cumsum(la) - la
-            pid_a = np.repeat(np.arange(npairs, dtype=np.int64), la)
-            ga = (
-                np.arange(int(la.sum()), dtype=np.int64)
-                - np.repeat(pref, la)
-                + np.repeat(off[ric], la)
-            )
-            pref = np.cumsum(lb) - lb
-            pid_b = np.repeat(np.arange(npairs, dtype=np.int64), lb)
-            gb = (
-                np.arange(int(lb.sum()), dtype=np.int64)
-                - np.repeat(pref, lb)
-                + np.repeat(off[rjc], lb)
-            )
-            # per-row shingle codes are ascending (unique_per_row sorts
-            # values, np.unique codes preserve value order), so
-            # pair·ncodes+code is GLOBALLY sorted on both sides — one
-            # searchsorted membership probe replaces the lexsort-merge
-            # (measured 6× on the sf0.1 corpus: 12.1 s → 1.9 s)
-            ka = pid_a * ncodes + inv[ga]
-            kb = pid_b * ncodes + inv[gb]
-            idx = np.searchsorted(kb, ka)
-            idxc = np.minimum(idx, max(len(kb) - 1, 0))
-            hit = (idx < len(kb)) & (kb[idxc] == ka) if len(kb) else np.zeros(len(ka), bool)
-            inter = np.bincount(pid_a[hit], minlength=npairs).astype(np.float64)
-            laf, lbf = la.astype(np.float64), lb.astype(np.float64)
-            if mode == "jaccard":
-                union = laf + lbf - inter
-                sc = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
-            else:
-                sc = np.where(laf > 0, inter / np.maximum(laf, 1.0), 0.0)
-            kp = sc >= threshold
-            oa.append(ric[kp])
-            ob.append(rjc[kp])
-            osc.append(sc[kp])
-        ri, rj, sc = np.concatenate(oa), np.concatenate(ob), np.concatenate(osc)
-        if len(ri) == 0:
-            return empty
-        idc = batch.column(id_col)
-        if isinstance(idc, pa.ChunkedArray):
-            idc = idc.combine_chunks()
-        ia = idc.take(pa.array(ri)).to_numpy(zero_copy_only=False)
-        ib = idc.take(pa.array(rj)).to_numpy(zero_copy_only=False)
-        if mode == "jaccard":
-            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pa.table(
-            {
-                "id_a": pa.array(ia, id_type),
-                "id_b": pa.array(ib, id_type),
-                score_col: pa.array(sc, pa.float64()),
-            }
-        )
-
-    return slim.repartition(1).map_batches(
-        one_task, batch_size=None, batch_format="pyarrow"
+    # one remote candidate task (Ray auto-derefs corpus_ref into the
+    # zero-copy table); small candidate sets come back fully scored,
+    # large ones as a slim row-pair table (16 B/pair) for the fan-out
+    kind, out_tbl = ray.get(
+        _fused_task().remote(corpus_ref, id_col, text_col, n, threshold, mode, id_type)
     )
+    if kind == "scored":
+        return rd.from_arrow(out_tbl if len(out_tbl) else empty)
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        t = _cached_object(corpus_ref)
+        pkey = corpus_ref.hex() + f":ngprep:{n}"
+        prep = _worker_obj_cache.get(pkey)
+        if prep is None:
+            prep = _ngram_prep(t, text_col, n)
+            _worker_obj_cache[pkey] = prep
+        bri = b.column("ri").to_numpy(zero_copy_only=False)
+        brj = b.column("rj").to_numpy(zero_copy_only=False)
+        return _fused_scored_table(t, prep, bri, brj, id_col, threshold, mode, id_type)
+
+    # split the pair table so scoring parallelizes (~32k pairs/task);
+    # from_arrow yields ONE block and map_batches never splits a block
+    from raydedup.stages.grouped import effective_partitions
+
+    parts = min(effective_partitions(1 << 30), max(1, len(out_tbl) // (1 << 15)))
+    pairs_ds = rd.from_arrow(out_tbl)
+    if parts > 1:
+        pairs_ds = pairs_ds.repartition(parts)
+    return pairs_ds.map_batches(score_batch, batch_size=None, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(
