@@ -1055,30 +1055,51 @@ def _fused_candidate_rows(t: pa.Table, text_col: str, n: int, threshold: float, 
     rid = np.repeat(np.arange(nrows, dtype=np.int64), ucnt)
     order = np.lexsort((hs, dfc[inv], rid))  # per row: rare-first
     pos = np.arange(len(hs), dtype=np.int64) - np.repeat(off, ucnt)
-    plen = (ucnt * (1.0 - threshold)).astype(np.int64) + 1
+    # prefix length = A - ceil(t*A) + 1 (a pair at threshold shares
+    # >=ceil(t*A) shingles, so at most A-ceil(t*A) leading shingles
+    # are unshared). Computed via ceil with an epsilon guard:
+    # floor(A*(1-t))+1 underflows in binary floating point (e.g.
+    # 15*0.2 -> 2.999... -> prefix 3 where 4 is required, dropping
+    # a pair at exactly t=0.8 -- caught by the brute-force
+    # conformance test at both thresholds).
+    plen = ucnt - np.ceil(threshold * ucnt - 1e-9).astype(np.int64) + 1
     keep = order[pos < plen[rid[order]]]
+    # DF-order position of EVERY flat entry within its row (PPJoin
+    # positional filter): shared shingles of a pair appear in the same
+    # relative order on both sides (one global (df, hash) order), so at
+    # the pair's EARLIEST shared anchor, |A∩B| ≤ min(|A|-posA, |B|-posB)
+    # exactly. Pruning an emission with that bound below the overlap
+    # threshold is lossless: the earliest emission is only pruned when
+    # the pair truly can't reach the threshold, and any later emission
+    # that survives keeps the pair alive (Xiao et al., WWW'08).
+    dfpos = np.empty(len(hs), np.int64)
+    dfpos[order] = pos
     a_out, b_out = [], []
     if mode == "jaccard":
         anc, arow = hs[keep], rid[keep]
         asz = ucnt[arow].astype(np.float64)
+        arem = asz - dfpos[keep]  # shingles at/after this anchor in-row
         # anchor runs, size-sorted inside each run (length filter)
         o2 = np.lexsort((asz, anc))
-        anc, arow, asz = anc[o2], arow[o2], asz[o2]
+        anc, arow, asz, arem = anc[o2], arow[o2], asz[o2], arem[o2]
         change = np.flatnonzero(anc[1:] != anc[:-1]) + 1
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(anc)]))
         multi = (ends - starts) >= 2
+        tt = threshold / (1.0 + threshold)  # J ≥ t ⟺ |A∩B| ≥ tt·(|A|+|B|)
         for s, e in zip(starts[multi], ends[multi]):
             m = e - s
-            rsz, rrow = asz[s:e], arow[s:e]
-            hi = np.searchsorted(rsz, rsz / threshold, side="right")
+            rsz, rrow, rrem = asz[s:e], arow[s:e], arem[s:e]
+            hi = np.searchsorted(rsz, rsz / threshold + 1e-9, side="right")
             cnt_ = np.maximum(hi - np.arange(m) - 1, 0)
             tot = int(cnt_.sum())
             if not tot:
                 continue
             ai = np.repeat(np.arange(m), cnt_)
             bj = np.arange(tot) - np.repeat(np.cumsum(cnt_) - cnt_, cnt_) + ai + 1
-            ra, rb = rrow[ai], rrow[bj]
+            ub = np.minimum(rrem[ai], rrem[bj])
+            ok = ub >= tt * (rsz[ai] + rsz[bj]) - 1e-9
+            ra, rb = rrow[ai[ok]], rrow[bj[ok]]
             a_out.append(np.minimum(ra, rb))
             b_out.append(np.maximum(ra, rb))
     else:
@@ -1087,8 +1108,10 @@ def _fused_candidate_rows(t: pa.Table, text_col: str, n: int, threshold: float, 
         pref = np.zeros(len(hs), bool)
         pref[keep] = True
         allsz = ucnt[rid].astype(np.float64)
+        allrem = allsz - dfpos
         o2 = np.lexsort((allsz, hs))  # runs by shingle, size-sorted
         anc, arow, asz, apr = hs[o2], rid[o2], allsz[o2], pref[o2]
+        arem = allrem[o2]
         change = np.flatnonzero(anc[1:] != anc[:-1]) + 1
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(anc)]))
@@ -1098,8 +1121,10 @@ def _fused_candidate_rows(t: pa.Table, text_col: str, n: int, threshold: float, 
             if not qm.any():
                 continue
             qrow, qsz = arow[s:e][qm], asz[s:e][qm]
+            qrem = arem[s:e][qm]
             crow, csz = arow[s:e], asz[s:e]  # size-sorted already
-            lo = np.searchsorted(csz, qsz * threshold, side="left")
+            crem = arem[s:e]
+            lo = np.searchsorted(csz, qsz * threshold - 1e-9, side="left")
             cnt_ = len(crow) - lo
             tot = int(cnt_.sum())
             if not tot:
@@ -1110,7 +1135,10 @@ def _fused_candidate_rows(t: pa.Table, text_col: str, n: int, threshold: float, 
                 - np.repeat(np.cumsum(cnt_) - cnt_, cnt_)
                 + lo[ai]
             )
-            ra, rb = qrow[ai], crow[bj]
+            # positional bound: C(A,B) ≥ t ⟺ |A∩B| ≥ t·|A|
+            ub = np.minimum(qrem[ai], crem[bj])
+            ok = ub >= threshold * qsz[ai] - 1e-9
+            ra, rb = qrow[ai[ok]], crow[bj[ok]]
             ne = ra != rb  # a doc always contains its own anchor
             a_out.append(ra[ne])
             b_out.append(rb[ne])
@@ -1378,7 +1406,12 @@ def ngram_jaccard_pairs(
         ucnt, hs = unique_per_row(cnt, w)
         if len(hs) == 0:
             return pa.table(
-                {id_col: pa.array([], id_type), "anchor": pa.array([], pa.uint64())}
+                {
+                    id_col: pa.array([], id_type),
+                    "anchor": pa.array([], pa.uint64()),
+                    "sz": pa.array([], pa.uint32()),
+                    "rem": pa.array([], pa.uint32()),
+                }
             )
         rid = np.repeat(np.arange(len(ucnt), dtype=np.int64), ucnt)
         df = cms.estimate(hs)
@@ -1386,14 +1419,26 @@ def ngram_jaccard_pairs(
         pos = np.arange(len(hs), dtype=np.int64) - np.repeat(
             np.cumsum(ucnt) - ucnt, ucnt
         )
-        plen = (ucnt * (1.0 - threshold)).astype(np.int64) + 1
-        keep = order[pos < plen[rid[order]]]
+        # prefix length = A - ceil(t*A) + 1 (a pair at threshold shares
+        # >=ceil(t*A) shingles, so at most A-ceil(t*A) leading shingles
+        # are unshared). Computed via ceil with an epsilon guard:
+        # floor(A*(1-t))+1 underflows in binary floating point (e.g.
+        # 15*0.2 -> 2.999... -> prefix 3 where 4 is required, dropping
+        # a pair at exactly t=0.8 -- caught by the brute-force
+        # conformance test at both thresholds).
+        plen = ucnt - np.ceil(threshold * ucnt - 1e-9).astype(np.int64) + 1
+        mask = pos < plen[rid[order]]
+        keep = order[mask]
         return pa.table(
             {
                 id_col: batch.column(id_col).take(pa.array(rid[keep])),
                 "anchor": pa.array(hs[keep], pa.uint64()),
                 # set size rides along (4 B/row) for the length filter
                 "sz": pa.array(ucnt[rid[keep]].astype(np.uint32)),
+                # shingles at/after this anchor in the row's DF order
+                # (4 B/row) — the PPJoin positional bound (see
+                # _fused_candidate_rows for the losslessness argument)
+                "rem": pa.array((ucnt[rid[keep]] - pos[mask]).astype(np.uint32)),
             }
         )
 
@@ -1408,22 +1453,30 @@ def ngram_jaccard_pairs(
         # from O(m²) to the qualifying windows.
         ids = block.column(id_col).to_numpy(zero_copy_only=False)
         szs = block.column("sz").to_numpy(zero_copy_only=False).astype(np.float64)
+        rems = block.column("rem").to_numpy(zero_copy_only=False).astype(np.float64)
+        tt = threshold / (1.0 + threshold)  # J ≥ t ⟺ |A∩B| ≥ tt·(|A|+|B|)
         a_out, b_out = [], []
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
             rid = ids[s:e]
             rsz = szs[s:e]
+            rrem = rems[s:e]
             o = np.argsort(rsz, kind="stable")
-            rid, rsz = rid[o], rsz[o]
-            hi = np.searchsorted(rsz, rsz / threshold, side="right")
+            rid, rsz, rrem = rid[o], rsz[o], rrem[o]
+            hi = np.searchsorted(rsz, rsz / threshold + 1e-9, side="right")
             cnt = np.maximum(hi - np.arange(len(rsz)) - 1, 0)
             total = int(cnt.sum())
             if not total:
                 continue
             ai = np.repeat(np.arange(len(rsz)), cnt)
             bj = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt) + ai + 1
-            pa_, pb_ = rid[ai], rid[bj]
+            # PPJoin positional bound (lossless — see
+            # _fused_candidate_rows): prune emissions whose in-row
+            # tails can't reach the equivalent-overlap threshold
+            ub = np.minimum(rrem[ai], rrem[bj])
+            ok = ub >= tt * (rsz[ai] + rsz[bj]) - 1e-9
+            pa_, pb_ = rid[ai[ok]], rid[bj[ok]]
             ne = pa_ != pb_  # defensive: never emit a self-pair
             a_out.append(np.minimum(pa_[ne], pb_[ne]))
             b_out.append(np.maximum(pa_[ne], pb_[ne]))

@@ -299,6 +299,7 @@ def containment_pairs_exact(
                     "anchor": pa.array([], pa.uint64()),
                     "role": pa.array([], pa.int8()),
                     "sz": pa.array([], pa.uint32()),
+                    "rem": pa.array([], pa.uint32()),
                 }
             )
         rid = np.repeat(np.arange(len(ucnt), dtype=np.int64), ucnt)
@@ -307,9 +308,23 @@ def containment_pairs_exact(
         pos = np.arange(len(hs), dtype=np.int64) - np.repeat(
             np.cumsum(ucnt) - ucnt, ucnt
         )
-        plen = (ucnt * (1.0 - threshold)).astype(np.int64) + 1
-        pre = order[pos < plen[rid[order]]]  # contained-side prefix rows
+        # prefix length = A - ceil(t*A) + 1 (a pair at threshold shares
+        # >=ceil(t*A) shingles, so at most A-ceil(t*A) leading shingles
+        # are unshared). Computed via ceil with an epsilon guard:
+        # floor(A*(1-t))+1 underflows in binary floating point (e.g.
+        # 15*0.2 -> 2.999... -> prefix 3 where 4 is required, dropping
+        # a pair at exactly t=0.8 -- caught by the brute-force
+        # conformance test at both thresholds).
+        plen = ucnt - np.ceil(threshold * ucnt - 1e-9).astype(np.int64) + 1
+        mask = pos < plen[rid[order]]
+        pre = order[mask]  # contained-side prefix rows
         idx = np.concatenate([rid[pre], rid])  # container side: ALL rows
+        # in-row DF-order position of every flat entry → "shingles at or
+        # after this anchor" (PPJoin positional bound; see
+        # stages/dedup._fused_candidate_rows for losslessness)
+        dfpos = np.empty(len(hs), np.int64)
+        dfpos[order] = pos
+        rem = np.concatenate([ucnt[rid[pre]] - pos[mask], ucnt[rid] - dfpos])
         return pa.table(
             {
                 id_col: batch.column(id_col).take(pa.array(idx)),
@@ -320,6 +335,7 @@ def containment_pairs_exact(
                     )
                 ),
                 "sz": pa.array(ucnt[idx].astype(np.uint32)),
+                "rem": pa.array(rem.astype(np.uint32)),
             }
         )
 
@@ -333,6 +349,7 @@ def containment_pairs_exact(
         roles = block.column("role").to_numpy(zero_copy_only=False)
         ids = block.column(id_col).to_numpy(zero_copy_only=False)
         szs = block.column("sz").to_numpy(zero_copy_only=False).astype(np.float64)
+        rems = block.column("rem").to_numpy(zero_copy_only=False).astype(np.float64)
         out_a, out_b = [], []
         for s, e in zip(starts, ends):
             rr = roles[s:e]
@@ -340,10 +357,12 @@ def containment_pairs_exact(
             if not qm.any() or qm.all():
                 continue
             qid, qsz = ids[s:e][qm], szs[s:e][qm]
+            qrem = rems[s:e][qm]
             cid, csz = ids[s:e][~qm], szs[s:e][~qm]
+            crem = rems[s:e][~qm]
             o = np.argsort(csz, kind="stable")
-            cid, csz = cid[o], csz[o]
-            lo = np.searchsorted(csz, qsz * threshold, side="left")
+            cid, csz, crem = cid[o], csz[o], crem[o]
+            lo = np.searchsorted(csz, qsz * threshold - 1e-9, side="left")
             cnt = len(cid) - lo
             total = int(cnt.sum())
             if not total:
@@ -352,7 +371,11 @@ def containment_pairs_exact(
             bj = np.arange(total, dtype=np.int64) - np.repeat(
                 np.cumsum(cnt) - cnt, cnt
             ) + lo[ai]
-            a, b = qid[ai], cid[bj]
+            # PPJoin positional bound: C(A,B) ≥ t ⟺ |A∩B| ≥ t·|A|
+            # (lossless — see stages/dedup._fused_candidate_rows)
+            ub = np.minimum(qrem[ai], crem[bj])
+            ok = ub >= threshold * qsz[ai] - 1e-9
+            a, b = qid[ai[ok]], cid[bj[ok]]
             ne = a != b
             out_a.append(a[ne])
             out_b.append(b[ne])

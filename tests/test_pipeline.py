@@ -466,6 +466,69 @@ def test_containment_fused_matches_distributed(ray_session, corpus, monkeypatch)
     assert len(kf) > 0
 
 
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_ngram_pairs_match_bruteforce(ray_session, threshold, monkeypatch):
+    """Ground-truth conformance for the AllPairs paths at BOTH common
+    thresholds (the SQL oracle pins t=0.5 only): exact Python
+    shingle-set Jaccard/containment over all O(n²) pairs vs the fused
+    AND distributed pipelines — validates the prefix, length and
+    PPJoin positional filters end-to-end."""
+    import ray.data as rd
+
+    import raydedup.stages.dedup as dd
+    from raydedup.hashing import word_ngram_shingles
+    from raydedup.stages.topk import containment_pairs_exact
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{k}" for k in range(30)]
+    docs, base = [], []
+    for i in range(90):
+        L = int(rng.integers(4, 30))
+        words = [vocab[k] for k in rng.integers(0, len(vocab), L)]
+        base.append(words)
+        docs.append(" ".join(words))
+    for i in range(60):  # planted near-dups: light edits of earlier docs
+        src = list(base[int(rng.integers(0, len(base)))])
+        for _ in range(int(rng.integers(0, 3))):
+            src[int(rng.integers(0, len(src)))] = vocab[int(rng.integers(0, len(vocab)))]
+        docs.append(" ".join(src))
+    ids = [f"d{i:03d}" for i in range(len(docs))]
+    tbl = pa.table({"doc_id": pa.array(ids), "text": pa.array(docs)})
+
+    sets = {i: word_ngram_shingles(t, n=3) for i, t in zip(ids, docs)}
+    want_j, want_c = set(), set()
+    for x in range(len(ids)):
+        for y in range(len(ids)):
+            A, B = sets[ids[x]], sets[ids[y]]
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            if x < y:
+                un = len(A | B)
+                if un and inter / un >= threshold:
+                    want_j.add((ids[x], ids[y]))
+            if x != y and inter / len(A) >= threshold:
+                want_c.add((ids[x], ids[y]))
+
+    for forced_gate in (dd.NGRAM_FUSED_DOCS, 0):  # fused, then distributed
+        monkeypatch.setattr(dd, "NGRAM_FUSED_DOCS", forced_gate)
+        got_j = {
+            (r["id_a"], r["id_b"])
+            for r in dd.ngram_jaccard_pairs(
+                rd.from_arrow(tbl), "doc_id", "text", n=3, threshold=threshold
+            ).take_all()
+        }
+        assert got_j == want_j
+        got_c = {
+            (r["id_a"], r["id_b"])
+            for r in containment_pairs_exact(
+                rd.from_arrow(tbl), "doc_id", "text", n=3, threshold=threshold
+            ).take_all()
+        }
+        assert got_c == want_c
+    assert want_j and want_c  # the corpus must actually plant matches
+
+
 def test_substring_short_doc_heavy_corpus(ray_session):
     """Short docs (< window tokens, here ~35% of the corpus) route
     through the distributed anchor machinery (r04; formerly an
