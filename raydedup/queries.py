@@ -867,8 +867,38 @@ ORACLES["containment_pairs_docs"] = r"""
       AND len(list_intersect(a.sh, b.sh)) / len(a.sh) >= 0.5
 """
 
+def q_ngram_jaccard_docs_t08(sf_dir: str):
+    """t=0.8 variant of ``ngram_jaccard_docs``: 0.8 is INEXACT in
+    binary floating point, so this query permanently guards the
+    threshold-boundary class the r04 brute-force test exposed (the
+    prefix-length underflow at exactly J = t; see BASELINE.md round-4
+    session 4). Same shingle space, same SQL oracle at 0.8."""
+    from raydedup.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_containment_pairs_docs_t08(sf_dir: str):
+    """t=0.8 variant of ``containment_pairs_docs`` (same boundary-class
+    guard as ``ngram_jaccard_docs_t08`` for the asymmetric filter)."""
+    from raydedup.stages.topk import containment_pairs_exact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return containment_pairs_exact(ds, "doc_id", "text", n=3, threshold=0.8)
+
+
+ORACLES["ngram_jaccard_docs_t08"] = ORACLES["ngram_jaccard_docs"].replace(
+    ">= 0.5", ">= 0.8"
+)
+ORACLES["containment_pairs_docs_t08"] = ORACLES["containment_pairs_docs"].replace(
+    ">= 0.5", ">= 0.8"
+)
+
 QUERIES.update(
     {
+        "ngram_jaccard_docs_t08": q_ngram_jaccard_docs_t08,
+        "containment_pairs_docs_t08": q_containment_pairs_docs_t08,
         "containment_pairs_docs": q_containment_pairs_docs,
         "topk_similar_docs": q_topk_similar_docs,
         "minhash_cardinality_docs": q_minhash_cardinality_docs,
