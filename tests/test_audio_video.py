@@ -59,6 +59,28 @@ def test_g711_and_adpcm_snr():
     assert _snr_db(pcm, audio.decode_ima_adpcm(blob, 1024)) > 25.0
 
 
+def test_decode_wav_batch_matches_scalar():
+    """The lane-vectorized batch path must be BIT-EXACT with per-payload
+    decode_wav for every format tag (the ADPCM lanes recurrence mirrors
+    the scalar ops), and malformed payloads come back as in-band
+    exception entries without failing the batch."""
+    from raydedup import audio
+
+    pcm = _tone()
+    payloads = [
+        audio.encode_wav_pcm16(pcm, 16000),
+        audio.encode_wav_ulaw(pcm, 8000),
+        audio.encode_wav_alaw(pcm, 8000),
+        audio.encode_wav_adpcm(pcm, 16000, block_align=256),
+        audio.encode_wav_adpcm(pcm[: len(pcm) // 3], 16000, block_align=1024),
+    ]
+    got = audio.decode_wav_batch(payloads + [b"not a wav"])
+    for d, g in zip(payloads, got):
+        x, rate = audio.decode_wav(d)
+        assert np.array_equal(g[0], x) and g[1] == rate
+    assert isinstance(got[-1], Exception)
+
+
 def test_wav_container_all_format_tags():
     from raydedup import audio
 
