@@ -290,3 +290,57 @@ def test_minhash_batch_xp_bit_exact():
     assert np.array_equal(ref, got)
     # without an explicit xp and no cupy installed, it falls back to CPU
     assert np.array_equal(ref, minhash_batch_xp(docs, a, b))
+
+
+def test_allpairs_kernel_property_random_thresholds():
+    """Property test for the fused AllPairs kernel (prefix + length +
+    PPJoin positional filters + searchsorted scoring) against exact
+    brute force over random corpora and RANDOM thresholds — the
+    boundary class where floor/ceil float error bites (the r04
+    prefix-underflow bug fired only at binary-inexact thresholds).
+    Pure numpy, no Ray: the distributed paths share these formulas."""
+    import pyarrow as pa
+
+    from raydedup.hashing import word_ngram_shingles
+    from raydedup.stages.dedup import (
+        _fused_candidate_rows,
+        _fused_score_chunk,
+        _ngram_prep,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{k}" for k in range(20)]
+    for trial in range(6):
+        docs, base = [], []
+        for _ in range(40):
+            L = int(rng.integers(3, 24))
+            base.append([vocab[k] for k in rng.integers(0, len(vocab), L)])
+            docs.append(" ".join(base[-1]))
+        for _ in range(30):
+            src = list(base[int(rng.integers(0, len(base)))])
+            for _ in range(int(rng.integers(0, 3))):
+                src[int(rng.integers(0, len(src)))] = vocab[
+                    int(rng.integers(0, len(vocab)))
+                ]
+            docs.append(" ".join(src))
+        t = pa.table({"doc_id": [f"d{i}" for i in range(len(docs))], "text": docs})
+        sets = [word_ngram_shingles(d, n=3) for d in docs]
+        threshold = float(rng.choice([0.3, 0.4, 0.6, 0.7, 0.8, 0.9, 2 / 3, 5 / 7]))
+        for mode in ("jaccard", "containment"):
+            prep = _ngram_prep(t, "text", 3)
+            ri, rj = _fused_candidate_rows(t, "text", 3, threshold, mode, prep=prep)
+            kp, sc = _fused_score_chunk(prep, ri, rj, threshold, mode)
+            got = {(int(ri[k]), int(rj[k])) for k in kp}
+            want = set()
+            for x in range(len(docs)):
+                for y in range(len(docs)):
+                    A, B = sets[x], sets[y]
+                    if not A or not B or x == y:
+                        continue
+                    inter = len(A & B)
+                    if mode == "jaccard":
+                        if x < y and inter / len(A | B) >= threshold:
+                            want.add((x, y))
+                    elif inter / len(A) >= threshold:
+                        want.add((x, y))
+            assert got == want, (trial, mode, threshold, got ^ want)
