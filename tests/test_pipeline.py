@@ -466,6 +466,34 @@ def test_containment_fused_matches_distributed(ray_session, corpus, monkeypatch)
     assert len(kf) > 0
 
 
+def test_fused_parallel_scoring_branch(ray_session, corpus, monkeypatch):
+    """Force the fused path's fan-out branch (candidate sets above
+    _FUSED_INLINE_PAIRS score via the parallel map over the broadcast
+    corpus) and assert it matches the inline branch exactly — pytest
+    corpora never cross the 512k-pair gate on their own."""
+    import ray.data as rd
+
+    import raydedup.stages.dedup as dd
+
+    table, _ = corpus
+    docs = pa.table(
+        {"doc_id": table.column("image_id"), "text": table.column("caption")}
+    )
+
+    def run():
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in dd.ngram_jaccard_pairs(
+                rd.from_arrow(docs), "doc_id", "text", n=3, threshold=0.5
+            ).take_all()
+        )
+
+    inline = run()
+    monkeypatch.setattr(dd, "_FUSED_INLINE_PAIRS", 0)
+    fanout = run()
+    assert inline == fanout and len(inline) > 0
+
+
 @pytest.mark.parametrize("threshold", [0.5, 0.8])
 def test_ngram_pairs_match_bruteforce(ray_session, threshold, monkeypatch):
     """Ground-truth conformance for the AllPairs paths at BOTH common
