@@ -240,22 +240,36 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
     if num_partitions is None:
         num_partitions = auto_partitions(ds)
 
-    # ---- pre-pass: which short token-counts exist? (≤ window-1 distinct
-    # values; ≤ that many rows per block reach the driver)
-    def short_lens_batch(t: pa.Table) -> pa.Table:
-        c = pc.count_substring_regex(pc.fill_null(t.column(text_col), ""), r"\S+")
-        arr = c.to_numpy(zero_copy_only=False)
-        u = np.unique(arr[(arr >= 1) & (arr < window)])
-        return pa.table({"L": pa.array(u.astype(np.int32))})
+    from raydedup.stages import grouped as _G
 
-    short_lens = sorted(
-        {
-            r["L"]
-            for r in ds.select_columns([text_col])
-            .map_batches(short_lens_batch, batch_format="pyarrow")
-            .take_all()
-        }
+    n_docs = _G.meta_count(ds)
+    small_corpus = bool(
+        _G.SMALL_SHUFFLE_ROWS and n_docs is not None and 0 < n_docs <= _G.SMALL_SHUFFLE_ROWS
     )
+
+    # ---- pre-pass: which short token-counts exist? (≤ window-1 distinct
+    # values; ≤ that many rows per block reach the driver). A
+    # metadata-provably-small corpus skips this execution entirely:
+    # its explode below runs over ONE coalesced block, so the short
+    # lengths are computed exactly in-task (short_lens=None sentinel).
+    if small_corpus:
+        short_lens = None
+    else:
+
+        def short_lens_batch(t: pa.Table) -> pa.Table:
+            c = pc.count_substring_regex(pc.fill_null(t.column(text_col), ""), r"\S+")
+            arr = c.to_numpy(zero_copy_only=False)
+            u = np.unique(arr[(arr >= 1) & (arr < window)])
+            return pa.table({"L": pa.array(u.astype(np.int32))})
+
+        short_lens = sorted(
+            {
+                r["L"]
+                for r in ds.select_columns([text_col])
+                .map_batches(short_lens_batch, batch_format="pyarrow")
+                .take_all()
+            }
+        )
 
     empty_exploded = pa.table(
         {
@@ -292,6 +306,14 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
             idc = idc.combine_chunks()
         tlc = batch.column(text_col)
         lens, flat = split_ws_tokens(tlc)
+        # short_lens=None ⇒ small-corpus mode: this batch IS the whole
+        # corpus (one coalesced block), so the short lengths present
+        # are computed exactly here instead of in a pre-pass execution
+        sl = (
+            short_lens
+            if short_lens is not None
+            else np.unique(lens[(lens >= 1) & (lens < window)]).tolist()
+        )
         alive = np.flatnonzero(lens >= 1)
         if len(alive) == 0:
             return empty_exploded
@@ -361,7 +383,7 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
         # ---- short-doc path: one query row per short doc (anchor =
         # fold of its whole token list) + container windows at each
         # short length over every doc long enough to hold one
-        for L in short_lens:
+        for L in sl:
             sq = np.flatnonzero(lens == L)
             if len(sq):
                 anc_q = _fold_windows(hv_all, off_all[sq], L)
@@ -401,7 +423,19 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
             }
         )
 
-    exploded = ds.select_columns([id_col, text_col]).map_batches(explode, batch_format="pyarrow")
+    if small_corpus:
+        # one coalesced block: explode computes short_lens in-task (no
+        # pre-pass execution), and staging gives the anchor shuffle a
+        # real row count so it can coalesce too
+        exploded = (
+            ds.select_columns([id_col, text_col])
+            .repartition(1)
+            .map_batches(explode, batch_size=None, batch_format="pyarrow")
+        )
+    else:
+        exploded = ds.select_columns([id_col, text_col]).map_batches(
+            explode, batch_format="pyarrow"
+        )
 
     def emit_candidates(block: pa.Table, starts, ends) -> pa.Table:
         roles = block.column("role").to_numpy(zero_copy_only=False)
@@ -533,7 +567,6 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
     # contract), so the pair set is unchanged.
     from raydedup.stages.grouped import meta_count
 
-    n_docs = meta_count(ds)
     if prefilter is None:
         # auto: the semi-join prune pays two extra scans of the exploded
         # table + a filter broadcast to shrink the anchor/verify
@@ -543,10 +576,10 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
         # metadata-cheap row count (unknown lineage → stay off at this
         # scale; the flagship always passes a materialized table).
         prefilter = bool(n_docs and n_docs >= 1_000_000)
-    if n_docs is not None and n_docs <= 2048 and not prefilter:
-        # tiny corpus: one cheap materialization makes the explode's
-        # row count metadata-visible, so the anchor shuffle can take
-        # the coalesced small path (the aggregator machinery would
+    if small_corpus and not prefilter:
+        # materialization makes the explode's row count
+        # metadata-visible, so the anchor shuffle below can take the
+        # coalesced small path (the aggregator machinery would
         # otherwise cost ~1.9 s on a few thousand anchor rows)
         exploded = staged(exploded)
     if prefilter:
@@ -580,7 +613,14 @@ def substring_pairs(ds, id_col: str, text_col: str, window: int = 4, num_partiti
         if timings is not None:
             timings["anchor_bloom"] = round(time.perf_counter() - _t0, 2)
     _t0 = time.perf_counter()
-    candidates = staged(map_key_runs(exploded, "anchor", emit_candidates, num_partitions))
+    # anchor rows are slim (~25-40 B: anchor u64 + id + 3 small ints),
+    # so the coalesce gate can sit far above the 0.5 KB-row default —
+    # 1M rows is a ~30 MB single block, cheaper than aggregator actors
+    candidates = staged(
+        map_key_runs(
+            exploded, "anchor", emit_candidates, num_partitions, small_rows=1 << 20
+        )
+    )
     if timings is not None:
         timings["anchor_shuffle"] = round(time.perf_counter() - _t0, 2)
 
