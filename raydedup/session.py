@@ -118,6 +118,32 @@ def _make_shard_state():
                     out.append((qid, list(lst)))
             return out
 
+        # ---------------------------------------- columnar hot-path RPCs
+        # The tuple protocols above pickle one nested tuple per (band,
+        # H, key) entry — measured as the dominant cost of online
+        # insert/query throughput (~0.4 s of a 0.45 s insert batch was
+        # serialization). These variants ship THREE flat objects per
+        # shard (a bands byte-string, one concatenated H blob, the key
+        # list) and rebuild the same dict entries actor-side.
+        def insert_cols(self, bands: bytes, hblob: bytes, hw: int, keys: list) -> None:
+            bk = self.buckets
+            for i, key in enumerate(keys):
+                bh = (bands[i], hblob[i * hw : (i + 1) * hw])
+                lst = bk.get(bh)
+                if lst is None:
+                    bk[bh] = [key]
+                else:
+                    lst.append(key)
+
+        def query_cols(self, qids: list[int], bands: bytes, hblob: bytes, hw: int):
+            bk = self.buckets
+            out = []
+            for i, qid in enumerate(qids):
+                lst = bk.get((bands[i], hblob[i * hw : (i + 1) * hw]))
+                if lst:
+                    out.append((qid, list(lst)))
+            return out
+
         def band_counts(self) -> dict[tuple[int, bytes], int]:
             return {bh: len(lst) for bh, lst in self.buckets.items()}
 
@@ -250,13 +276,40 @@ class MinHashLshSession:
             if any(any(c) for c in checks):
                 raise ValueError("The given key already exists")
         key_items = [[] for _ in range(self.num_shards)]
-        entries = [[] for _ in range(self.num_shards)]
-        for key, kb, hs in zip(keys, kbs, hs_rows):
-            key_items[self._key_shard(kb)].append((kb, key, hs))
-            for band, H in enumerate(hs):
-                entries[self._bucket_shard(band, H)].append(((band, H), key))
-        futs = [self.shards[s].put_keys.remote(lst) for s, lst in enumerate(key_items) if lst]
-        futs += [self.shards[s].insert_entries.remote(lst) for s, lst in enumerate(entries) if lst]
+        futs = []
+        if self.b <= 256 and hs_rows and hs_rows[0]:
+            # columnar hot path (see _ShardState.insert_cols): band ids
+            # fit one byte, band keys are fixed-width per session
+            hw = len(hs_rows[0][0])
+            e_bands = [bytearray() for _ in range(self.num_shards)]
+            e_blob = [bytearray() for _ in range(self.num_shards)]
+            e_keys = [[] for _ in range(self.num_shards)]
+            for key, kb, hs in zip(keys, kbs, hs_rows):
+                key_items[self._key_shard(kb)].append((kb, key, hs))
+                for band, H in enumerate(hs):
+                    s = self._bucket_shard(band, H)
+                    e_bands[s].append(band)
+                    e_blob[s] += H
+                    e_keys[s].append(key)
+            futs += [
+                self.shards[s].insert_cols.remote(
+                    bytes(e_bands[s]), bytes(e_blob[s]), hw, e_keys[s]
+                )
+                for s in range(self.num_shards)
+                if e_keys[s]
+            ]
+        else:
+            entries = [[] for _ in range(self.num_shards)]
+            for key, kb, hs in zip(keys, kbs, hs_rows):
+                key_items[self._key_shard(kb)].append((kb, key, hs))
+                for band, H in enumerate(hs):
+                    entries[self._bucket_shard(band, H)].append(((band, H), key))
+            futs += [
+                self.shards[s].insert_entries.remote(lst)
+                for s, lst in enumerate(entries)
+                if lst
+            ]
+        futs += [self.shards[s].put_keys.remote(lst) for s, lst in enumerate(key_items) if lst]
         self._ray.get(futs)
 
     # -------------------------------------------------------------- query
@@ -267,12 +320,35 @@ class MinHashLshSession:
 
     def query_batch(self, sigs) -> list[list]:
         hs_rows = self._hs(sigs)
-        probes = [[] for _ in range(self.num_shards)]
-        for qid, hs in enumerate(hs_rows):
-            for band, H in enumerate(hs):
-                probes[self._bucket_shard(band, H)].append((qid, (band, H)))
-        live = [(s, lst) for s, lst in enumerate(probes) if lst]
-        results = self._ray.get([self.shards[s].query_entries.remote(lst) for s, lst in live])
+        if self.b <= 256 and hs_rows and hs_rows[0]:
+            hw = len(hs_rows[0][0])
+            p_qids = [[] for _ in range(self.num_shards)]
+            p_bands = [bytearray() for _ in range(self.num_shards)]
+            p_blob = [bytearray() for _ in range(self.num_shards)]
+            for qid, hs in enumerate(hs_rows):
+                for band, H in enumerate(hs):
+                    s = self._bucket_shard(band, H)
+                    p_qids[s].append(qid)
+                    p_bands[s].append(band)
+                    p_blob[s] += H
+            results = self._ray.get(
+                [
+                    self.shards[s].query_cols.remote(
+                        p_qids[s], bytes(p_bands[s]), bytes(p_blob[s]), hw
+                    )
+                    for s in range(self.num_shards)
+                    if p_qids[s]
+                ]
+            )
+        else:
+            probes = [[] for _ in range(self.num_shards)]
+            for qid, hs in enumerate(hs_rows):
+                for band, H in enumerate(hs):
+                    probes[self._bucket_shard(band, H)].append((qid, (band, H)))
+            live = [(s, lst) for s, lst in enumerate(probes) if lst]
+            results = self._ray.get(
+                [self.shards[s].query_entries.remote(lst) for s, lst in live]
+            )
         acc: list[set] = [set() for _ in hs_rows]
         for res in results:
             for qid, found in res:
