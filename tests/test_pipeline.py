@@ -557,15 +557,24 @@ def test_ngram_pairs_match_bruteforce(ray_session, threshold, monkeypatch):
     assert want_j and want_c  # the corpus must actually plant matches
 
 
-def test_substring_short_doc_heavy_corpus(ray_session):
+@pytest.mark.parametrize("path", ["coalesced", "distributed"])
+def test_substring_short_doc_heavy_corpus(ray_session, path, monkeypatch):
     """Short docs (< window tokens, here ~35% of the corpus) route
     through the distributed anchor machinery (r04; formerly an
     unbounded driver broadcast + nested Python scan). Compared against
     the SQL-oracle semantics brute-forced in Python: strict char-length
-    + space-delimited containment."""
+    + space-delimited containment. Runs BOTH the small-corpus
+    coalesced shape (in-task short-lens, single-block explode) and the
+    distributed shape (pre-pass + hash shuffles) — in-memory corpora
+    are metadata-countable, so without forcing SMALL_SHUFFLE_ROWS=0
+    the distributed branch would go unexercised."""
     import ray.data as rd
 
+    import raydedup.stages.grouped as G
     from raydedup.stages.dedup import substring_pairs
+
+    if path == "distributed":
+        monkeypatch.setattr(G, "SMALL_SHUFFLE_ROWS", 0)
 
     rng = np.random.default_rng(13)
     vocab = [f"t{i}" for i in range(25)]
