@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "minhash_dedup_docs",
     "substring_pairs_docs",
     "ngram_jaccard_docs",
+    "containment_pairs_docs",
     "embedding_near_dup",
     "ann_topk",
     "token_counts",
