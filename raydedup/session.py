@@ -218,6 +218,20 @@ class MinHashLshSession:
         h = (int.from_bytes(H[:8], "big") * _GOLD) & _M64
         return ((h >> 13) ^ band) % self.num_shards
 
+    def _route_all(self, hs_rows: list[list[bytes]]) -> np.ndarray:
+        """Shard of every (row, band) entry, vectorized: one frombuffer
+        over the concatenated 8-byte band-key prefixes + one uint64
+        multiply (numpy wraparound == the ``& _M64`` in _bucket_shard).
+        Row-major flat order matches ``for hs in hs_rows: for band, H
+        in enumerate(hs)``."""
+        flat = b"".join(H[:8] for hs in hs_rows for H in hs)
+        v = np.frombuffer(flat, dtype=">u8").astype(np.uint64)
+        h = v * np.uint64(_GOLD)
+        bands = np.tile(np.arange(self.b, dtype=np.uint64), len(hs_rows))
+        return (((h >> np.uint64(13)) ^ bands) % np.uint64(self.num_shards)).astype(
+            np.int64
+        )
+
     def _key_shard(self, kb: bytes) -> int:
         h = (int.from_bytes(kb[-8:].rjust(8, b"\0"), "big") * _GOLD) & _M64
         return (h >> 29) % self.num_shards
@@ -284,10 +298,13 @@ class MinHashLshSession:
             e_bands = [bytearray() for _ in range(self.num_shards)]
             e_blob = [bytearray() for _ in range(self.num_shards)]
             e_keys = [[] for _ in range(self.num_shards)]
+            route = self._route_all(hs_rows)
+            k = 0
             for key, kb, hs in zip(keys, kbs, hs_rows):
                 key_items[self._key_shard(kb)].append((kb, key, hs))
                 for band, H in enumerate(hs):
-                    s = self._bucket_shard(band, H)
+                    s = route[k]
+                    k += 1
                     e_bands[s].append(band)
                     e_blob[s] += H
                     e_keys[s].append(key)
@@ -325,9 +342,12 @@ class MinHashLshSession:
             p_qids = [[] for _ in range(self.num_shards)]
             p_bands = [bytearray() for _ in range(self.num_shards)]
             p_blob = [bytearray() for _ in range(self.num_shards)]
+            route = self._route_all(hs_rows)
+            k = 0
             for qid, hs in enumerate(hs_rows):
                 for band, H in enumerate(hs):
-                    s = self._bucket_shard(band, H)
+                    s = route[k]
+                    k += 1
                     p_qids[s].append(qid)
                     p_bands[s].append(band)
                     p_blob[s] += H
