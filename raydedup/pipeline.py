@@ -193,6 +193,7 @@ def dedup_pipeline(ds, config: DedupConfig | None = None) -> dict:
                 # the feeding read tasks can't be starved into a deadlock
                 concurrency=(1, cfg.signature_concurrency),
                 num_cpus=1,
+                max_restarts=0,
             )
 
         holder: dict = {}

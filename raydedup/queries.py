@@ -416,37 +416,105 @@ def q_lineitem_agg(sf_dir: str):
     )
 
 
-def q_orders_by_segment(sf_dir: str):
-    """Broadcast join: customer (small side) shipped once via ray.put,
-    dict lookup per batch — no shuffle (ray_guide joins pattern)."""
-    import ray
-
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
-    # broadcast as parallel Arrow arrays; the per-batch probe is a
-    # vectorized index_in + take (r04, VERDICT r03 wrong-#4) — missing
-    # keys surface as null indices → null segment, same as dict.get
-    ck = pa.array([r["c_custkey"] for r in cust], pa.int64())
-    cs = pa.array([r["c_mktsegment"] for r in cust], pa.string())
-    seg_ref = ray.put((ck, cs))
-
-    def attach_count(batch: pa.Table) -> pa.Table:
-        keys_arr, vals_arr = ray.get(seg_ref)
-        idx = pc.index_in(batch.column("o_custkey"), value_set=keys_arr)
-        seg = vals_arr.take(idx)
-        # map-side combine: one row per segment per block (≤ 5 rows);
-        # count_all so a null segment (unmatched key) still counts rows
-        g = pa.table({"c_mktsegment": seg}).group_by(["c_mktsegment"]).aggregate(
-            [([], "count_all")]
-        )
-        return g.rename_columns(["c_mktsegment", "c"])
-
+def q_orders_by_segment(sf_dir: str, broadcast_max_rows: int = 4_000_000):
+    """Dimension join, size-gated (VERDICT r04 wrong-#2): when the
+    customer table fits the driver (metadata-cheap row count ≤
+    ``broadcast_max_rows``, ~100 MB of (int64, segment) pairs at the
+    default) it is shipped once via ``ray.put`` and probed with a
+    vectorized ``index_in`` + ``take`` per batch — no shuffle. Above
+    the gate, a reduce-side join on ``c_custkey`` runs instead: orders
+    pre-count per custkey map-side, union with the tagged customer
+    rows, one keyed shuffle attaches the segment inside each custkey
+    run. Both paths end in the same tiny segment aggregate and emit
+    identical tables (unmatched custkeys → null segment)."""
     from ray.data.aggregate import Sum
 
-    return (
-        _read(sf_dir, "orders", columns=["o_custkey"])
-        .map_batches(attach_count, batch_format="pyarrow")
-        .groupby("c_mktsegment", num_partitions=4)
-        .aggregate(Sum("c", alias_name="n_orders"))
+    cust_ds = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    if cust_ds.count() <= broadcast_max_rows:  # parquet-metadata count
+        import ray
+
+        cust = cust_ds.take_all()
+        # broadcast as parallel Arrow arrays; the per-batch probe is a
+        # vectorized index_in + take (r04, VERDICT r03 wrong-#4) — missing
+        # keys surface as null indices → null segment, same as dict.get
+        ck = pa.array([r["c_custkey"] for r in cust], pa.int64())
+        cs = pa.array([r["c_mktsegment"] for r in cust], pa.string())
+        seg_ref = ray.put((ck, cs))
+
+        def attach_count(batch: pa.Table) -> pa.Table:
+            keys_arr, vals_arr = ray.get(seg_ref)
+            idx = pc.index_in(batch.column("o_custkey"), value_set=keys_arr)
+            seg = vals_arr.take(idx)
+            # map-side combine: one row per segment per block (≤ 5 rows);
+            # count_all so a null segment (unmatched key) still counts rows
+            g = pa.table({"c_mktsegment": seg}).group_by(["c_mktsegment"]).aggregate(
+                [([], "count_all")]
+            )
+            return g.rename_columns(["c_mktsegment", "c"])
+
+        combined = orders.map_batches(attach_count, batch_format="pyarrow")
+    else:
+        # ---- shuffle-join fallback: neither side fits the driver ----
+        from raydedup.stages.grouped import auto_partitions, map_key_runs
+
+        def pre_count(batch: pa.Table) -> pa.Table:
+            g = pa.table({"c_custkey": batch.column("o_custkey")}).group_by(
+                ["c_custkey"]
+            ).aggregate([([], "count_all")])
+            n = len(g)
+            return pa.table(
+                {
+                    "c_custkey": g.column("c_custkey"),
+                    "n": pc.cast(g.column("count_all"), pa.int64()),
+                    "seg": pa.nulls(n, pa.string()),
+                }
+            )
+
+        def cust_rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "c_custkey": batch.column("c_custkey"),
+                    "n": pa.array(np.zeros(len(batch), np.int64)),
+                    "seg": batch.column("c_mktsegment"),
+                }
+            )
+
+        both = orders.map_batches(pre_count, batch_format="pyarrow").union(
+            cust_ds.map_batches(cust_rows, batch_format="pyarrow")
+        )
+
+        def join_runs(block: pa.Table, starts, ends) -> pa.Table:
+            n = block.column("n").to_numpy(zero_copy_only=False)
+            seg = block.column("seg")
+            if isinstance(seg, pa.ChunkedArray):
+                seg = seg.combine_chunks()
+            tot = np.add.reduceat(n, starts) if len(starts) else np.array([], np.int64)
+            # the run's segment = its (unique) customer row, null if none
+            pos0 = np.flatnonzero(pc.is_valid(seg).to_numpy(zero_copy_only=False))
+            if len(pos0) == 0:
+                has0 = np.zeros(len(starts), dtype=bool)
+                idx = np.zeros(len(starts), dtype=np.int64)
+            else:
+                f = np.minimum(np.searchsorted(pos0, starts), len(pos0) - 1)
+                has0 = (pos0[f] >= starts) & (pos0[f] < ends)
+                idx = np.where(has0, pos0[f], 0)
+            seg_run = seg.take(pa.array(idx, pa.int64(), mask=~has0))
+            keep = tot > 0  # customer-only runs contribute no order rows
+            t = pa.table({"c_mktsegment": seg_run, "c": pa.array(tot, pa.int64())}).filter(
+                pa.array(keep)
+            )
+            # block-level combine: ≤ |segments| rows leave each partition
+            g = t.group_by(["c_mktsegment"]).aggregate([("c", "sum")])
+            return g.rename_columns(["c_mktsegment", "c"])
+
+        combined = map_key_runs(
+            both, ["c_custkey"], join_runs, auto_partitions(orders, rows_per_partition=65536), min_run=1
+        )
+
+    return combined.groupby("c_mktsegment", num_partitions=4).aggregate(
+        Sum("c", alias_name="n_orders")
     )
 
 
@@ -699,6 +767,7 @@ def q_topk_similar_docs(sf_dir: str):
         batch_size=1024,
         concurrency=(1, 4),
         num_cpus=1,
+        max_restarts=0,
     )
     qrows = _select_rows(ds, "doc_id", (0, 1, 2, 3, 4))
     a, b = generate_permutations(128, 1)
@@ -737,6 +806,7 @@ def q_minhash_cardinality_docs(sf_dir: str):
         batch_size=1024,
         concurrency=(1, 4),
         num_cpus=1,
+        max_restarts=0,
     ).map_batches(est, batch_format="pyarrow")
 
 
@@ -758,6 +828,7 @@ def q_source_union_signatures(sf_dir: str):
         batch_size=1024,
         concurrency=(1, 4),
         num_cpus=1,
+        max_restarts=0,
     )
     agg = sig_ds.groupby("source", num_partitions=4).aggregate(minhash_union_aggregate("minhash", 128, alias_name="u"))
 
@@ -817,7 +888,7 @@ def q_weighted_minhash_embeddings(sf_dir: str):
                 }
             )
 
-    return ds.map_batches(WmhStage, batch_format="pyarrow", batch_size=512, concurrency=(1, 4), num_cpus=1)
+    return ds.map_batches(WmhStage, batch_format="pyarrow", batch_size=512, concurrency=(1, 4), num_cpus=1, max_restarts=0)
 
 
 def q_ensemble_containment_docs(sf_dir: str):
@@ -843,6 +914,7 @@ def q_ensemble_containment_docs(sf_dir: str):
         batch_size=1024,
         concurrency=(1, 4),
         num_cpus=1,
+        max_restarts=0,
     ).map_batches(add_size, batch_format="pyarrow")
     return ensemble_containment_candidates(
         sig_ds, "doc_id", "set_size", threshold=0.5, num_perm=128, num_part=3, max_r=8
@@ -974,6 +1046,7 @@ def q_forest_topk_docs(sf_dir: str):
         batch_size=1024,
         concurrency=(1, 4),
         num_cpus=1,
+        max_restarts=0,
     )
     table = forest_prefix_table(sig_ds, "doc_id", l=8, k=16)
     qrows = _select_rows(ds, "doc_id", (0, 1, 2, 3, 4))
@@ -1106,6 +1179,7 @@ def q_image_features_synth(sf_dir: str):
         batch_size=64,
         concurrency=(1, 4),
         num_cpus=1,
+        max_restarts=0,
     )
     return feats.select_columns(["image_id", "phash_check", "decode_ok"])
 
@@ -1145,6 +1219,7 @@ def q_audio_features_synth(sf_dir: str):
         batch_size=32,
         concurrency=(1, 4),
         num_cpus=1,
+        max_restarts=0,
     )
     expected = rd.read_parquet(
         _synth_media_path("audio", 200), columns=["audio_id", "expected_rms", "codec"]
@@ -1185,6 +1260,7 @@ def q_video_frames_synth(sf_dir: str):
         batch_size=8,
         concurrency=(1, 4),
         num_cpus=1,
+        max_restarts=0,
     )
     out = pa.concat_tables(list(frames.iter_batches(batch_format="pyarrow")))
     truth = pa.parquet.read_table(
@@ -1259,6 +1335,7 @@ def q_bloom_dedup_filter(sf_dir: str):
             batch_size=1024,
             concurrency=(1, 4),
             num_cpus=1,
+            max_restarts=0,
         )
     )
     n_total = sig_ds.count()  # staged → metadata-cheap
@@ -1280,6 +1357,7 @@ def q_bloom_dedup_filter(sf_dir: str):
             batch_format="pyarrow",
             concurrency=(1, 4),
             num_cpus=1,
+            max_restarts=0,
         )
         .select_columns(["doc_id", "is_dup"])
         .to_pandas()
@@ -1359,6 +1437,7 @@ def q_lsh_session_dedup(sf_dir: str):
         batch_size=1024,
         concurrency=(1, 4),
         num_cpus=1,
+        max_restarts=0,
     ).select_columns(["doc_id", "minhash"]).sort("doc_id")
 
     sess = MinHashLshSession(threshold=0.8, num_perm=128, num_shards=4)

@@ -245,3 +245,22 @@ def test_map_key_runs_approx_rows_hint(ray_session):
     assert hinted == dist
     assert {k for k, _, _ in hinted} == set(range(10))
     assert all(n == 20 for _, _, n in hinted)
+
+
+def test_orders_by_segment_shuffle_fallback(ray_session):
+    """VERDICT r04 wrong-#2: the dimension-table broadcast in
+    q_orders_by_segment is size-gated; a lowered gate must route through
+    the reduce-side custkey join and produce the identical table."""
+    from raydedup.queries import q_orders_by_segment
+
+    sf = "/root/testdata/sf0.001"
+    broadcast = (
+        q_orders_by_segment(sf).to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    )
+    joined = (
+        q_orders_by_segment(sf, broadcast_max_rows=0)
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    assert broadcast.equals(joined)
