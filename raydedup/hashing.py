@@ -103,6 +103,35 @@ def hash_bytes64(tokens, memo: dict | None = None) -> np.ndarray:
     return out
 
 
+def hash_strings32_arrow(arr, memo: dict | None = None, hashfunc: str = "sha1") -> np.ndarray:
+    """:func:`hash_tokens32` for a pyarrow string Array: the Python
+    digest loop runs over the batch's UNIQUE strings only
+    (``pc.unique``); repeats map through one vectorized ``index_in`` +
+    numpy take. The memo stays keyed by UTF-8 bytes, shared with the
+    list-based path. The SHA1-per-unique-token contract (reference
+    ``datasketch/hashfunc.py:5-15``) is untouched — only the repeat
+    lookups are vectorized."""
+    import pyarrow.compute as pc
+
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if memo is None:
+        memo = {}
+    uniq = pc.unique(arr)
+    vals = np.empty(len(uniq), dtype=np.uint64)
+    fn = HASH32_FUNCS[hashfunc]
+    get = memo.get
+    for i, t in enumerate(uniq.to_pylist()):
+        tb = t.encode("utf-8")
+        h = get(tb)
+        if h is None:
+            h = fn(tb)
+            memo[tb] = h
+        vals[i] = h
+    code = pc.index_in(arr, value_set=uniq).to_numpy(zero_copy_only=False)
+    return vals[code.astype(np.int64)]
+
+
 def generate_permutations(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     """Seed-derived universal-hash parameters ``(a, b)``, each
     ``uint64[num_perm]``, identical to the reference's draw order

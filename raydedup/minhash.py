@@ -63,19 +63,36 @@ def minhash_batch(
     Returns:
         ``(N, num_perm) uint64`` signature matrix; empty docs = MAX_HASH.
     """
-    num_perm = len(a)
     n = len(token_lists)
-    sig = np.full((n, num_perm), MAX_HASH, dtype=np.uint64)
-
     flat: list[bytes] = []
     counts = np.zeros(n, dtype=np.int64)
     for i, toks in enumerate(token_lists):
         flat.extend(toks)
         counts[i] = len(toks)
     if not flat:
-        return sig
-
+        return np.full((n, len(a)), MAX_HASH, dtype=np.uint64)
     hv = hash_tokens32(flat, memo, hashfunc=hashfunc)
+    return minhash_batch_hashed(hv, counts, a, b, chunk_tokens=chunk_tokens, scratch=scratch)
+
+
+def minhash_batch_hashed(
+    hv: np.ndarray,
+    counts: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    chunk_tokens: int = 262_144,
+    scratch: dict | None = None,
+) -> np.ndarray:
+    """Permute + segment-min core of :func:`minhash_batch` over
+    PRE-HASHED token values (``hv`` = concatenated per-row 32-bit hash
+    values, ``counts`` = tokens per row). Lets callers that hash via
+    vectorized Arrow kernels (``stages/signatures.py``) skip the
+    Python flatten entirely; bit-exact with the reference math."""
+    num_perm = len(a)
+    n = len(counts)
+    sig = np.full((n, num_perm), MAX_HASH, dtype=np.uint64)
+    if len(hv) == 0:
+        return sig
     # rows with ≥1 token, in flat order; segment starts into hv
     nz = np.nonzero(counts)[0]
     starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
