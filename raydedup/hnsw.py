@@ -355,6 +355,56 @@ class HnswIndex:
         self.add_batch([key], np.asarray(vector, dtype=np.float64)[None, :])
         self.build()
 
+    def serialize(self) -> bytes:
+        """Persist the index (reference parity: every reference index
+        pickles — ``datasketch/minhash.py:529-541``; its HNSW tests
+        pickle round-trip). Staged rows are flushed (``build``) first so
+        the wire state is exactly the searchable graph, including the
+        RNG state — inserts after a restore draw the same levels an
+        uninterrupted index would. A custom ``distance_func`` must be a
+        picklable module-level callable."""
+        import pickle
+
+        self.build()
+        state = {
+            "format": 1,
+            "m": self.m,
+            "ef_construction": self.ef_construction,
+            "metric": self.metric,
+            "distance_func": self.distance_func,
+            "rng_state": self.rng.bit_generator.state,
+            "vectors": self.vectors,
+            "ids": self.ids,
+            "deleted": sorted(self.deleted),
+            "neighbors": self.neighbors,
+            "node_level": self.node_level,
+            "entry": self.entry,
+        }
+        return pickle.dumps(state, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @classmethod
+    def deserialize(cls, buf: bytes) -> "HnswIndex":
+        """Inverse of :func:`serialize`: a fully queryable, fully
+        maintainable index (insert/remove/merge keep working)."""
+        import pickle
+
+        st = pickle.loads(buf)
+        out = cls(
+            m=st["m"],
+            ef_construction=st["ef_construction"],
+            metric=st["metric"] if st["distance_func"] is None else "cosine",
+            distance_func=st["distance_func"],
+        )
+        out.rng.bit_generator.state = st["rng_state"]
+        out.vectors = st["vectors"]
+        out.ids = list(st["ids"])
+        out.id_to_idx = {k: i for i, k in enumerate(out.ids) if k is not None}
+        out.deleted = set(st["deleted"])
+        out.neighbors = st["neighbors"]
+        out.node_level = list(st["node_level"])
+        out.entry = st["entry"]
+        return out
+
     def copy(self) -> "HnswIndex":
         """Deep copy with identical graph and random state."""
         out = HnswIndex(

@@ -127,6 +127,87 @@ def add_hyperplane_bucket(ds, emb_col: str = "embedding", bits: int = 8, seed: i
     return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
+_SHARD_CLS = None
+
+
+def _shard_actor_cls():
+    """The HNSW shard actor class, created once (``ray.remote`` needs
+    ray imported, which this module defers)."""
+    global _SHARD_CLS
+    if _SHARD_CLS is not None:
+        return _SHARD_CLS
+    import ray
+
+    @ray.remote
+    class _Shard:
+        def __init__(self, id_col, emb_col, m, efc, seed, metric):
+            from raydedup.hnsw import HnswIndex
+
+            self.id_col, self.emb_col = id_col, emb_col
+            self.index = HnswIndex(m=m, ef_construction=efc, seed=seed, metric=metric)
+
+        def add_blocks(self, block_refs):
+            import ray
+
+            from raydedup.stages.ann import _emb_matrix
+
+            # refs nested in a list are not auto-dereferenced — the
+            # actor pulls its blocks from the object store itself
+            for b in ray.get(list(block_refs)):
+                if len(b) == 0:
+                    continue
+                self.index.add_batch(
+                    b.column(self.id_col).to_pylist(), _emb_matrix(b, self.emb_col)
+                )
+            return True
+
+        def build(self):
+            self.index.build()
+            return len(self.index.ids)
+
+        def query(self, qvecs, k, ef):
+            out = []
+            for q in qvecs:
+                out.append(self.index.search(q, k=k, ef=ef))
+            return out
+
+        def remove(self, keys, hard):
+            removed = 0
+            for key in keys:
+                try:
+                    self.index.remove(key, hard=hard)
+                    removed += 1
+                except KeyError:  # lives on another shard
+                    pass
+            return removed
+
+        def upsert(self, keys, vecs):
+            import numpy as np
+
+            self.index.add_batch(keys, np.asarray(vecs, dtype=np.float64))
+            self.index.build()
+            return True
+
+        def n_dist(self):
+            return self.index.n_dist
+
+        def dump_to_file(self, fp):
+            buf = self.index.serialize()
+            with open(fp, "wb") as f:
+                f.write(buf)
+            return len(self.index.id_to_idx)
+
+        def load_from_file(self, fp):
+            from raydedup.hnsw import HnswIndex
+
+            with open(fp, "rb") as f:
+                self.index = HnswIndex.deserialize(f.read())
+            return len(self.index.id_to_idx)
+
+    _SHARD_CLS = _Shard
+    return _Shard
+
+
 class ShardedHnsw:
     """Distributed HNSW: one graph index per shard actor (the
     shared-mutable-index case where raw actors beat the Dataset API),
@@ -134,7 +215,12 @@ class ShardedHnsw:
 
     Build path never routes vectors through the driver: the dataset's
     materialized block refs are handed to shard actors round-robin and
-    each actor pulls its blocks straight from the object store."""
+    each actor pulls its blocks straight from the object store.
+
+    ``save``/``restore`` persist the built graphs per shard (the
+    checkpoint layout the LSH session uses: ``shard-<i>.hnsw`` +
+    ``manifest.json``) so an index outlives its actors without a
+    rebuild from vectors."""
 
     def __init__(self, actors, id_col: str, emb_col: str, metric: str = "cosine"):
         self.actors = actors
@@ -146,59 +232,7 @@ class ShardedHnsw:
     def build(ds, id_col: str = "vec_id", emb_col: str = "embedding", num_shards: int = 4, m: int = 16, ef_construction: int = 100, seed: int = 1, metric: str = "cosine"):
         import ray
 
-        @ray.remote
-        class _Shard:
-            def __init__(self, id_col, emb_col, m, efc, seed, metric):
-                from raydedup.hnsw import HnswIndex
-
-                self.id_col, self.emb_col = id_col, emb_col
-                self.index = HnswIndex(m=m, ef_construction=efc, seed=seed, metric=metric)
-
-            def add_blocks(self, block_refs):
-                import ray
-
-                from raydedup.stages.ann import _emb_matrix
-
-                # refs nested in a list are not auto-dereferenced — the
-                # actor pulls its blocks from the object store itself
-                for b in ray.get(list(block_refs)):
-                    if len(b) == 0:
-                        continue
-                    self.index.add_batch(
-                        b.column(self.id_col).to_pylist(), _emb_matrix(b, self.emb_col)
-                    )
-                return True
-
-            def build(self):
-                self.index.build()
-                return len(self.index.ids)
-
-            def query(self, qvecs, k, ef):
-                out = []
-                for q in qvecs:
-                    out.append(self.index.search(q, k=k, ef=ef))
-                return out
-
-            def remove(self, keys, hard):
-                removed = 0
-                for key in keys:
-                    try:
-                        self.index.remove(key, hard=hard)
-                        removed += 1
-                    except KeyError:  # lives on another shard
-                        pass
-                return removed
-
-            def upsert(self, keys, vecs):
-                import numpy as np
-
-                self.index.add_batch(keys, np.asarray(vecs, dtype=np.float64))
-                self.index.build()
-                return True
-
-            def n_dist(self):
-                return self.index.n_dist
-
+        _Shard = _shard_actor_cls()
         mat = ds.select_columns([id_col, emb_col]).materialize()
         actors = [
             _Shard.remote(id_col, emb_col, m, ef_construction, seed + i, metric)
@@ -259,6 +293,66 @@ class ShardedHnsw:
                 if idxs
             ]
         )
+
+    def save(self, path: str) -> dict:
+        """Checkpoint the built index: every shard serializes its graph
+        to ``shard-<i>.hnsw`` in parallel (the driver never touches
+        vectors or adjacency), ``manifest.json`` pins the layout. The
+        reference pickles its indexes (``minhash.py:529-541``; HNSW
+        pickle round-trips in its tests) — this is that contract for
+        actor-resident graphs. Requires a path visible to all shard
+        actors (shared fs on a multi-node cluster)."""
+        import json
+        import os
+
+        import ray
+
+        os.makedirs(path, exist_ok=True)
+        counts = ray.get(
+            [
+                a.dump_to_file.remote(os.path.join(path, f"shard-{i}.hnsw"))
+                for i, a in enumerate(self.actors)
+            ]
+        )
+        manifest = {
+            "format": 1,
+            "kind": "sharded_hnsw",
+            "num_shards": len(self.actors),
+            "id_col": self.id_col,
+            "emb_col": self.emb_col,
+            "metric": self.metric,
+            "points": int(sum(counts)),
+        }
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return manifest
+
+    @staticmethod
+    def restore(path: str) -> "ShardedHnsw":
+        """Rebuild from ``save`` output: fresh shard actors each load
+        their serialized graph — no vector re-ingest, no graph rebuild.
+        The shard count is pinned by the manifest (graphs don't
+        re-shard without a rebuild); queries, removes, upserts and
+        further saves work exactly as before the restart."""
+        import json
+        import os
+
+        import ray
+
+        with open(os.path.join(path, "manifest.json")) as f:
+            m = json.load(f)
+        _Shard = _shard_actor_cls()
+        actors = [
+            _Shard.remote(m["id_col"], m["emb_col"], 16, 100, 1 + i, m["metric"])
+            for i in range(m["num_shards"])
+        ]
+        ray.get(
+            [
+                a.load_from_file.remote(os.path.join(path, f"shard-{i}.hnsw"))
+                for i, a in enumerate(actors)
+            ]
+        )
+        return ShardedHnsw(actors, m["id_col"], m["emb_col"], m["metric"])
 
     def total_dist_computations(self) -> int:
         import ray

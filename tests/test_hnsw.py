@@ -282,3 +282,42 @@ def test_l2_copy_and_merge_preserve_metric():
         qi in {i for i, _ in merged.search(vecs[qi], k=5, ef=96)} for qi in range(60, 90)
     )
     assert self_hits / 30 >= 0.9
+
+
+def test_serialize_round_trip_identical_and_maintainable(tmp_path):
+    """r05 (VERDICT r04 missing-#1): serialize/deserialize must yield
+    identical search results, and the restored index must keep the full
+    maintenance surface — inserts after a restore behave exactly like
+    inserts on the original (RNG state travels with the graph)."""
+    from raydedup.hnsw import HnswIndex
+
+    idx, vecs = _build(200)
+    buf = idx.serialize()
+    back = HnswIndex.deserialize(buf)
+    qs = _vecs(20, seed=99)
+    for q in qs:
+        assert back.search(q, k=10, ef=64) == idx.search(q, k=10, ef=64)
+    # maintenance continues identically on both
+    extra = _vecs(30, seed=123)
+    idx.add_batch([1000 + i for i in range(30)], extra)
+    idx.build()
+    back.add_batch([1000 + i for i in range(30)], extra)
+    back.build()
+    for q in qs[:5]:
+        assert back.search(q, k=10, ef=64) == idx.search(q, k=10, ef=64)
+    idx.remove(3)
+    back.remove(3)
+    assert back.search(vecs[3], k=5, ef=64) == idx.search(vecs[3], k=5, ef=64)
+
+
+def test_serialize_preserves_soft_deletes_and_metric():
+    from raydedup.hnsw import HnswIndex
+
+    idx, vecs = _build(100, metric="l2")
+    idx.remove(7)  # soft
+    back = HnswIndex.deserialize(idx.serialize())
+    assert back.metric == "l2"
+    assert 7 not in back
+    got = {i for i, _ in back.search(vecs[7], k=10, ef=64)}
+    assert 7 not in got
+    assert len(back) == len(idx) == 99
