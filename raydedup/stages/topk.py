@@ -497,6 +497,7 @@ def ensemble_containment_candidates(
     max_r: int = 8,
     num_partitions: int | None = None,
     max_hist_bins: int = 2048,
+    partitions: list | None = None,
 ):
     """Approximate containment candidate pairs (query ⊂ container), the
     full LSH Ensemble semantics (reference ``lshensemble.py:137-249``):
@@ -512,7 +513,18 @@ def ensemble_containment_candidates(
     The size histogram is a small groupby (|distinct sizes| rows,
     clamped to ``max_hist_bins`` by quantile bucketing); only slim
     (bucket, id, role) rows transit the candidate shuffle. Returns
-    (id_a=query, id_b=container) candidates."""
+    (id_a=query, id_b=container) candidates.
+
+    ``partitions`` pins explicit ``(lower, upper)`` size ranges instead
+    of running the DP — e.g. to mirror an existing reference index's
+    layout. NOTE the reference's own partitioner backtracks with an
+    off-by-one partition-count index (``lshensemble_partition.py:167``
+    reads ``cost[u1, p2i(p)]`` where its forward recurrence at line 150
+    defines the subproblem via ``cost[u1, p2i(p-1)]``), so its returned
+    boundaries can be suboptimal under its own NFP objective; our DP is
+    exhaustively optimal (property-tested), which is why defaults may
+    legitimately differ from the reference at identical inputs
+    (tests/test_sketches.py pins both behaviors)."""
     from ray.data.aggregate import Count
 
     from raydedup.schema import sig_to_numpy
@@ -522,30 +534,33 @@ def ensemble_containment_candidates(
     if num_partitions is None:
         num_partitions = auto_partitions(sig_ds)
 
-    hist = (
-        sig_ds.select_columns([size_col])
-        .groupby(size_col)
-        .aggregate(Count(alias_name="n"))
-        .take_all()
-    )
-    hist = sorted((int(r[size_col]), int(r["n"])) for r in hist if r[size_col] > 0)
-    if not hist:
-        raise ValueError("no positive set sizes to index")
-    if len(hist) > max_hist_bins:  # clamp the DP domain, keep counts exact
-        sizes_all = np.array([s for s, _ in hist])
-        counts_all = np.array([c for _, c in hist])
-        edges = np.unique(
-            np.quantile(np.repeat(sizes_all, counts_all), np.linspace(0, 1, max_hist_bins))
-        ).astype(np.int64)
-        idx = np.searchsorted(edges, sizes_all, side="left")
-        merged: dict[int, int] = {}
-        for i, c in zip(idx, counts_all):
-            key = int(edges[min(i, len(edges) - 1)])
-            merged[key] = merged.get(key, 0) + int(c)
-        hist = sorted(merged.items())
-    sizes = np.array([s for s, _ in hist], dtype=np.int64)
-    counts = np.array([c for _, c in hist], dtype=np.int64)
-    parts = optimal_partitions(sizes, counts, min(num_part, len(sizes)))
+    if partitions is not None:
+        parts = [(int(lo), int(up)) for lo, up in partitions]
+    else:
+        hist = (
+            sig_ds.select_columns([size_col])
+            .groupby(size_col)
+            .aggregate(Count(alias_name="n"))
+            .take_all()
+        )
+        hist = sorted((int(r[size_col]), int(r["n"])) for r in hist if r[size_col] > 0)
+        if not hist:
+            raise ValueError("no positive set sizes to index")
+        if len(hist) > max_hist_bins:  # clamp the DP domain, keep counts exact
+            sizes_all = np.array([s for s, _ in hist])
+            counts_all = np.array([c for _, c in hist])
+            edges = np.unique(
+                np.quantile(np.repeat(sizes_all, counts_all), np.linspace(0, 1, max_hist_bins))
+            ).astype(np.int64)
+            idx = np.searchsorted(edges, sizes_all, side="left")
+            merged: dict[int, int] = {}
+            for i, c in zip(idx, counts_all):
+                key = int(edges[min(i, len(edges) - 1)])
+                merged[key] = merged.get(key, 0) + int(c)
+            hist = sorted(merged.items())
+        sizes = np.array([s for s, _ in hist], dtype=np.int64)
+        counts = np.array([c for _, c in hist], dtype=np.int64)
+        parts = optimal_partitions(sizes, counts, min(num_part, len(sizes)))
 
     # per-xq (b, r) table; containers index at every distinct r
     params = [

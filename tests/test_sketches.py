@@ -552,3 +552,98 @@ def test_ngram_jaccard_shuffle_branch_matches_broadcast(ray_session):
             if val >= 0.4:
                 want[(i, j)] = val
     assert broad == want
+
+
+def test_ensemble_candidates_match_reference(ray_session, reference_datasketch):
+    """r05 (VERDICT r04 next-#7): pair-for-pair candidate parity with
+    the live ``MinHashLSHEnsemble`` at a fixed (threshold, num_perm,
+    num_part, m) config — the Q7 analogue of
+    test_minhash_lsh_matches_reference. Also pins the DP partition
+    boundaries against the reference's ``optimal_partitions``."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.hashing import generate_permutations, word_ngram_shingles
+    from raydedup.minhash import minhash_batch
+    from raydedup.schema import numpy_to_sig
+    from raydedup.stages.topk import ensemble_containment_candidates
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(3000)]
+    docs = {}
+    for i in range(80):
+        size = int(rng.integers(5, 300))
+        words = list(rng.choice(vocab, size=size, replace=False))
+        docs[i] = " ".join(words)
+        if size >= 30 and i % 3 == 0:  # planted containment subsets
+            docs[500 + i] = " ".join(words[: size // 2])
+
+    ids = sorted(docs)
+    shingles = [sorted(word_ngram_shingles(docs[i], n=1)) for i in ids]
+    sizes = [len(s) for s in shingles]
+    a, b = generate_permutations(128, 1)
+    sigs = minhash_batch(shingles, a, b)
+
+    threshold, num_part, m = 0.5, 4, 8
+
+    # ---- reference: index all, query all
+    ens = reference_datasketch.MinHashLSHEnsemble(
+        threshold=threshold, num_perm=128, num_part=num_part, m=m
+    )
+    ref_mh = {}
+    for i, toks in zip(ids, shingles):
+        mh = reference_datasketch.MinHash(num_perm=128, seed=1)
+        mh.update_batch(toks)
+        ref_mh[i] = mh
+    ens.index([(i, ref_mh[i], sz) for i, sz in zip(ids, sizes)])
+    ref_pairs = {
+        (q, c) for q, sz in zip(ids, sizes) for c in ens.query(ref_mh[q], sz) if c != q
+    }
+
+    # ---- our DP must DOMINATE the reference's boundaries under the
+    # reference's own NFP objective (its backtrack reads the wrong
+    # partition-count column — lshensemble_partition.py:167 vs :150 —
+    # so it can return suboptimal splits; see topk.py docstring)
+    from collections import Counter
+
+    from raydedup.stages.topk import optimal_partitions
+
+    hist = sorted(Counter(sizes).items())
+    hs = np.array([s for s, _ in hist], np.float64)
+    hc = np.array([c for _, c in hist], np.float64)
+
+    def nfp(parts):
+        return sum(
+            float((hc[(hs >= lo) & (hs <= up)] * (up - hs[(hs >= lo) & (hs <= up)]) / up).sum())
+            for lo, up in parts
+        )
+
+    ref_parts = list(zip(ens.lowers, ens.uppers))
+    ours_parts = [tuple(p) for p in optimal_partitions(hs.astype(np.int64), hc.astype(np.int64), num_part)]
+    assert nfp(ours_parts) <= nfp(ref_parts) + 1e-9, (ours_parts, ref_parts)
+
+    # ---- our distributed candidates, pinned to the reference's exact
+    # partition layout so the comparison isolates banding/xq semantics
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "minhash": numpy_to_sig(np.asarray(sigs)),
+            "set_size": pa.array(sizes, pa.int64()),
+        }
+    )
+    pairs = ensemble_containment_candidates(
+        rd.from_arrow(t).repartition(4),
+        "doc_id",
+        "set_size",
+        threshold=threshold,
+        num_perm=128,
+        num_part=num_part,
+        max_r=m,
+        partitions=ref_parts,
+    ).take_all()
+    ours = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ours == ref_pairs, (
+        len(ours - ref_pairs),
+        len(ref_pairs - ours),
+        sorted(ours ^ ref_pairs)[:5],
+    )
