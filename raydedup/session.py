@@ -118,31 +118,38 @@ def _make_shard_state():
                     out.append((qid, list(lst)))
             return out
 
-        # ---------------------------------------- columnar hot-path RPCs
-        # The tuple protocols above pickle one nested tuple per (band,
-        # H, key) entry — measured as the dominant cost of online
-        # insert/query throughput (~0.4 s of a 0.45 s insert batch was
-        # serialization). These variants ship THREE flat objects per
-        # shard (a bands byte-string, one concatenated H blob, the key
-        # list) and rebuild the same dict entries actor-side.
-        def insert_cols(self, bands: bytes, hblob: bytes, hw: int, keys: list) -> None:
+        # ------------------------------------ packed hot-path RPCs (r05)
+        # numpy-argument variants: qids/bands arrive as int32/uint8
+        # arrays (zero-copy Ray serialization) and results return as
+        # (hit_qids int32, counts int32, flat key list) — one pickle for
+        # the key payload instead of one nested tuple per hit.
+        def insert_cols_np(self, qidx, bands: bytes, hblob: bytes, hw: int, keys: list) -> None:
             bk = self.buckets
-            for i, key in enumerate(keys):
+            for i, qi in enumerate(qidx.tolist()):
                 bh = (bands[i], hblob[i * hw : (i + 1) * hw])
+                key = keys[qi]
                 lst = bk.get(bh)
                 if lst is None:
                     bk[bh] = [key]
                 else:
                     lst.append(key)
 
-        def query_cols(self, qids: list[int], bands: bytes, hblob: bytes, hw: int):
+        def query_cols_np(self, qids, bands: bytes, hblob: bytes, hw: int):
+            import numpy as np
+
             bk = self.buckets
-            out = []
-            for i, qid in enumerate(qids):
+            hit_q, counts, flat = [], [], []
+            for i, qid in enumerate(qids.tolist()):
                 lst = bk.get((bands[i], hblob[i * hw : (i + 1) * hw]))
                 if lst:
-                    out.append((qid, list(lst)))
-            return out
+                    hit_q.append(qid)
+                    counts.append(len(lst))
+                    flat.extend(lst)
+            return (
+                np.asarray(hit_q, dtype=np.int32),
+                np.asarray(counts, dtype=np.int32),
+                flat,
+            )
 
         def band_counts(self) -> dict[tuple[int, bytes], int]:
             return {bh: len(lst) for bh, lst in self.buckets.items()}
@@ -218,20 +225,6 @@ class MinHashLshSession:
         h = (int.from_bytes(H[:8], "big") * _GOLD) & _M64
         return ((h >> 13) ^ band) % self.num_shards
 
-    def _route_all(self, hs_rows: list[list[bytes]]) -> np.ndarray:
-        """Shard of every (row, band) entry, vectorized: one frombuffer
-        over the concatenated 8-byte band-key prefixes + one uint64
-        multiply (numpy wraparound == the ``& _M64`` in _bucket_shard).
-        Row-major flat order matches ``for hs in hs_rows: for band, H
-        in enumerate(hs)``."""
-        flat = b"".join(H[:8] for hs in hs_rows for H in hs)
-        v = np.frombuffer(flat, dtype=">u8").astype(np.uint64)
-        h = v * np.uint64(_GOLD)
-        bands = np.tile(np.arange(self.b, dtype=np.uint64), len(hs_rows))
-        return (((h >> np.uint64(13)) ^ bands) % np.uint64(self.num_shards)).astype(
-            np.int64
-        )
-
     def _key_shard(self, kb: bytes) -> int:
         h = (int.from_bytes(kb[-8:].rjust(8, b"\0"), "big") * _GOLD) & _M64
         return (h >> 29) % self.num_shards
@@ -259,6 +252,50 @@ class MinHashLshSession:
             )
         return band_keys(sigs, self.b, self.r)
 
+    def _band_matrix(self, sigs):
+        """Vectorized analogue of :func:`_hs`: the contiguous
+        ``(n, b·r′)`` uint64 band-word matrix (``r′`` = r, or 2r for
+        WeightedMinHash rows) whose BIG-ENDIAN bytes are exactly the
+        reference band keys, plus the per-band byte width. Routing needs
+        no bytes at all — the first 8 key bytes big-endian ARE the
+        band's first word value."""
+        sigs = np.asarray(sigs)
+        if sigs.ndim == 3 and sigs.shape[2] == 2:
+            if sigs.shape[1] != self.num_perm:
+                raise ValueError(
+                    "Expecting minhash with length %d, got %d" % (self.num_perm, sigs.shape[1])
+                )
+            flat = np.ascontiguousarray(sigs.astype(np.int64, copy=False)).view(np.uint64)
+            flat = flat.reshape(sigs.shape[0], -1)
+            rw = self.r * 2
+        else:
+            sigs = np.ascontiguousarray(sigs, dtype=np.uint64)
+            if sigs.ndim == 1:
+                sigs = sigs[None, :]
+            if sigs.shape[1] != self.num_perm:
+                raise ValueError(
+                    "Expecting minhash with length %d, got %d" % (self.num_perm, sigs.shape[1])
+                )
+            flat = sigs
+            rw = self.r
+        return np.ascontiguousarray(flat[:, : self.b * rw]), rw
+
+    def _scatter_np(self, used: np.ndarray, rw: int):
+        """Per-shard slices of the flat row-major (row, band) entry
+        stream, fully vectorized: route from the first word of each
+        band (== ``_bucket_shard``'s first-8-bytes hash), one stable
+        argsort, searchsorted shard bounds. Returns (order, bounds,
+        entry bytes matrix (n·b, hw), hw)."""
+        n = len(used)
+        v0 = used[:, ::rw]  # (n, b): first word of every band
+        h = v0 * np.uint64(_GOLD)
+        bands = np.arange(self.b, dtype=np.uint64)[None, :]
+        route = (((h >> np.uint64(13)) ^ bands) % np.uint64(self.num_shards)).ravel()
+        order = np.argsort(route, kind="stable")
+        bounds = np.searchsorted(route[order], np.arange(self.num_shards + 1))
+        blob = used.byteswap().view(np.uint8).reshape(n * self.b, 8 * rw)
+        return order, bounds, blob, 8 * rw
+
     # ------------------------------------------------------------- insert
     @staticmethod
     def _single(sig) -> np.ndarray:
@@ -274,8 +311,9 @@ class MinHashLshSession:
         self.insert_batch([key], self._single(sig), check_duplication)
 
     def insert_batch(self, keys, sigs, check_duplication: bool = True) -> None:
-        hs_rows = self._hs(sigs)
-        if len(keys) != len(hs_rows):
+        used, rw = self._band_matrix(sigs)
+        n = len(used)
+        if len(keys) != n:
             raise ValueError("keys and signatures length mismatch")
         kbs = [_stable_key_bytes(k) for k in keys]
         if check_duplication:
@@ -291,31 +329,37 @@ class MinHashLshSession:
                 raise ValueError("The given key already exists")
         key_items = [[] for _ in range(self.num_shards)]
         futs = []
-        if self.b <= 256 and hs_rows and hs_rows[0]:
-            # columnar hot path (see _ShardState.insert_cols): band ids
-            # fit one byte, band keys are fixed-width per session
-            hw = len(hs_rows[0][0])
-            e_bands = [bytearray() for _ in range(self.num_shards)]
-            e_blob = [bytearray() for _ in range(self.num_shards)]
-            e_keys = [[] for _ in range(self.num_shards)]
-            route = self._route_all(hs_rows)
-            k = 0
-            for key, kb, hs in zip(keys, kbs, hs_rows):
-                key_items[self._key_shard(kb)].append((kb, key, hs))
-                for band, H in enumerate(hs):
-                    s = route[k]
-                    k += 1
-                    e_bands[s].append(band)
-                    e_blob[s] += H
-                    e_keys[s].append(key)
-            futs += [
-                self.shards[s].insert_cols.remote(
-                    bytes(e_bands[s]), bytes(e_blob[s]), hw, e_keys[s]
+        if self.b <= 256 and n:
+            # packed path (r05): entry streams are numpy gathers; each
+            # shard gets qidx (int32) into a per-shard key list holding
+            # only the rows it touches
+            order, bounds, blob, hw = self._scatter_np(used, rw)
+            qid_flat = np.repeat(np.arange(n, dtype=np.int64), self.b)
+            band_flat = np.tile(np.arange(self.b, dtype=np.uint8), n)
+            for s in range(self.num_shards):
+                idx = order[bounds[s] : bounds[s + 1]]
+                if len(idx) == 0:
+                    continue
+                q = qid_flat[idx]
+                uq, qidx = np.unique(q, return_inverse=True)
+                futs.append(
+                    self.shards[s].insert_cols_np.remote(
+                        qidx.astype(np.int32),
+                        band_flat[idx].tobytes(),
+                        blob[idx].tobytes(),
+                        hw,
+                        [keys[i] for i in uq.tolist()],
+                    )
                 )
-                for s in range(self.num_shards)
-                if e_keys[s]
-            ]
+            # key→band-keys map rows: slice each row's H list off the
+            # contiguous blob (needed by remove/dump/merge)
+            rows_bytes = blob.reshape(n, self.b * hw)
+            for i, (key, kb) in enumerate(zip(keys, kbs)):
+                rb = rows_bytes[i].tobytes()
+                hs = [rb[j * hw : (j + 1) * hw] for j in range(self.b)]
+                key_items[self._key_shard(kb)].append((kb, key, hs))
         else:
+            hs_rows = self._hs(sigs)
             entries = [[] for _ in range(self.num_shards)]
             for key, kb, hs in zip(keys, kbs, hs_rows):
                 key_items[self._key_shard(kb)].append((kb, key, hs))
@@ -336,40 +380,42 @@ class MinHashLshSession:
         return self.query_batch(self._single(sig))[0]
 
     def query_batch(self, sigs) -> list[list]:
-        hs_rows = self._hs(sigs)
-        if self.b <= 256 and hs_rows and hs_rows[0]:
-            hw = len(hs_rows[0][0])
-            p_qids = [[] for _ in range(self.num_shards)]
-            p_bands = [bytearray() for _ in range(self.num_shards)]
-            p_blob = [bytearray() for _ in range(self.num_shards)]
-            route = self._route_all(hs_rows)
-            k = 0
-            for qid, hs in enumerate(hs_rows):
-                for band, H in enumerate(hs):
-                    s = route[k]
-                    k += 1
-                    p_qids[s].append(qid)
-                    p_bands[s].append(band)
-                    p_blob[s] += H
-            results = self._ray.get(
-                [
-                    self.shards[s].query_cols.remote(
-                        p_qids[s], bytes(p_bands[s]), bytes(p_blob[s]), hw
+        used, rw = self._band_matrix(sigs)
+        n = len(used)
+        if self.b <= 256 and n:
+            # packed path (r05): per-shard probe streams are numpy
+            # gathers off one argsort — no per-entry Python, no nested
+            # tuples on the wire in either direction
+            order, bounds, blob, hw = self._scatter_np(used, rw)
+            qid_flat = np.repeat(np.arange(n, dtype=np.int32), self.b)
+            band_flat = np.tile(np.arange(self.b, dtype=np.uint8), n)
+            futs = []
+            for s in range(self.num_shards):
+                idx = order[bounds[s] : bounds[s + 1]]
+                if len(idx) == 0:
+                    continue
+                futs.append(
+                    self.shards[s].query_cols_np.remote(
+                        qid_flat[idx], band_flat[idx].tobytes(), blob[idx].tobytes(), hw
                     )
-                    for s in range(self.num_shards)
-                    if p_qids[s]
-                ]
-            )
-        else:
-            probes = [[] for _ in range(self.num_shards)]
-            for qid, hs in enumerate(hs_rows):
-                for band, H in enumerate(hs):
-                    probes[self._bucket_shard(band, H)].append((qid, (band, H)))
-            live = [(s, lst) for s, lst in enumerate(probes) if lst]
-            results = self._ray.get(
-                [self.shards[s].query_entries.remote(lst) for s, lst in live]
-            )
-        acc: list[set] = [set() for _ in hs_rows]
+                )
+            acc: list[set] = [set() for _ in range(n)]
+            for hit_q, counts, flat_keys in self._ray.get(futs):
+                pos = 0
+                for qid, c in zip(hit_q.tolist(), counts.tolist()):
+                    acc[qid].update(flat_keys[pos : pos + c])
+                    pos += c
+            return [list(s) for s in acc]
+        hs_rows = self._hs(sigs)
+        probes = [[] for _ in range(self.num_shards)]
+        for qid, hs in enumerate(hs_rows):
+            for band, H in enumerate(hs):
+                probes[self._bucket_shard(band, H)].append((qid, (band, H)))
+        live = [(s, lst) for s, lst in enumerate(probes) if lst]
+        results = self._ray.get(
+            [self.shards[s].query_entries.remote(lst) for s, lst in live]
+        )
+        acc = [set() for _ in hs_rows]
         for res in results:
             for qid, found in res:
                 acc[qid].update(found)
