@@ -1,30 +1,34 @@
-"""Pure-numpy baseline JPEG (JFIF) codec — no PIL/cv2/libjpeg in env.
+"""Pure-numpy JPEG (JFIF) codec — no PIL/cv2/libjpeg in env.
 
 Closes the last multimodal env-stub: a 100-TB image corpus is mostly
 JPEG, and the per-row decode invariant (PSNR >= 40 dB for lossy
 formats) needs a real lossy codec to mean anything. Like
 :mod:`raydedup.png`, this is a from-scratch implementation of the
-public wire format (ITU-T T.81 baseline sequential DCT, Annex K
-example tables), not a port of any library:
+public wire format (ITU-T T.81 DCT modes), not a port of any library:
 
 - encoder: RGB -> BT.601 YCbCr, optional 4:2:0 mean-pool subsampling,
   8x8 forward DCT as one ``einsum`` over all blocks, Annex-K
   quantization scaled by the IJG quality formula, zigzag, DC
   prediction, and canonical Huffman entropy coding with a vectorized
-  bit packer (no per-bit Python loop).
-- decoder: marker parser (DQT/DHT/SOF0/SOS, restart markers in the
-  entropy stream), Huffman decode via a 16-bit peek table (one dict
-  hit per *symbol*, not per bit), then vectorized dequantize +
-  inverse zigzag + IDCT over all blocks and ``np.repeat`` chroma
-  upsampling.
+  bit packer (no per-bit Python loop). ``progressive=True`` emits an
+  SOF2 stream instead (Annex G.1 spectral-selection +
+  successive-approximation procedures, libjpeg's public default
+  10-scan script, per-scan optimal Huffman tables per Annex K.2).
+- decoder: marker parser (DQT/DHT/SOF0/SOF1/SOF2/SOS, restart markers
+  in the entropy stream), Huffman decode via a 16-bit peek table (one
+  dict hit per *symbol*, not per bit), the Annex G.2 progressive scan
+  procedures (DC/AC first + refinement, EOB runs, correction bits),
+  then vectorized dequantize + inverse zigzag + IDCT over all blocks
+  and ``np.repeat`` chroma upsampling.
 
-Baseline sequential only: SOF0, 8-bit, 1 or 3 components, sampling
-factors 1x1 (4:4:4) or 2x2-luma (4:2:0). Progressive (SOF2),
-arithmetic coding and 12-bit inputs raise ``NotImplementedError`` —
-the same clearly-marked env-gate contract as the PNG codec
-(SURVEY.md §7.5). Encoded output round-trips through this decoder at
-PSNR ~= 46 dB (quality 90, 4:4:4) on the synth corpus; see
-tests/test_media.py.
+Supported: SOF0/SOF1 baseline sequential and SOF2 progressive, 8-bit,
+1 or 3 components, sampling factors 1x1 (4:4:4) or 2x2-luma (4:2:0).
+Arithmetic coding, hierarchical mode and 12-bit inputs raise
+``NotImplementedError`` — the same clearly-marked env-gate contract
+as the PNG codec (SURVEY.md §7.5). Both encode modes quantize
+identically, so baseline and progressive streams decode to identical
+pixels (asserted in tests/test_media.py); round-trip PSNR ~= 46 dB at
+quality 90, 4:4:4 on the synth corpus.
 """
 
 from __future__ import annotations
@@ -316,11 +320,21 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg_rgb8(pixels: np.ndarray, quality: int = 90, subsample: str = "444") -> bytes:
-    """(h, w, 3) uint8 -> baseline JFIF bytes.
+def encode_jpeg_rgb8(
+    pixels: np.ndarray, quality: int = 90, subsample: str = "444", progressive: bool = False
+) -> bytes:
+    """(h, w, 3) uint8 -> JFIF bytes.
 
     subsample: "444" (1x1 all components) or "420" (2x2 luma; chroma
-    mean-pooled to half resolution each axis)."""
+    mean-pooled to half resolution each axis).
+
+    progressive=True emits an SOF2 stream (libjpeg-style 10-scan
+    script: DC first + refinement, per-component spectral AC bands
+    with EOB runs, two successive-approximation AC refinement levels
+    for luma) with per-scan optimal Huffman tables built by the T.81
+    Annex K.2 procedure — the Annex K example tables lack the EOBn
+    symbols progressive scans need. Both modes quantize identically,
+    so the two streams decode to identical pixels."""
     if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
         raise ValueError("encode_jpeg_rgb8 expects (h, w, 3) uint8")
     if subsample not in ("444", "420"):
@@ -354,6 +368,9 @@ def encode_jpeg_rgb8(pixels: np.ndarray, quality: int = 90, subsample: str = "44
         zz = np.round(coefs.reshape(-1, 64)[:, ZIGZAG] / q.reshape(-1)[ZIGZAG]).astype(np.int32)
         comp_zz.append(zz)
         comp_bw.append((padded.shape[1] // 8, padded.shape[0] // 8))
+
+    if progressive:
+        return _assemble_progressive(comp_zz, comp_bw, samp, qy, qc, h, w)
 
     dc_y = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_y = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -462,80 +479,11 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg_rgb8(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (or (h, w, 1) for
-    single-component streams)."""
-    buf = np.frombuffer(data, dtype=np.uint8)
-    if len(buf) < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
-        raise ValueError("not a JPEG")
-    pos = 2
-    qtables: dict[int, np.ndarray] = {}
-    htables: dict[int, _PeekTable] = {}
-    comps: list[dict] = []
-    h = w = None
-    restart_interval = 0
-    scan_comps: list[dict] = []
-    entropy_start = None
-
-    while pos < len(buf):
-        if buf[pos] != 0xFF:
-            pos += 1
-            continue
-        marker = int(buf[pos + 1])
-        pos += 2
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            continue
-        if marker == 0xD9:  # EOI
-            break
-        (seglen,) = struct.unpack(">H", buf[pos : pos + 2].tobytes())
-        seg = buf[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                zz = seg[p + 1 : p + 65].astype(np.int32)
-                tbl = np.empty(64, dtype=np.int32)
-                tbl[ZIGZAG] = zz
-                qtables[tq] = tbl
-                p += 65
-        elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(seg):
-                tcth = int(seg[p])
-                bits = [int(x) for x in seg[p + 1 : p + 17]]
-                nv = sum(bits)
-                vals = [int(x) for x in seg[p + 17 : p + 17 + nv]]
-                htables[tcth] = _PeekTable(bits, vals)
-                p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
-            h, w = struct.unpack(">HH", seg[1:5].tobytes())
-            nc = int(seg[5])
-            comps = []
-            for ci in range(nc):
-                cid, hv, tq = int(seg[6 + ci * 3]), int(seg[7 + ci * 3]), int(seg[8 + ci * 3])
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential (SOF0) supported")
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", seg[:2].tobytes())
-        elif marker == 0xDA:  # SOS
-            ns = int(seg[0])
-            scan_comps = []
-            for si in range(ns):
-                cs, tdta = int(seg[1 + si * 2]), int(seg[2 + si * 2])
-                comp = next(c for c in comps if c["id"] == cs)
-                scan_comps.append({**comp, "td": tdta >> 4, "ta": tdta & 0xF})
-            entropy_start = pos + seglen
-            break
-        pos += seglen
-
-    if entropy_start is None or h is None:
-        raise ValueError("truncated JPEG: no scan found")
-
-    # find EOI / next marker; destuff 0xFF00 and drop restart markers
-    seg = buf[entropy_start:]
+def _entropy_segment(buf: np.ndarray, start: int) -> tuple[np.ndarray, int]:
+    """Extract one scan's entropy-coded bytes starting at ``start``:
+    destuffs 0xFF00, strips in-stream RSTn markers, and returns the
+    position of the terminating marker's 0xFF."""
+    seg = buf[start:]
     ff = seg == 0xFF
     nxt = np.zeros_like(ff)
     nxt[:-1] = seg[1:] != 0x00
@@ -559,26 +507,14 @@ def decode_jpeg_rgb8(data: bytes) -> np.ndarray:
             elif 0xD0 <= m <= 0xD7:
                 keep[f] = False
                 keep[f + 1] = False
-    entropy = raw[keep]
+    return raw[keep], start + end
 
-    hmax = max(c["h"] for c in scan_comps)
-    vmax = max(c["v"] for c in scan_comps)
-    if hmax > 2 or vmax > 2:
-        raise NotImplementedError("sampling factors > 2 not supported")
-    mcu_w = 8 * hmax
-    mcu_h = 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
 
-    reader = _BitReader(entropy)
-    # per-component coefficient planes (in blocks)
-    planes: list[np.ndarray] = []
-    for c in scan_comps:
-        bw = mcus_x * c["h"]
-        bh = mcus_y * c["v"]
-        planes.append(np.zeros((bh * bw, 64), dtype=np.int32))
+def _decode_scan_sequential(reader, scan, htables, planes, mcus_x, mcus_y, restart_interval):
+    """Baseline sequential scan: DC diff + full AC per block, MCU
+    interleaved (the original decode path, unchanged semantics)."""
+    scan_comps = scan["comps"]
     preds = [0] * len(scan_comps)
-
     n_mcu = mcus_x * mcus_y
     for mi in range(n_mcu):
         if restart_interval and mi and mi % restart_interval == 0:
@@ -620,14 +556,267 @@ def decode_jpeg_rgb8(data: bytes) -> np.ndarray:
                         k += 1
                     by = my * c["v"] + dy
                     bx = mx * c["h"] + dx
-                    planes[ci][by * bw + bx] = zz
+                    planes[c["pi"]][by * bw + bx] = zz
+
+
+def _scan_units(scan, mcus_x, mcus_y, w, h, hmax, vmax):
+    """Block walk of one scan: yields (comp, plane_index) in coded
+    order. Interleaved scans walk MCUs; a single-component scan walks
+    the component's own block raster (T.81 A.2.2 non-interleaved
+    dimensions), indexed into the MCU-padded plane."""
+    scan_comps = scan["comps"]
+    if len(scan_comps) > 1:
+        for mi in range(mcus_x * mcus_y):
+            my, mx = divmod(mi, mcus_x)
+            for c in scan_comps:
+                bw = mcus_x * c["h"]
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        yield c, (my * c["v"] + dy) * bw + (mx * c["h"] + dx)
+    else:
+        c = scan_comps[0]
+        cw = -(-(w * c["h"]) // hmax)  # component samples (ceil)
+        ch = -(-(h * c["v"]) // vmax)
+        bw_scan = -(-cw // 8)
+        bh_scan = -(-ch // 8)
+        bw = mcus_x * c["h"]  # padded plane stride
+        for by in range(bh_scan):
+            for bx in range(bw_scan):
+                yield c, by * bw + bx
+
+
+def _decode_scan_progressive(reader, scan, htables, planes, mcus_x, mcus_y, w, h, hmax, vmax, restart_interval):
+    """One progressive (SOF2) scan — T.81 G.2 decoding procedures:
+    DC first / DC refinement / AC first (with EOB runs) / AC
+    refinement (correction bits). Accumulates into the zigzag-order
+    coefficient planes shared with the sequential path."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    scan_comps = scan["comps"]
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive scan mixes DC and AC bands")
+    if not is_dc and len(scan_comps) != 1:
+        raise ValueError("progressive AC scans must be non-interleaved")
+
+    preds = {c["pi"]: 0 for c in scan_comps}
+    eobrun = 0
+    units = list(_scan_units(scan, mcus_x, mcus_y, w, h, hmax, vmax))
+    # restart interval counts MCUs (interleaved) or blocks (single comp)
+    if len(scan_comps) > 1:
+        units_per_int = restart_interval * sum(c["h"] * c["v"] for c in scan_comps)
+    else:
+        units_per_int = restart_interval
+    done = 0
+    for c, bi in units:
+        if units_per_int and done and done % units_per_int == 0:
+            reader.pos = (reader.pos + 7) & ~7
+            preds = {cc["pi"]: 0 for cc in scan_comps}
+            eobrun = 0
+        done += 1
+        zz = planes[c["pi"]][bi]
+        if is_dc:
+            if ah == 0:  # DC first: diff-coded (dc >> al)
+                dc_tbl = htables[0x00 | c["td"]]
+                p16 = reader.peek16()
+                size = int(dc_tbl.sym[p16])
+                reader.pos += int(dc_tbl.ln[p16])
+                if size:
+                    preds[c["pi"]] += _extend(reader.read(size), size)
+                zz[0] = preds[c["pi"]] << al
+            else:  # DC refinement: one raw bit per block
+                if reader.read(1):
+                    zz[0] = int(zz[0]) | (1 << al)
+            continue
+        ac_tbl = htables[0x10 | c["ta"]]
+        p1 = 1 << al
+        if ah == 0:  # AC first (G.1.2.2): band values at precision al
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                p16 = reader.peek16()
+                rs = int(ac_tbl.sym[p16])
+                reader.pos += int(ac_tbl.ln[p16])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:  # EOBn: run of (1<<r)+bits all-zero bands
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    break
+                zz[k] = _extend(reader.read(s), s) << al
+                k += 1
+        else:  # AC refinement (G.1.2.3): ±1 placements + correction bits
+            m1 = -p1
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    p16 = reader.peek16()
+                    rs = int(ac_tbl.sym[p16])
+                    reader.pos += int(ac_tbl.ln[p16])
+                    r, s = rs >> 4, rs & 0xF
+                    newval = 0
+                    if s == 0:
+                        if r != 15:  # EOBn: rest of band is correction-only
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read(r)
+                            break
+                    else:  # s == 1: a newly nonzero ±(1<<al)
+                        newval = p1 if reader.read(1) else m1
+                    # advance r zero-history positions (16 for ZRL),
+                    # appending correction bits at nonzero-history ones
+                    while k <= se:
+                        cur = int(zz[k])
+                        if cur != 0:
+                            if reader.read(1) and (cur & p1) == 0:
+                                zz[k] = cur + (p1 if cur > 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        zz[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # EOB span still carries correction bits
+                    cur = int(zz[k])
+                    if cur != 0:
+                        if reader.read(1) and (cur & p1) == 0:
+                            zz[k] = cur + (p1 if cur > 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def decode_jpeg_rgb8(data: bytes) -> np.ndarray:
+    """JFIF bytes -> (h, w, 3) uint8 RGB (or (h, w, 1) for
+    single-component streams). Baseline sequential (SOF0) and
+    progressive (SOF2, spectral selection + successive approximation,
+    EOB runs, DC/AC refinement) are both supported; arithmetic coding,
+    hierarchical and 12-bit modes raise ``NotImplementedError``."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if len(buf) < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[int, _PeekTable] = {}
+    comps: list[dict] = []
+    h = w = None
+    restart_interval = 0
+    progressive = False
+    scans: list[dict] = []
+
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = int(buf[pos + 1])
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", buf[pos : pos + 2].tobytes())
+        seg = buf[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = seg[p + 1 : p + 65].astype(np.int32)
+                tbl = np.empty(64, dtype=np.int32)
+                tbl[ZIGZAG] = zz
+                qtables[tq] = tbl
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tcth = int(seg[p])
+                bits = [int(x) for x in seg[p + 1 : p + 17]]
+                nv = sum(bits)
+                vals = [int(x) for x in seg[p + 17 : p + 17 + nv]]
+                htables[tcth] = _PeekTable(bits, vals)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
+            h, w = struct.unpack(">HH", seg[1:5].tobytes())
+            nc = int(seg[5])
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = int(seg[6 + ci * 3]), int(seg[7 + ci * 3]), int(seg[8 + ci * 3])
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq, "pi": ci})
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only sequential (SOF0/1) and progressive (SOF2) DCT supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2].tobytes())
+        elif marker == 0xDA:  # SOS
+            ns = int(seg[0])
+            scan_comps = []
+            for si in range(ns):
+                cs, tdta = int(seg[1 + si * 2]), int(seg[2 + si * 2])
+                comp = next(c for c in comps if c["id"] == cs)
+                scan_comps.append({**comp, "td": tdta >> 4, "ta": tdta & 0xF})
+            ss, se, ahal = int(seg[1 + ns * 2]), int(seg[2 + ns * 2]), int(seg[3 + ns * 2])
+            entropy, pos = _entropy_segment(buf, pos + seglen)
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    "entropy": entropy,
+                    "htables": dict(htables),  # tables as of this scan
+                    "dri": restart_interval,
+                }
+            )
+            continue
+        pos += seglen
+
+    if not scans or h is None:
+        raise ValueError("truncated JPEG: no scan found")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors > 2 not supported")
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component coefficient planes (zigzag order, MCU-padded)
+    planes = [
+        np.zeros((mcus_y * c["v"] * mcus_x * c["h"], 64), dtype=np.int32) for c in comps
+    ]
+    if progressive:
+        for scan in scans:
+            reader = _BitReader(scan["entropy"])
+            _decode_scan_progressive(
+                reader, scan, scan["htables"], planes, mcus_x, mcus_y, w, h, hmax, vmax, scan["dri"]
+            )
+        out_comps = comps
+    else:
+        scan = scans[0]
+        reader = _BitReader(scan["entropy"])
+        _decode_scan_sequential(
+            reader, scan, scan["htables"], planes, mcus_x, mcus_y, scan["dri"]
+        )
+        out_comps = scan["comps"]
 
     # dequantize + IDCT per component, then upsample and stack
     out_planes = []
-    for ci, c in enumerate(scan_comps):
+    for c in out_comps:
         q = qtables[c["tq"]]
-        coefs = np.zeros((len(planes[ci]), 64), dtype=np.float64)
-        coefs[:, ZIGZAG] = planes[ci] * q[ZIGZAG]
+        pl = planes[c["pi"]]
+        coefs = np.zeros((len(pl), 64), dtype=np.float64)
+        coefs[:, ZIGZAG] = pl * q[ZIGZAG]
         blocks = _idct(coefs.reshape(-1, 8, 8)) + 128.0
         bw = mcus_x * c["h"]
         bh = mcus_y * c["v"]
@@ -646,3 +835,313 @@ def decode_jpeg_rgb8(data: bytes) -> np.ndarray:
     if ycc.shape[-1] == 1:
         return np.clip(ycc, 0, 255).astype(np.uint8)
     return ycbcr_to_rgb(ycc)
+
+
+# ------------------------------------------------------ progressive encode
+# T.81 Annex G.1 encoding procedures (spectral selection + successive
+# approximation) with per-scan optimal Huffman tables per Annex K.2.
+# The decoder above (G.2) is the round-trip counterpart; libjpeg's
+# public default scan script is used so real-world SOF2 layouts are
+# exercised. No library code involved: everything below is written
+# from the spec figures (K.1-K.4, G.4-G.7).
+
+
+def _opt_table(counts: np.ndarray) -> tuple[list[int], list[int]]:
+    """Symbol frequencies -> (BITS[1..16], HUFFVAL) via T.81 Annex K.2:
+    pairwise least-frequency merges tracking code sizes (Figure K.1),
+    length limiting to 16 bits (Figure K.3), and HUFFVAL ordered by
+    code size then value (Figure K.4). Index 256 is the reserved
+    symbol that keeps the all-ones code unused; ties pick the largest
+    index so the reserved symbol sinks to the longest code."""
+    freq = np.zeros(257, dtype=np.int64)
+    freq[: len(counts)] = counts
+    freq[256] = 1
+    codesize = np.zeros(257, dtype=np.int64)
+    others = np.full(257, -1, dtype=np.int64)
+    while True:
+        nzi = np.flatnonzero(freq > 0)
+        if len(nzi) < 2:
+            break
+        # sort by (frequency asc, index desc): order[0]/order[1] are
+        # the two least-frequent trees
+        order = nzi[np.lexsort((-nzi, freq[nzi]))]
+        v1, v2 = int(order[0]), int(order[1])
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = int(others[v1])
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = int(others[v2])
+            codesize[v2] += 1
+    bits = np.zeros(64, dtype=np.int64)
+    for v in range(257):
+        if codesize[v]:
+            bits[codesize[v]] += 1
+    # Figure K.3: fold lengths > 16 back by moving a shorter-code pair
+    for i in range(63, 16, -1):
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol (always the longest code)
+    pairs = sorted((int(codesize[v]), v) for v in range(256) if codesize[v] > 0)
+    return [int(b) for b in bits[1:17]], [v for _, v in pairs]
+
+
+class _ScanTokens:
+    """Token list for one scan: Huffman symbols (counted per table id
+    so per-scan optimal tables can be built after the gather pass) and
+    raw appended bits. ``encode`` maps symbols through the built codes
+    and packs everything with the vectorized :class:`_BitWriter`."""
+
+    __slots__ = ("toks", "counts")
+
+    def __init__(self):
+        self.toks: list[tuple] = []  # (1, table_id, symbol) | (0, value, nbits)
+        self.counts: dict[int, np.ndarray] = {}
+
+    def sym(self, tbl: int, s: int) -> None:
+        self.toks.append((1, tbl, s))
+        c = self.counts.get(tbl)
+        if c is None:
+            c = self.counts[tbl] = np.zeros(256, dtype=np.int64)
+        c[s] += 1
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.toks.append((0, int(v) & ((1 << n) - 1), n))
+
+    def encode(self, codes_by_tbl: dict[int, dict[int, tuple[int, int]]]) -> bytes:
+        vals = np.empty(len(self.toks), dtype=np.int64)
+        lens = np.empty(len(self.toks), dtype=np.int64)
+        for i, t in enumerate(self.toks):
+            if t[0]:
+                vals[i], lens[i] = codes_by_tbl[t[1]][t[2]]
+            else:
+                vals[i], lens[i] = t[1], t[2]
+        writer = _BitWriter()
+        writer.write(vals, lens)
+        return writer.tobytes()
+
+
+def _mcu_dc_walk(comp_bw, samp):
+    """Interleaved MCU walk for DC scans: yields (component index,
+    block index into that component's encoder-order block array), edge
+    blocks clamped into the MCU padding exactly like the baseline
+    encoder, matching the decoder's MCU grid."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    ybw, ybh = comp_bw[0]
+    mcus_x = -(-ybw // hmax)
+    mcus_y = -(-ybh // vmax)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(samp):
+                cbw, cbh = comp_bw[ci]
+                for dy in range(sv):
+                    for dx in range(sh):
+                        by = min(my * sv + dy, cbh - 1)
+                        bx = min(mx * sh + dx, cbw - 1)
+                        yield ci, by * cbw + bx
+
+
+def _enc_dc_first(comp_zz, comp_bw, samp, al, ts) -> None:
+    """G.1.2.1: diff-coded DC at point transform ``>> al`` (arithmetic
+    shift), interleaved, DC table 0 for luma / 1 for chroma."""
+    preds = [0] * len(samp)
+    for ci, bi in _mcu_dc_walk(comp_bw, samp):
+        v = int(comp_zz[ci][bi, 0]) >> al
+        diff = v - preds[ci]
+        preds[ci] = v
+        size = abs(diff).bit_length()
+        ts.sym(0x00 if ci == 0 else 0x01, size)
+        if size:
+            ts.bits(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+
+def _enc_dc_refine(comp_zz, comp_bw, samp, al, ts) -> None:
+    """DC successive-approximation refinement: one raw bit per block
+    in MCU order (no Huffman table)."""
+    for ci, bi in _mcu_dc_walk(comp_bw, samp):
+        ts.bits((int(comp_zz[ci][bi, 0]) >> al) & 1, 1)
+
+
+_MAX_EOBRUN = 0x7FFF  # EOB14 ceiling: (1 << 14) + 14 extension bits
+
+
+def _enc_ac_first(zzs, ss, se, al, ts, tbl=0x10) -> None:
+    """G.1.2.2: first scan of an AC band at point transform al —
+    zero runs, (run, size) symbols with sign-magnitude shifted
+    values, and EOBn runs across all-zero bands."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ts.sym(tbl, n << 4)
+            ts.bits(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for zz in zzs:
+        band = zz[ss : se + 1].astype(np.int64)
+        t = np.abs(band) >> al
+        nz = np.flatnonzero(t)
+        if len(nz) == 0:
+            eobrun += 1
+            if eobrun == _MAX_EOBRUN:
+                flush()
+            continue
+        flush()
+        prev = -1
+        for i in nz:
+            run = int(i) - prev - 1
+            prev = int(i)
+            while run > 15:
+                ts.sym(tbl, 0xF0)
+                run -= 16
+            m = int(t[i])
+            size = m.bit_length()
+            ts.sym(tbl, (run << 4) | size)
+            v = m if band[i] >= 0 else -m
+            ts.bits(v if v >= 0 else v + (1 << size) - 1, size)
+        if prev != se - ss:
+            eobrun += 1
+            if eobrun == _MAX_EOBRUN:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(zzs, ss, se, al, ts, tbl=0x10) -> None:
+    """G.1.2.3: AC refinement — newly-significant coefficients code
+    (run, 1) + sign where the run counts zero-history positions;
+    already-nonzero coefficients append correction bits after the
+    next emitted symbol; trailing spans fold into an EOB run whose
+    buffered correction bits flush with the EOBn symbol. Mirrors the
+    spec's Figure G.7 buffering (and libjpeg's public jcphuff
+    semantics, including the ZRL-not-past-EOB rule)."""
+    eobrun = 0
+    run_bits: list[int] = []
+
+    def flush():
+        nonlocal eobrun, run_bits
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ts.sym(tbl, n << 4)
+            ts.bits(eobrun - (1 << n), n)
+            for b in run_bits:
+                ts.bits(b, 1)
+            eobrun = 0
+            run_bits = []
+
+    for zz in zzs:
+        band = zz[ss : se + 1].astype(np.int64)
+        t = np.abs(band) >> al
+        ones = np.flatnonzero(t == 1)
+        eob = int(ones[-1]) if len(ones) else -1  # last newly-significant pos
+        r = 0
+        br: list[int] = []  # correction bits since the last symbol
+        for k in range(len(band)):
+            tk = int(t[k])
+            if tk == 0:
+                r += 1
+                continue
+            # ZRLs are only emitted before the last new coefficient;
+            # past it the run folds into the EOB run
+            while r > 15 and k <= eob:
+                flush()
+                ts.sym(tbl, 0xF0)
+                r -= 16
+                for b in br:
+                    ts.bits(b, 1)
+                br = []
+            if tk > 1:  # history-nonzero: correction bit only
+                br.append(tk & 1)
+                continue
+            flush()
+            ts.sym(tbl, (r << 4) | 1)
+            ts.bits(1 if band[k] >= 0 else 0, 1)
+            for b in br:
+                ts.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            run_bits.extend(br)
+            # libjpeg's MAX_CORR_BITS bound keeps the buffer finite
+            if eobrun == _MAX_EOBRUN or len(run_bits) > 937:
+                flush()
+    flush()
+
+
+# libjpeg's public default progressive scan script for 3 components:
+# (kind, component, Ss, Se, Ah, Al)
+_PROG_SCRIPT = (
+    ("dc_first", None, 0, 0, 0, 1),
+    ("ac_first", 0, 1, 5, 0, 2),
+    ("ac_first", 2, 1, 63, 0, 1),
+    ("ac_first", 1, 1, 63, 0, 1),
+    ("ac_first", 0, 6, 63, 0, 2),
+    ("ac_refine", 0, 1, 63, 2, 1),
+    ("dc_refine", None, 0, 0, 1, 0),
+    ("ac_refine", 2, 1, 63, 1, 0),
+    ("ac_refine", 1, 1, 63, 1, 0),
+    ("ac_refine", 0, 1, 63, 1, 0),
+)
+
+
+def _assemble_progressive(comp_zz, comp_bw, samp, qy, qc, h, w) -> bytes:
+    """Quantized zigzag blocks -> complete SOF2 JFIF stream. Each scan
+    gathers its tokens, builds per-scan optimal Huffman tables (the
+    Annex K example tables lack the EOBn symbols progressive scans
+    need), and emits DHT + SOS + entropy data; table slots are reused
+    across scans, which the decoder snapshots per scan."""
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        hv = (samp[ci][0] << 4) | samp[ci][1]
+        sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    for kind, ci, ss, se, ah, al in _PROG_SCRIPT:
+        ts = _ScanTokens()
+        if kind == "dc_first":
+            _enc_dc_first(comp_zz, comp_bw, samp, al, ts)
+        elif kind == "dc_refine":
+            _enc_dc_refine(comp_zz, comp_bw, samp, al, ts)
+        elif kind == "ac_first":
+            _enc_ac_first(comp_zz[ci], ss, se, al, ts)
+        else:
+            _enc_ac_refine(comp_zz[ci], ss, se, al, ts)
+        codes: dict[int, dict[int, tuple[int, int]]] = {}
+        for tbl in sorted(ts.counts):
+            bits, vals = _opt_table(ts.counts[tbl])
+            payload = bytes([tbl]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+            codes[tbl] = _build_codes(bits, vals)
+        if ci is None:  # interleaved DC scan over all components
+            sos = bytes([3])
+            for c in range(3):
+                sos += bytes([c + 1, 0x00 if c == 0 else 0x10])
+        else:
+            sos = bytes([1, ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += ts.encode(codes)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -67,11 +67,35 @@ def test_jpeg_unsupported_modes():
     with pytest.raises(NotImplementedError):
         encode_jpeg_rgb8(img, subsample="422")
     data = bytearray(encode_jpeg_rgb8(img))
-    # flip SOF0 → SOF2 (progressive): decoder must refuse, not garble
+    # flip SOF0 → SOF9 (arithmetic coding): decoder must refuse, not garble
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2
+    data[sof + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         decode_jpeg_rgb8(bytes(data))
+
+
+def test_jpeg_progressive_roundtrip():
+    """Progressive (SOF2) streams decode to the exact pixels of the
+    baseline stream built from the same quantized blocks — both the
+    Annex G.1 encoder and the G.2 decoder are exercised across
+    subsampling modes, odd dimensions, and high-entropy content
+    (EOB runs, ZRL, AC refinement correction bits)."""
+    from raydedup.jpeg import decode_jpeg_rgb8, encode_jpeg_rgb8
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (_smooth_image(32, 32), "444", 90),
+        (_smooth_image(48, 40), "420", 90),
+        (_smooth_image(33, 31), "444", 95),
+        (rng.integers(0, 256, (37, 29, 3), dtype=np.uint8), "420", 75),
+        (rng.integers(0, 256, (32, 32, 3), dtype=np.uint8), "444", 50),
+        (np.full((64, 48, 3), 128, dtype=np.uint8), "444", 90),  # long EOB runs
+    ]
+    for img, sub, q in cases:
+        base = encode_jpeg_rgb8(img, quality=q, subsample=sub)
+        prog = encode_jpeg_rgb8(img, quality=q, subsample=sub, progressive=True)
+        assert b"\xff\xc2" in prog and b"\xff\xc2" not in base  # SOF2 marker
+        assert np.array_equal(decode_jpeg_rgb8(prog), decode_jpeg_rgb8(base))
 
 
 def test_decode_raw_and_unknown_fmt():
