@@ -33,6 +33,10 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return decode_png_rgb8(data)
     if fmt in ("jpeg", "jpg"):
         return decode_jpeg_rgb8(data)
+    if fmt == "gif":
+        from raydedup.gif import decode_gif_rgb8
+
+        return decode_gif_rgb8(data)
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")
 
 

@@ -1188,7 +1188,7 @@ def _synth_media_path(kind: str, n: int) -> str:
     """Deterministic synthetic audio/video table, cached under /tmp."""
     import os
 
-    path = f"/tmp/raydedup_bench/{kind}_q_{n}_v1.parquet"
+    path = f"/tmp/raydedup_bench/{kind}_q_{n}_v2.parquet"  # v2: gif slice in videos
     if not os.path.exists(path):
         os.makedirs("/tmp/raydedup_bench", exist_ok=True)
         import pyarrow.parquet as pq
@@ -1238,7 +1238,8 @@ def q_audio_features_synth(sf_dir: str):
 
 def q_video_frames_synth(sf_dir: str):
     """Compressed-video frame-sampling path: MJPEG (real from-scratch
-    JPEG codec) + rawvideo payloads flat-mapped to sampled frames.
+    JPEG codec), rawvideo and animated-GIF payloads (real GIF89a codec,
+    composited per disposal semantics) flat-mapped to sampled frames.
     Self-verifying bit-exactly: each decoded frame's phash64 must equal
     the stored round-tripped phash (the decoded-pixels invariant).
     Rows-only."""

@@ -3,12 +3,13 @@
 Images are opaque ``binary`` payloads with typed metadata (w, h, fmt).
 Each stage is a callable class for ``map_batches(Cls, concurrency=N,
 batch_size=B)`` — small batches because payloads are wide (the brief's
-memory-aware rule). The raw/png/jpeg codecs are real from-scratch
-implementations (raydedup.media / raydedup.png / raydedup.jpeg — the
-jpeg one covers the lossy PSNR-invariant path); other codecs raise
-``NotImplementedError`` — a clearly-marked stub where this environment
-lacks image libraries, with the Ray-side plumbing (schema, actor
-signature, output layout) real and tested.
+memory-aware rule). The raw/png/jpeg/gif codecs are real from-scratch
+implementations (raydedup.media / raydedup.png / raydedup.jpeg /
+raydedup.gif — jpeg covers the lossy PSNR-invariant path, baseline
+AND progressive); other codecs raise ``NotImplementedError`` — a
+clearly-marked stub where this environment lacks image libraries, with
+the Ray-side plumbing (schema, actor signature, output layout) real
+and tested.
 """
 
 from __future__ import annotations
@@ -193,12 +194,14 @@ class FrameSampleStage:
     SAMPLED FRAME (video_id, frame_idx, frame_bytes, w, h) — the
     flat-map layout downstream image stages consume directly.
 
-    ``rawvideo`` (concatenated h*w*3 frames) and ``mjpeg``
-    (concatenated baseline JPEGs, decoded by the from-scratch codec in
+    ``rawvideo`` (concatenated h*w*3 frames), ``mjpeg`` (concatenated
+    baseline JPEGs, decoded by the from-scratch codec in
     :mod:`raydedup.video` — sampled frames are marker-indexed first so
-    unsampled frames' bytes are never entropy-decoded) sample for
-    real; inter-frame codecs (h264 etc.) raise ``NotImplementedError``
-    (env-gated stub — not buildable from scratch here)."""
+    unsampled frames' bytes are never entropy-decoded) and ``gif``
+    (animated GIF89a via :mod:`raydedup.gif`, composited per disposal
+    semantics) sample for real; inter-frame codecs (h264 etc.) raise
+    ``NotImplementedError`` (env-gated stub — not buildable from
+    scratch here)."""
 
     def __init__(self, every_n: int = 10, max_frames: int = 4, strict: bool = False):
         self.every_n = every_n
@@ -206,6 +209,7 @@ class FrameSampleStage:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from raydedup.gif import decode_gif
         from raydedup.video import decode_mjpeg_frame, mjpeg_frame_offsets
 
         ids = batch.column("video_id").to_pylist()
@@ -233,6 +237,20 @@ class FrameSampleStage:
                         break
                     a, b = offs[f]
                     px = decode_mjpeg_frame(blob[a:b])
+                    o_id.append(vid)
+                    o_idx.append(f)
+                    o_bytes.append(px.tobytes())
+                    o_w.append(px.shape[1])
+                    o_h.append(px.shape[0])
+            elif codec == "gif":
+                # animated GIF: frames depend on their predecessors
+                # (disposal/transparency), so decode sequentially and
+                # sample the composited frames
+                frames = decode_gif(blob)
+                for k, f in enumerate(range(0, min(n, len(frames)), self.every_n)):
+                    if k >= self.max_frames:
+                        break
+                    px = frames[f]
                     o_id.append(vid)
                     o_idx.append(f)
                     o_bytes.append(px.tobytes())

@@ -400,12 +400,13 @@ def make_audio_table(n: int = 200, seed: int = 11, rate: int = 16000) -> pa.Tabl
 
 
 def make_videos_table(n: int = 40, seed: int = 13, w: int = 48, h: int = 32) -> pa.Table:
-    """Deterministic video corpus: alternating mjpeg (real lossy codec)
-    and rawvideo payloads of smooth drifting-gradient frames. Stores
+    """Deterministic video corpus: cycling mjpeg (real lossy codec),
+    rawvideo and animated-gif payloads of drifting-gradient frames. Stores
     the phash64 of each ROUND-TRIPPED sampled frame (every 5th, ≤4) as
     ``frame_phashes`` so the sampling+decode path self-verifies
     bit-exactly — the same decoded-pixels-invariant pattern the image
     corpus uses for its JPEG slice."""
+    from raydedup.gif import decode_gif, encode_gif_rgb8
     from raydedup.media import phash64 as _ph
     from raydedup.video import decode_mjpeg_frame, encode_mjpeg, split_mjpeg
 
@@ -420,10 +421,16 @@ def make_videos_table(n: int = 40, seed: int = 13, w: int = 48, h: int = 32) -> 
             base = 128 + 60 * np.sin(x / 7.0 + phase + fidx * 0.5) + 50 * np.cos(y / 5.0 - fidx * 0.3)
             f = np.stack([base, np.roll(base, fidx, axis=1), base[::-1]], axis=-1)
             frames.append(np.clip(f + rng.normal(0, 2, f.shape), 0, 255).astype(np.uint8))
-        codec = "mjpeg" if i % 2 == 0 else "rawvideo"
+        codec = ("mjpeg", "rawvideo", "gif")[i % 3]
         if codec == "mjpeg":
             blob = encode_mjpeg(frames, quality=90)
             decoded = [decode_mjpeg_frame(p) for p in split_mjpeg(blob)]
+        elif codec == "gif":
+            # animated GIF89a (3-3-2-quantized palette, diff-optimized
+            # frames): stored phashes come from the round-tripped
+            # composited frames, the same decoded-pixels invariant
+            blob = encode_gif_rgb8(frames, optimize=True)
+            decoded = decode_gif(blob)
         else:
             blob = b"".join(f.tobytes() for f in frames)
             decoded = frames
