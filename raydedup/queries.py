@@ -1188,7 +1188,7 @@ def _synth_media_path(kind: str, n: int) -> str:
     """Deterministic synthetic audio/video table, cached under /tmp."""
     import os
 
-    path = f"/tmp/raydedup_bench/{kind}_q_{n}_v2.parquet"  # v2: gif slice in videos
+    path = f"/tmp/raydedup_bench/{kind}_q_{n}_v3.parquet"  # v3: gif slice in videos, flac slice in audio
     if not os.path.exists(path):
         os.makedirs("/tmp/raydedup_bench", exist_ok=True)
         import pyarrow.parquet as pq
@@ -1203,9 +1203,10 @@ def _synth_media_path(kind: str, n: int) -> str:
 
 def q_audio_features_synth(sf_dir: str):
     """Compressed-audio decode path: actor-pool feature extraction over
-    pcm16 / wav(IMA ADPCM) / µ-law / A-law payloads. Self-verifying:
-    every row must decode and reproduce the original signal's RMS
-    within 2% (the companding error bound). Rows-only."""
+    pcm16 / wav(IMA ADPCM) / µ-law / A-law / FLAC payloads.
+    Self-verifying: every row must decode and reproduce the original
+    signal's RMS within 2% (the companding error bound; FLAC is
+    lossless and lands exactly). Rows-only."""
     import ray.data as rd
 
     from raydedup.stages.grouped import ensure_hash_shuffle

@@ -127,6 +127,13 @@ class AudioFeatureStage:
             return audio.decode_ulaw(data).astype(np.float64) / 32768.0
         if codec == "alaw":
             return audio.decode_alaw(data).astype(np.float64) / 32768.0
+        if codec == "flac":
+            from raydedup.flac import decode_flac
+
+            samples, _ = decode_flac(data)
+            if samples.ndim == 2:  # features over the mono mixdown
+                samples = samples.mean(axis=1)
+            return samples.astype(np.float64) / 32768.0
         raise NotImplementedError(
             f"audio codec {codec!r}: no audio libraries in this environment"
         )

@@ -357,12 +357,12 @@ def planted_recall(
 def make_audio_table(n: int = 200, seed: int = 11, rate: int = 16000) -> pa.Table:
     """Deterministic audio corpus over every real codec path: each row
     is a two-tone + noise signal encoded as one of pcm16 / wav(IMA
-    ADPCM) / ulaw / alaw, with the ORIGINAL signal's RMS stored as
-    ``expected_rms`` so feature extraction self-verifies (companded
-    codecs reproduce RMS within ~2%)."""
+    ADPCM) / ulaw / alaw / flac, with the ORIGINAL signal's RMS stored
+    as ``expected_rms`` so feature extraction self-verifies (companded
+    codecs reproduce RMS within ~2%; FLAC is lossless — exact)."""
     from raydedup import audio
 
-    codecs = ["pcm16", "wav", "ulaw", "alaw"]
+    codecs = ["pcm16", "wav", "ulaw", "alaw", "flac"]
     ids, blobs, rates, ns, cods, exp = [], [], [], [], [], []
     for i in range(n):
         rng = np.random.default_rng(seed + i)
@@ -379,6 +379,10 @@ def make_audio_table(n: int = 200, seed: int = 11, rate: int = 16000) -> pa.Tabl
             blob = audio.encode_wav_adpcm(pcm, rate)
         elif codec == "ulaw":
             blob = audio.encode_ulaw(pcm).tobytes()
+        elif codec == "flac":
+            from raydedup.flac import encode_flac
+
+            blob = encode_flac(pcm, rate)  # lossless: RMS reproduced exactly
         else:
             blob = audio.encode_alaw(pcm).tobytes()
         ids.append(f"aud-{i:06d}")
