@@ -37,6 +37,10 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from raydedup.gif import decode_gif_rgb8
 
         return decode_gif_rgb8(data)
+    if fmt == "webp":
+        from raydedup.webp import decode_webp_rgb8
+
+        return decode_webp_rgb8(data)
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")
 
 

@@ -148,6 +148,10 @@ def make_images_table(
         h, w, _ = pixels.shape
         if fmt == "png":
             data = encode_png_rgb8(pixels)
+        elif fmt == "webp":
+            from raydedup.webp import encode_webp_rgb8
+
+            data = encode_webp_rgb8(pixels)
         elif fmt == "jpeg":
             # real lossy path: the stored phash must describe what a
             # consumer DECODES, so it is computed on the round-tripped
@@ -174,14 +178,19 @@ def make_images_table(
         else:
             # 8×8 = the smallest payload phash64's box-downsample accepts
             px = _pixels(i, 8, 8, seed)
-        # fmt mix: mostly raw; some lossless png; a small genuinely
+        # fmt mix: mostly raw; some lossless png/webp; a small genuinely
         # lossy JPEG slice (baseline JFIF, quality 90, 4:4:4 — decodes
-        # at PSNR ≈ 46 dB, comfortably above the 40 dB invariant)
+        # at PSNR ≈ 46 dB, comfortably above the 40 dB invariant).
+        # The png branch is split for webp-lossless (VP8L) rather than
+        # re-drawn so the rng stream — and hence every pixel, caption
+        # and truth pair — is identical to the pre-webp corpus.
         u = rng.random()
         if u < 0.90 or not with_images:
             fmt = "raw"
-        elif u < 0.98:
+        elif u < 0.94:
             fmt = "png"
+        elif u < 0.98:
+            fmt = "webp"
         else:
             fmt = "jpeg"
             px = _pixels_smooth(i, px.shape[1], px.shape[0], seed)

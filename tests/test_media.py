@@ -103,9 +103,11 @@ def test_decode_raw_and_unknown_fmt():
     img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(img.tobytes(), 8, 8, "raw"), img)
     with pytest.raises(NotImplementedError):
-        decode_image(b"xxxx", 8, 8, "webp")  # stubbed codec path
+        decode_image(b"xxxx", 8, 8, "avif")  # stubbed codec path
     with pytest.raises(ValueError):
         decode_image(b"xxxx", 8, 8, "jpeg")  # real codec, invalid bytes
+    with pytest.raises(ValueError):
+        decode_image(b"xxxx", 8, 8, "webp")  # real codec, invalid bytes
 
 
 def test_psnr_and_phash():
