@@ -320,10 +320,81 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
+def _exif_app1(orientation: int) -> bytes:
+    """Minimal Exif APP1 segment: little-endian TIFF header + IFD0 with
+    the single Orientation tag (0x0112, SHORT). Exif 2.x layout."""
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"bad EXIF orientation {orientation}")
+    tiff = (
+        b"II"
+        + struct.pack("<H", 42)
+        + struct.pack("<I", 8)  # IFD0 right after the 8-byte header
+        + struct.pack("<H", 1)  # one entry
+        + struct.pack("<HHI", 0x0112, 3, 1)
+        + struct.pack("<HH", orientation, 0)  # SHORT left-justified in the value field
+        + struct.pack("<I", 0)  # no next IFD
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def exif_orientation(data: bytes) -> int:
+    """Return the EXIF Orientation (1-8) from a JPEG's APP1 segment, or
+    1 (upright) when absent or malformed. Walks markers up to SOS only
+    — APPn segments precede entropy data per JFIF/Exif."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return 1
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return 1
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):  # entropy data / end: no APP1 coming
+            return 1
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker != 0xE1 or not seg.startswith(b"Exif\x00\x00"):
+            continue
+        tiff = seg[6:]
+        try:
+            if tiff[:2] == b"II":
+                fmt = "<"
+            elif tiff[:2] == b"MM":
+                fmt = ">"
+            else:
+                return 1
+            if struct.unpack(fmt + "H", tiff[2:4])[0] != 42:
+                return 1
+            (ifd,) = struct.unpack(fmt + "I", tiff[4:8])
+            (n,) = struct.unpack(fmt + "H", tiff[ifd : ifd + 2])
+            for i in range(n):
+                e = tiff[ifd + 2 + 12 * i : ifd + 14 + 12 * i]
+                tag, typ, cnt = struct.unpack(fmt + "HHI", e[:8])
+                if tag == 0x0112 and typ == 3 and cnt == 1:
+                    (val,) = struct.unpack(fmt + "H", e[8:10])
+                    return val if 1 <= val <= 8 else 1
+        except (struct.error, IndexError):
+            return 1
+        return 1
+    return 1
+
+
 def encode_jpeg_rgb8(
-    pixels: np.ndarray, quality: int = 90, subsample: str = "444", progressive: bool = False
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    progressive: bool = False,
+    orientation: int | None = None,
 ) -> bytes:
     """(h, w, 3) uint8 -> JFIF bytes.
+
+    ``orientation`` (1-8) writes a minimal Exif APP1 Orientation tag —
+    the stored raster is ``pixels`` as given; a consumer that honors
+    EXIF (``raydedup.media.decode_image`` does) re-orients on decode.
 
     subsample: "444" (1x1 all components) or "420" (2x2 luma; chroma
     mean-pooled to half resolution each axis).
@@ -335,19 +406,31 @@ def encode_jpeg_rgb8(
     Annex K.2 procedure — the Annex K example tables lack the EOBn
     symbols progressive scans need. Both modes quantize identically,
     so the two streams decode to identical pixels."""
-    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
-        raise ValueError("encode_jpeg_rgb8 expects (h, w, 3) uint8")
+    gray = pixels.ndim == 2 or (pixels.ndim == 3 and pixels.shape[2] == 1)
+    if pixels.dtype != np.uint8 or (
+        not gray and (pixels.ndim != 3 or pixels.shape[2] != 3)
+    ):
+        raise ValueError("encode_jpeg_rgb8 expects (h, w, 3) or (h, w[, 1]) uint8")
     if subsample not in ("444", "420"):
         raise NotImplementedError(f"subsample {subsample!r}: only 444/420")
     h, w = pixels.shape[:2]
-    ycc = rgb_to_ycbcr(pixels)
     qy = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
 
-    if subsample == "444":
+    if gray:
+        # single-component stream: the luma plane IS the sample data
+        # (no color transform), baseline only — the progressive scan
+        # script is the 3-component libjpeg layout
+        if progressive:
+            raise NotImplementedError("progressive grayscale not supported")
+        samp = [(1, 1)]
+        planes = [pixels.reshape(h, w).astype(np.float64)]
+    elif subsample == "444":
+        ycc = rgb_to_ycbcr(pixels)
         samp = [(1, 1), (1, 1), (1, 1)]
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
     else:
+        ycc = rgb_to_ycbcr(pixels)
         samp = [(2, 2), (1, 1), (1, 1)]
         yp = ycc[..., 0]
         # mean-pool chroma over 2x2 (pad odd dims first)
@@ -370,22 +453,27 @@ def encode_jpeg_rgb8(
         comp_bw.append((padded.shape[1] // 8, padded.shape[0] // 8))
 
     if progressive:
-        return _assemble_progressive(comp_zz, comp_bw, samp, qy, qc, h, w)
+        stream = _assemble_progressive(comp_zz, comp_bw, samp, qy, qc, h, w)
+        if orientation is not None:
+            # both assemblers start SOI (2) + APP0 (18); APP1 goes next
+            stream = stream[:20] + _exif_app1(orientation) + stream[20:]
+        return stream
 
     dc_y = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_y = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
+    ncomp = len(planes)
     writer = _BitWriter()
-    if subsample == "444":
+    if ncomp == 1 or subsample == "444":
         # interleaved MCU = one block per component; all planes share
         # block geometry, so walk block index order with per-component
-        # DC prediction
+        # DC prediction (a 1-component scan is the same walk)
         n = comp_zz[0].shape[0]
-        preds = [0, 0, 0]
+        preds = [0] * ncomp
         for b in range(n):
-            for ci in range(3):
+            for ci in range(ncomp):
                 zz = comp_zz[ci][b]
                 dc_codes = dc_y if ci == 0 else dc_c
                 ac_codes = ac_y if ci == 0 else ac_c
@@ -420,31 +508,38 @@ def encode_jpeg_rgb8(
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tid, q in ((0, qy), (1, qc)):
+    qtabs = ((0, qy), (1, qc)) if ncomp == 3 else ((0, qy),)
+    for tid, q in qtabs:
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8))
     # SOF0
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    for ci in range(3):
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
         hv = (samp[ci][0] << 4) | samp[ci][1]
         sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT
-    for tc_th, bits, vals in (
+    htabs = [
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
         (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
-        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
-        (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
-    ):
+    ]
+    if ncomp == 3:
+        htabs += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in htabs:
         payload = bytes([tc_th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
     # SOS
-    sos = bytes([3])
-    for ci in range(3):
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += entropy
     out += b"\xff\xd9"  # EOI
+    if orientation is not None:
+        return bytes(out[:20]) + _exif_app1(orientation) + bytes(out[20:])
     return bytes(out)
 
 

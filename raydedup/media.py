@@ -4,11 +4,13 @@ The input table carries images as opaque ``bytes`` with typed metadata
 (w, h, fmt) — the multimodal-column pattern. Supported ``fmt``:
 
 - ``raw``: ``h*w*3`` uint8 RGB buffer (zero-copy reshape).
-- ``png``: the minimal RGB8 codec in :mod:`raydedup.png` (no PIL/cv2 in
-  this environment; real libraries slot in here unchanged).
-- ``jpeg``/``jpg``: the from-scratch baseline JFIF codec in
-  :mod:`raydedup.jpeg` — the real lossy path behind the PSNR ≥ 40 dB
-  per-row decode invariant.
+- ``png``: the full-spec decoder in :mod:`raydedup.png` (all filters,
+  color types, depths, Adam7, tRNS; alpha composited over white).
+- ``jpeg``/``jpg``: the from-scratch JFIF codec in :mod:`raydedup.jpeg`
+  (baseline + progressive) — the real lossy path behind the PSNR ≥
+  40 dB per-row decode invariant. Grayscale streams widen to 3
+  channels and the EXIF Orientation tag is honored, so phashes are
+  rotation-metadata-invariant.
 - anything else → ``NotImplementedError`` (clearly-marked stub per the
   task brief; the Ray-side plumbing — schema, batch size, actor
   signature — is real and tested either way).
@@ -32,7 +34,12 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png_rgb8(data)
     if fmt in ("jpeg", "jpg"):
-        return decode_jpeg_rgb8(data)
+        from raydedup.jpeg import exif_orientation
+
+        img = decode_jpeg_rgb8(data)
+        if img.shape[-1] == 1:  # grayscale stream → 3-channel contract
+            img = np.repeat(img, 3, axis=2)
+        return apply_orientation(img, exif_orientation(data))
     if fmt == "gif":
         from raydedup.gif import decode_gif_rgb8
 
@@ -42,6 +49,31 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
         return decode_webp_rgb8(data)
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")
+
+
+def apply_orientation(img: np.ndarray, o: int) -> np.ndarray:
+    """Re-orient a decoded raster to upright per its EXIF Orientation
+    value (1-8). A crawl stores camera rotations as metadata, not
+    rotated pixels — a dedup pipeline that ignores the tag hashes the
+    same photo to up to 8 different phashes. Views where possible;
+    callers needing contiguity copy."""
+    if o == 1:
+        return img
+    if o == 2:
+        return img[:, ::-1]
+    if o == 3:
+        return img[::-1, ::-1]
+    if o == 4:
+        return img[::-1]
+    if o == 5:
+        return img.swapaxes(0, 1)
+    if o == 6:
+        return np.rot90(img, -1)
+    if o == 7:
+        return np.rot90(img.swapaxes(0, 1), 2)
+    if o == 8:
+        return np.rot90(img, 1)
+    raise ValueError(f"bad EXIF orientation {o}")
 
 
 def box_downsample(img: np.ndarray, out: int = 8) -> np.ndarray:

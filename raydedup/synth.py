@@ -252,6 +252,35 @@ def make_images_table(
             truth.root[vid] = hot_root
             truth.kind[vid] = "skew_exact_caption"
 
+    # EXIF-rotated dups: ~2% of base rows re-stored as camera-rotated
+    # JPEGs — the raster is rotated on disk and upright only via the
+    # APP1 Orientation tag, exactly how phone-camera crawl images
+    # arrive. The stored phash is computed on the decoded-and-
+    # reoriented pixels (what decode_image yields), so the twin
+    # collapses onto its base through the ordinary phash channel with
+    # no special-casing downstream. Placed after all other slices so
+    # the rng stream for pre-existing rows is unchanged.
+    from raydedup.media import apply_orientation, decode_image
+
+    inv_o = {2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    for bi in rng.choice(n_base, size=max(1, n_base // 50), replace=False):
+        biid, bpx, bcap = base_rows[bi]
+        o = int(rng.integers(2, 9))
+        stored_px = np.ascontiguousarray(apply_orientation(bpx, inv_o[o]))
+        data = encode_jpeg_rgb8(stored_px, quality=95, subsample="444", orientation=o)
+        upright = decode_image(data, bpx.shape[1], bpx.shape[0], "jpeg")
+        iid = f"img-{next_id:08d}"
+        next_id += 1
+        ids.append(iid)
+        blobs.append(data)
+        hs.append(upright.shape[0])
+        ws.append(upright.shape[1])
+        fmts.append("jpeg")
+        caps.append(_caption(rng, vocab))
+        phashes.append(phash64(upright))
+        truth.root[iid] = biid
+        truth.kind[iid] = "exif_rotated_dup"
+
     table = pa.table(
         {
             "image_id": pa.array(ids, pa.string()),
@@ -349,7 +378,10 @@ def planted_recall(
     must = (
         np.isin(kind, ("exact_dup", "skew_exact_caption"))
         | ((kind == "substring_dup") & (m["vid_tokens"].to_numpy() >= substring_window))
-        | ((kind == "image_near_dup") & (m["simhash_dist"].to_numpy() <= simhash_bands - 1))
+        | (
+            np.isin(kind, ("image_near_dup", "exif_rotated_dup"))
+            & (m["simhash_dist"].to_numpy() <= simhash_bands - 1)
+        )
     )
     per_kind = {
         k: round(float(hit[kind == k].mean()), 4)

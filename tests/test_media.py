@@ -270,3 +270,81 @@ def test_frame_sample_stage_plumbing(ray_session):
     frame0 = np.frombuffer(video[: w * h * 3], dtype=np.uint8)
     assert np.array_equal(np.frombuffer(rows[0]["frame_bytes"], dtype=np.uint8), frame0)
     assert not [r for r in out if r["video_id"] == "v1"]  # stub codec skipped
+
+
+def test_exif_orientation_honored_on_decode():
+    """A camera-rotated JPEG (pixels stored rotated, Orientation tag
+    set) must decode upright through decode_image — same shape and
+    near-identical content for every orientation value, both baseline
+    and progressive."""
+    from raydedup.jpeg import exif_orientation
+    from raydedup.media import apply_orientation
+
+    rng = np.random.default_rng(11)
+    up = np.cumsum(rng.integers(-2, 3, (24, 40, 3)), axis=1).astype(np.uint8)
+    inv = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    from raydedup.jpeg import encode_jpeg_rgb8 as enc
+
+    for o in range(1, 9):
+        stored = np.ascontiguousarray(apply_orientation(up, inv[o]))
+        for prog in (False, True):
+            data = enc(stored, quality=95, progressive=prog, orientation=o)
+            assert exif_orientation(data) == o
+            out = decode_image(data, up.shape[1], up.shape[0], "jpeg")
+            assert out.shape == up.shape, (o, prog, out.shape)
+            assert psnr(out, up) > 35.0, (o, prog)
+    # no tag → upright, and tagless streams still parse as orientation 1
+    plain = enc(up, quality=95)
+    assert exif_orientation(plain) == 1
+    assert decode_image(plain, up.shape[1], up.shape[0], "jpeg").shape == up.shape
+
+
+def test_exif_big_endian_and_malformed():
+    import struct
+
+    from raydedup.jpeg import _exif_app1, encode_jpeg_rgb8, exif_orientation
+
+    img = np.full((8, 8, 3), 77, np.uint8)
+    data = encode_jpeg_rgb8(img, orientation=6)
+    # rewrite the APP1 as big-endian TIFF with the same tag
+    tiff = (
+        b"MM"
+        + struct.pack(">H", 42)
+        + struct.pack(">I", 8)
+        + struct.pack(">H", 1)
+        + struct.pack(">HHI", 0x0112, 3, 1)
+        + struct.pack(">HH", 6, 0)
+        + struct.pack(">I", 0)
+    )
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+    le = _exif_app1(6)
+    assert app1 != le and data.count(le) == 1
+    assert exif_orientation(data.replace(le, app1)) == 6
+    # malformed TIFF magic → default upright
+    assert exif_orientation(data.replace(b"II*\x00", b"XX*\x00")) == 1
+    assert exif_orientation(b"\xff\xd8\xff\xd9") == 1
+
+
+def test_grayscale_jpeg_widens_to_three_channels():
+    """A genuine 1-component JFIF stream (grayscale encode path)
+    decodes to the (h, w, 3) contract via decode_image, with all
+    channels equal and content intact."""
+    from raydedup.jpeg import decode_jpeg_rgb8, encode_jpeg_rgb8
+
+    rng = np.random.default_rng(13)
+    g = np.cumsum(rng.integers(-2, 3, (24, 17)), axis=1).astype(np.uint8)
+    data = encode_jpeg_rgb8(g, quality=95)  # (h, w) → single component
+    raw = decode_jpeg_rgb8(data)
+    assert raw.shape == (24, 17, 1)
+    out = decode_image(data, 17, 24, "jpeg")
+    assert out.shape == (24, 17, 3)
+    assert np.array_equal(out[..., 0], out[..., 1])
+    assert np.array_equal(out[..., 0], out[..., 2])
+    assert psnr(out[..., 0], g) > 40.0
+    # (h, w, 1) input and EXIF tag compose with the gray path
+    data2 = encode_jpeg_rgb8(g[..., None], quality=95, orientation=6)
+    up = decode_image(data2, 24, 17, "jpeg")
+    assert up.shape == (17, 24, 3)
+    with pytest.raises(NotImplementedError):
+        encode_jpeg_rgb8(g, progressive=True)
