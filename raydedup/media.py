@@ -100,6 +100,48 @@ def phash64(img: np.ndarray) -> int:
     return int(np.uint64(word).astype(np.int64))
 
 
+def resize_bilinear(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Bilinear resample of (h, w[, c]) uint8 to (oh, ow[, c]) uint8,
+    half-pixel sample centers, edge-clamped — fully vectorized (one
+    gather + one lerp per axis, no Python loops). Same-size resize is
+    bit-exact identity (the lerp weights collapse to 0), which is the
+    invariant the self-verifying query checks."""
+    h, w = img.shape[:2]
+    if (oh, ow) == (h, w):
+        return img.copy()
+    ys = (np.arange(oh, dtype=np.float64) + 0.5) * (h / oh) - 0.5
+    xs = (np.arange(ow, dtype=np.float64) + 0.5) * (w / ow) - 0.5
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)
+    wx = np.clip(xs - x0, 0.0, 1.0)
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx)[None, :, None] + f[y0][:, x1] * wx[None, :, None] \
+        if img.ndim == 3 else f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx)[None, :, None] + f[y1][:, x1] * wx[None, :, None] \
+        if img.ndim == 3 else f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    wy = wy[:, None, None] if img.ndim == 3 else wy[:, None]
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def resize_image(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Thumbnail-grade resize: exact block-mean (area) averaging when
+    both axes downscale by integer factors — the anti-aliased path a
+    training-data thumbnailer wants — else bilinear. Deterministic."""
+    h, w = img.shape[:2]
+    if oh < h and ow < w and h % oh == 0 and w % ow == 0:
+        fy, fx = h // oh, w // ow
+        if img.ndim == 3:
+            blocks = img.reshape(oh, fy, ow, fx, img.shape[2]).astype(np.float64)
+            return np.clip(np.rint(blocks.mean(axis=(1, 3))), 0, 255).astype(np.uint8)
+        blocks = img.reshape(oh, fy, ow, fx).astype(np.float64)
+        return np.clip(np.rint(blocks.mean(axis=(1, 3))), 0, 255).astype(np.uint8)
+    return resize_bilinear(img, oh, ow)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images;
     ``inf`` for identical buffers."""

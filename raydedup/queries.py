@@ -1295,10 +1295,61 @@ def q_video_frames_synth(sf_dir: str):
     ).sort_by([("video_id", "ascending"), ("frame_idx", "ascending")])
 
 
+def q_image_thumbs_synth(sf_dir: str):
+    """Thumbnail/resize path (the brief's multimodal resize stage):
+    actor-pool ResizeStage over every payload → fixed-width 16×16×3
+    rasters. Rows-only, SELF-VERIFYING: a driver-side sample is
+    decoded + resized with the same kernel and must match the
+    distributed output byte-for-byte, every thumb is exactly
+    16*16*3 bytes, and thumb means track the corpus (fixed-width
+    output is what keeps downstream batches dense at 100 TB)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raydedup.media import decode_image, resize_image
+    from raydedup.stages.grouped import ensure_hash_shuffle
+    from raydedup.stages.media import ResizeStage
+
+    ensure_hash_shuffle()
+    ds = rd.read_parquet(_synth_images_path())
+    out = ds.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"out": 16},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        num_cpus=1,
+        max_restarts=0,
+    )
+    thumbs = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    n = thumbs.num_rows
+    lens = np.array([len(b) for b in thumbs.column("thumb").to_pylist()[:256]])
+    assert (lens == 16 * 16 * 3).all(), "thumb payloads must be fixed-width"
+    # sample parity: distributed stage output == local kernel output
+    got = {
+        i: t for i, t in zip(
+            thumbs.column("image_id").to_pylist()[:32],
+            thumbs.column("thumb").to_pylist()[:32],
+        )
+    }
+    src = pa.concat_tables(
+        list(ds.limit(512).iter_batches(batch_format="pyarrow"))
+    ).to_pylist()
+    checked = 0
+    for row in src:
+        if row["image_id"] in got:
+            img = decode_image(row["bytes"], row["w"], row["h"], row["fmt"])
+            assert resize_image(img, 16, 16).tobytes() == got[row["image_id"]]
+            checked += 1
+    assert checked > 0, "sample parity check must cover at least one row"
+    return thumbs.select(["image_id", "thumb_w", "thumb_h"])
+
+
 QUERIES.update(
     {
         "image_dedup_synth": q_image_dedup_synth,
         "image_features_synth": q_image_features_synth,
+        "image_thumbs_synth": q_image_thumbs_synth,
         "audio_features_synth": q_audio_features_synth,
         "video_frames_synth": q_video_frames_synth,
     }

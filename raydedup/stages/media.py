@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from raydedup.media import box_downsample, decode_image, phash64
+from raydedup.media import box_downsample, decode_image, phash64, resize_image
 
 
 class DecodeFeaturesStage:
@@ -61,11 +61,23 @@ class DecodeFeaturesStage:
 
 
 class ResizeStage:
-    """Box-downsample every image to (out, out) grayscale uint8 and emit
-    as fixed-size binary — the thumbnail/embedding-input path."""
+    """Resize every image to a fixed target and emit the raster as
+    fixed-size binary — the thumbnail / model-input path.
 
-    def __init__(self, out: int = 8):
-        self.out = out
+    ``mode="rgb"`` (default) emits (out_h, out_w, 3) uint8 via
+    :func:`raydedup.media.resize_image` — exact block-mean (area)
+    averaging on integer-factor downscales, bilinear otherwise, both
+    fully vectorized. ``mode="gray"`` keeps the legacy grayscale
+    box-downsample (square ``out``). Output payloads are fixed-width,
+    so downstream batches are dense and shuffles ship predictable
+    bytes — the property a 100-TB thumbnail stage needs."""
+
+    def __init__(self, out: int = 8, out_w: int | None = None, mode: str = "rgb"):
+        if mode not in ("rgb", "gray"):
+            raise ValueError(f"mode {mode!r}: rgb or gray")
+        self.out_h = out
+        self.out_w = out if out_w is None else out_w
+        self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("image_id").to_pylist()
@@ -76,14 +88,17 @@ class ResizeStage:
         thumbs = []
         for i in range(len(ids)):
             img = decode_image(blobs[i], ws[i], hs[i], fmts[i])
-            t = np.clip(box_downsample(img, self.out), 0, 255).astype(np.uint8)
+            if self.mode == "gray":
+                t = np.clip(box_downsample(img, self.out_h), 0, 255).astype(np.uint8)
+            else:
+                t = resize_image(img, self.out_h, self.out_w)
             thumbs.append(t.tobytes())
         return pa.table(
             {
                 "image_id": pa.array(ids, pa.string()),
                 "thumb": pa.array(thumbs, pa.binary()),
-                "thumb_w": pa.array([self.out] * len(ids), pa.int32()),
-                "thumb_h": pa.array([self.out] * len(ids), pa.int32()),
+                "thumb_w": pa.array([self.out_w] * len(ids), pa.int32()),
+                "thumb_h": pa.array([self.out_h] * len(ids), pa.int32()),
             }
         )
 

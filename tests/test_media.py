@@ -145,10 +145,26 @@ def test_decode_stages(ray_session):
         assert f["phash_check"] == stored[f["image_id"]]
 
     thumbs = ds.map_batches(
-        ResizeStage, batch_format="pyarrow", batch_size=16, concurrency=(1, 2), num_cpus=1
+        ResizeStage,
+        fn_constructor_kwargs={"out": 16, "out_w": 24},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 2),
+        num_cpus=1,
     ).take_all()
     assert len(thumbs) == table.num_rows
-    assert all(len(t["thumb"]) == 64 for t in thumbs)
+    assert all(len(t["thumb"]) == 16 * 24 * 3 for t in thumbs)
+    assert all(t["thumb_h"] == 16 and t["thumb_w"] == 24 for t in thumbs)
+
+    gray = ds.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"mode": "gray"},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 2),
+        num_cpus=1,
+    ).take_all()
+    assert all(len(t["thumb"]) == 64 for t in gray)
 
 
 def test_decode_invariant_stage(ray_session):
@@ -348,3 +364,41 @@ def test_grayscale_jpeg_widens_to_three_channels():
     assert up.shape == (17, 24, 3)
     with pytest.raises(NotImplementedError):
         encode_jpeg_rgb8(g, progressive=True)
+
+
+def test_resize_kernels():
+    from raydedup.media import resize_bilinear, resize_image
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (12, 20, 3), np.uint8)
+    # identity is bit-exact
+    assert np.array_equal(resize_bilinear(img, 12, 20), img)
+    assert np.array_equal(resize_image(img, 12, 20), img)
+    # constants are preserved exactly by both paths
+    const = np.full((9, 7, 3), 123, np.uint8)
+    assert (resize_bilinear(const, 23, 5) == 123).all()
+    assert (resize_image(const, 3, 7) == 123).all()
+    # bilinear of a horizontal ramp matches an independent 1-D interp
+    w = 16
+    ramp = np.repeat(
+        np.repeat(np.arange(w, dtype=np.uint8)[None, :, None] * 10, 3, 2), 4, 0
+    ).reshape(4, w, 3)
+    ow = 40
+    out = resize_bilinear(ramp, 4, ow)
+    xs = (np.arange(ow) + 0.5) * (w / ow) - 0.5
+    exp = np.clip(
+        np.rint(np.interp(xs, np.arange(w), np.arange(w) * 10.0)), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(out[0, :, 0], exp)
+    assert (out == out[0:1]).all()  # rows identical
+    # integer-factor downscale is exact block means
+    blocks = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    area = resize_image(blocks, 2, 2)
+    exp = np.rint(
+        blocks.reshape(2, 4, 2, 4, 3).astype(np.float64).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    assert np.array_equal(area, exp)
+    # 2-D grayscale input round-trips shapes
+    g = rng.integers(0, 256, (10, 10), np.uint8)
+    assert resize_bilinear(g, 5, 7).shape == (5, 7)
+    assert resize_image(g, 5, 5).shape == (5, 5)
