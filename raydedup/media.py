@@ -11,9 +11,14 @@ The input table carries images as opaque ``bytes`` with typed metadata
   40 dB per-row decode invariant. Grayscale streams widen to 3
   channels and the EXIF Orientation tag is honored, so phashes are
   rotation-metadata-invariant.
-- anything else → ``NotImplementedError`` (clearly-marked stub per the
-  task brief; the Ray-side plumbing — schema, batch size, actor
-  signature — is real and tested either way).
+- ``gif``/``webp``/``bmp``/``tiff``: real from-scratch codecs
+  (:mod:`raydedup.gif` / :mod:`raydedup.webp` lossless VP8L /
+  :mod:`raydedup.bmp` / :mod:`raydedup.tiff` baseline 6.0).
+- anything else (avif, lossy-VP8, jpeg-xl, heic — formats whose DSP
+  tables can't be faithfully reproduced offline) →
+  ``NotImplementedError`` (clearly-marked stub per the task brief; the
+  Ray-side plumbing — schema, batch size, actor signature — is real
+  and tested either way).
 
 All functions are numpy-vectorized per image; batch loops live in the
 actor-pool stages (stages/media.py).
@@ -48,6 +53,14 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from raydedup.webp import decode_webp_rgb8
 
         return decode_webp_rgb8(data)
+    if fmt == "bmp":
+        from raydedup.bmp import decode_bmp_rgb8
+
+        return decode_bmp_rgb8(data)
+    if fmt in ("tiff", "tif"):
+        from raydedup.tiff import decode_tiff_rgb8
+
+        return decode_tiff_rgb8(data)
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")
 
 
