@@ -375,3 +375,113 @@ def encode_wav_alaw(pcm: np.ndarray, rate: int) -> bytes:
 def encode_wav_adpcm(pcm: np.ndarray, rate: int, block_align: int = 1024) -> bytes:
     payload = encode_ima_adpcm(pcm, block_align)
     return _wav_container(WAVE_FORMAT_IMA_ADPCM, 1, rate, 4, block_align, payload)
+
+
+# --------------------------------------------------------------- AIFF
+def _ext80_encode(rate: float) -> bytes:
+    """IEEE 754 80-bit extended float, the AIFF COMM sampleRate type:
+    1 sign bit, 15-bit exponent (bias 16383), 64-bit mantissa with an
+    EXPLICIT integer bit. Positive rates only (sample rates)."""
+    if rate <= 0:
+        raise ValueError("sample rate must be positive")
+    import math
+
+    m, e = math.frexp(rate)  # rate = m * 2**e, m in [0.5, 1)
+    exp = e - 1 + 16383
+    mant = int(m * (1 << 64))  # top bit set because m >= 0.5
+    return struct.pack(">H", exp) + struct.pack(">Q", mant)
+
+
+def _ext80_decode(b: bytes) -> float:
+    (exp,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    sign = -1.0 if exp & 0x8000 else 1.0
+    exp &= 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def encode_aiff_pcm16(pcm: np.ndarray, rate: int) -> bytes:
+    """Mono 16-bit AIFF (big-endian IFF FORM/AIFF with COMM + SSND)."""
+    pcm = np.asarray(pcm, dtype=np.int16)
+    comm = struct.pack(">hIh", 1, len(pcm), 16) + _ext80_encode(float(rate))
+    ssnd = struct.pack(">II", 0, 0) + pcm.astype(">i2").tobytes()
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) & 1:
+        chunks += b"\x00"
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+
+def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
+    """AIFF → (mono float64 samples in [-1, 1), rate). 8/16-bit PCM;
+    multi-channel is mean-mixed to mono like the WAV path."""
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(data):
+        cid, csz = struct.unpack_from(">4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + csz]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + csz + (csz & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    channels, nframes, bits = struct.unpack(">hIh", comm[:8])
+    rate = int(round(_ext80_decode(comm[8:18])))
+    off, _blk = struct.unpack(">II", ssnd[:8])
+    raw = ssnd[8 + off :]
+    if bits == 16:
+        x = np.frombuffer(raw, dtype=">i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = np.frombuffer(raw, dtype=np.int8).astype(np.float64) / 128.0
+    else:
+        raise NotImplementedError(f"AIFF {bits}-bit PCM not supported")
+    if channels > 1:
+        n = (len(x) // channels) * channels
+        x = x[:n].reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
+# ----------------------------------------------------------------- AU
+_AU_ULAW, _AU_PCM8, _AU_PCM16 = 1, 2, 3
+
+
+def encode_au_ulaw(pcm: np.ndarray, rate: int) -> bytes:
+    """Sun/NeXT .au: big-endian header, µ-law payload (encoding 1)."""
+    payload = encode_ulaw(pcm).tobytes()
+    head = b".snd" + struct.pack(">IIIII", 24, len(payload), _AU_ULAW, rate, 1)
+    return head + payload
+
+
+def encode_au_pcm16(pcm: np.ndarray, rate: int) -> bytes:
+    payload = np.asarray(pcm, dtype=">i2").tobytes()
+    head = b".snd" + struct.pack(">IIIII", 24, len(payload), _AU_PCM16, rate, 1)
+    return head + payload
+
+
+def decode_au(data: bytes) -> tuple[np.ndarray, int]:
+    """Sun/NeXT .au → (mono float64 in [-1, 1), rate). Encodings 1
+    (µ-law), 2 (linear PCM8) and 3 (linear PCM16 BE); variable data
+    offset honored; multi-channel mean-mixed."""
+    if len(data) < 24 or data[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    off, size, enc, rate, channels = struct.unpack(">IIIII", data[4:24])
+    end = len(data) if size in (0, 0xFFFFFFFF) else min(len(data), off + size)
+    raw = data[off:end]
+    if enc == _AU_ULAW:
+        x = decode_ulaw(raw).astype(np.float64) / 32768.0
+    elif enc == _AU_PCM8:
+        x = np.frombuffer(raw, dtype=np.int8).astype(np.float64) / 128.0
+    elif enc == _AU_PCM16:
+        x = np.frombuffer(raw, dtype=">i2").astype(np.float64) / 32768.0
+    else:
+        raise NotImplementedError(f"AU encoding {enc} not supported")
+    if channels > 1:
+        n = (len(x) // channels) * channels
+        x = x[:n].reshape(-1, channels).mean(axis=1)
+    return x, rate

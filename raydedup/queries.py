@@ -1188,7 +1188,7 @@ def _synth_media_path(kind: str, n: int) -> str:
     """Deterministic synthetic audio/video table, cached under /tmp."""
     import os
 
-    path = f"/tmp/raydedup_bench/{kind}_q_{n}_v3.parquet"  # v3: gif slice in videos, flac slice in audio
+    path = f"/tmp/raydedup_bench/{kind}_q_{n}_v4.parquet"  # v4: avi slice in videos, aiff/au slices in audio
     if not os.path.exists(path):
         os.makedirs("/tmp/raydedup_bench", exist_ok=True)
         import pyarrow.parquet as pq
@@ -1203,10 +1203,10 @@ def _synth_media_path(kind: str, n: int) -> str:
 
 def q_audio_features_synth(sf_dir: str):
     """Compressed-audio decode path: actor-pool feature extraction over
-    pcm16 / wav(IMA ADPCM) / µ-law / A-law / FLAC payloads.
+    pcm16 / wav(IMA ADPCM) / µ-law / A-law / FLAC / AIFF / AU payloads.
     Self-verifying: every row must decode and reproduce the original
-    signal's RMS within 2% (the companding error bound; FLAC is
-    lossless and lands exactly). Rows-only."""
+    signal's RMS within 2% (the companding error bound; FLAC and AIFF
+    are lossless and land exactly). Rows-only."""
     import ray.data as rd
 
     from raydedup.stages.grouped import ensure_hash_shuffle
@@ -1239,8 +1239,10 @@ def q_audio_features_synth(sf_dir: str):
 
 def q_video_frames_synth(sf_dir: str):
     """Compressed-video frame-sampling path: MJPEG (real from-scratch
-    JPEG codec), rawvideo and animated-GIF payloads (real GIF89a codec,
-    composited per disposal semantics) flat-mapped to sampled frames.
+    JPEG codec), rawvideo, animated-GIF (real GIF89a codec, composited
+    per disposal semantics) and MJPG-in-AVI payloads (RIFF container
+    walk — sampled frames come from '00dc' chunks with no marker scan)
+    flat-mapped to sampled frames.
     Self-verifying bit-exactly: each decoded frame's phash64 must equal
     the stored round-tripped phash (the decoded-pixels invariant).
     Rows-only."""

@@ -149,6 +149,10 @@ class AudioFeatureStage:
             if samples.ndim == 2:  # features over the mono mixdown
                 samples = samples.mean(axis=1)
             return samples.astype(np.float64) / 32768.0
+        if codec == "aiff":
+            return audio.decode_aiff(data)[0]
+        if codec == "au":
+            return audio.decode_au(data)[0]
         raise NotImplementedError(
             f"audio codec {codec!r}: no audio libraries in this environment"
         )
@@ -252,13 +256,21 @@ class FrameSampleStage:
                     o_bytes.append(blob[f * frame_sz : (f + 1) * frame_sz])
                     o_w.append(w)
                     o_h.append(h)
-            elif codec == "mjpeg":
-                offs = mjpeg_frame_offsets(blob)
+            elif codec in ("mjpeg", "avi"):
+                if codec == "avi":
+                    # container chunks give exact frame payloads with
+                    # no marker scan; only sampled frames are decoded
+                    from raydedup.video import parse_avi_mjpeg
+
+                    payloads, _, _, _ = parse_avi_mjpeg(blob)
+                    offs = [(None, p) for p in payloads]
+                else:
+                    offs = mjpeg_frame_offsets(blob)
                 for k, f in enumerate(range(0, min(n, len(offs)), self.every_n)):
                     if k >= self.max_frames:
                         break
                     a, b = offs[f]
-                    px = decode_mjpeg_frame(blob[a:b])
+                    px = decode_mjpeg_frame(b if a is None else blob[a:b])
                     o_id.append(vid)
                     o_idx.append(f)
                     o_bytes.append(px.tobytes())

@@ -403,7 +403,7 @@ def make_audio_table(n: int = 200, seed: int = 11, rate: int = 16000) -> pa.Tabl
     codecs reproduce RMS within ~2%; FLAC is lossless — exact)."""
     from raydedup import audio
 
-    codecs = ["pcm16", "wav", "ulaw", "alaw", "flac"]
+    codecs = ["pcm16", "wav", "ulaw", "alaw", "flac", "aiff", "au"]
     ids, blobs, rates, ns, cods, exp = [], [], [], [], [], []
     for i in range(n):
         rng = np.random.default_rng(seed + i)
@@ -424,6 +424,10 @@ def make_audio_table(n: int = 200, seed: int = 11, rate: int = 16000) -> pa.Tabl
             from raydedup.flac import encode_flac
 
             blob = encode_flac(pcm, rate)  # lossless: RMS reproduced exactly
+        elif codec == "aiff":
+            blob = audio.encode_aiff_pcm16(pcm, rate)  # lossless container
+        elif codec == "au":
+            blob = audio.encode_au_ulaw(pcm, rate)  # µ-law companded
         else:
             blob = audio.encode_alaw(pcm).tobytes()
         ids.append(f"aud-{i:06d}")
@@ -466,10 +470,18 @@ def make_videos_table(n: int = 40, seed: int = 13, w: int = 48, h: int = 32) -> 
             base = 128 + 60 * np.sin(x / 7.0 + phase + fidx * 0.5) + 50 * np.cos(y / 5.0 - fidx * 0.3)
             f = np.stack([base, np.roll(base, fidx, axis=1), base[::-1]], axis=-1)
             frames.append(np.clip(f + rng.normal(0, 2, f.shape), 0, 255).astype(np.uint8))
-        codec = ("mjpeg", "rawvideo", "gif")[i % 3]
+        codec = ("mjpeg", "rawvideo", "gif", "avi")[i % 4]
         if codec == "mjpeg":
             blob = encode_mjpeg(frames, quality=90)
             decoded = [decode_mjpeg_frame(p) for p in split_mjpeg(blob)]
+        elif codec == "avi":
+            # the container real crawl MJPEG arrives in: RIFF/AVI with
+            # MJPG '00dc' chunks; stored phashes from the round-tripped
+            # container walk, the same decoded-pixels invariant
+            from raydedup.video import encode_avi_mjpeg, parse_avi_mjpeg
+
+            blob = encode_avi_mjpeg(frames, fps=10, quality=90)
+            decoded = [decode_mjpeg_frame(p) for p in parse_avi_mjpeg(blob)[0]]
         elif codec == "gif":
             # animated GIF89a (3-3-2-quantized palette, diff-optimized
             # frames): stored phashes come from the round-tripped

@@ -88,3 +88,100 @@ def encode_mjpeg(frames: list[np.ndarray], quality: int = 90) -> bytes:
 def decode_mjpeg_frame(data: bytes) -> np.ndarray:
     """Decode one frame's bytes to (h, w, 3) uint8."""
     return decode_jpeg_rgb8(data)
+
+
+# ------------------------------------------------------------------ AVI
+# Minimal RIFF/AVI container around the MJPG fourcc — the form real
+# crawl MJPEG almost always arrives in. Layout per the public
+# AVI RIFF form: RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+# LIST('movi' 00dc...) idx1). Only what a frame sampler needs is
+# parsed: the video stream's frame chunks (by id), dimensions and
+# frame rate; audio streams ('##wb') are skipped.
+
+import struct as _struct
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 25, quality: int = 90) -> bytes:
+    """Encode frames as an MJPG-in-AVI file (one video stream, idx1
+    index). Frames must share (h, w)."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg_rgb8(f, quality=quality, subsample="444") for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + _struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(four: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", four + body)
+
+    maxb = max(len(p) for p in payloads)
+    avih = _struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, maxb * fps, 0, 0x10,  # usec/frame, byte rate, pad, HASINDEX
+        len(payloads), 0, 1, maxb, w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + _struct.pack(
+        "<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, len(payloads), maxb, 0xFFFFFFFF & -1, 0, 0, 0, w, h
+    )
+    # BITMAPINFOHEADER with biCompression = 'MJPG'
+    strf = _struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", p) for p in payloads)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per chunk, offsets relative to the start of 'movi'
+    idx = bytearray()
+    off = 4  # after the 'movi' fourcc
+    for p in payloads:
+        idx += b"00dc" + _struct.pack("<III", 0x10, off, len(p))  # AVIIF_KEYFRAME
+        off += 8 + len(p) + (len(p) & 1)
+    body = hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def parse_avi_mjpeg(data: bytes) -> tuple[list[bytes], int, int, int]:
+    """RIFF/AVI walk → (mjpeg frame payloads, w, h, fps). Only the
+    FIRST vids/MJPG stream's '##dc' chunks are collected; the movi
+    walk uses declared chunk sizes (no scanning). Raises on non-AVI
+    and on a video fourcc this environment has no codec for."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = fps = 0
+    vid_stream = None
+    fourcc = None
+    frames: list[bytes] = []
+    n_streams = 0
+
+    def walk(pos: int, end: int):
+        nonlocal w, h, fps, vid_stream, fourcc, n_streams
+        while pos + 8 <= end:
+            cid, csz = _struct.unpack_from("<4sI", data, pos)
+            body_start = pos + 8
+            body_end = min(body_start + csz, end)
+            if cid == b"LIST":
+                four = data[body_start : body_start + 4]
+                if four in (b"hdrl", b"strl", b"movi"):
+                    walk(body_start + 4, body_end)
+            elif cid == b"strh":
+                typ = data[body_start : body_start + 4]
+                if typ == b"vids" and vid_stream is None:
+                    vid_stream = n_streams
+                    fourcc = data[body_start + 4 : body_start + 8]
+                    scale, rate = _struct.unpack_from("<II", data, body_start + 20)
+                    fps = rate // scale if scale else 0
+                n_streams += 1
+            elif cid == b"avih":
+                w, h = _struct.unpack_from("<II", data, body_start + 32)
+            elif vid_stream is not None and cid[:2] == b"%02d" % vid_stream and cid[2:4] in (b"dc", b"db"):
+                frames.append(data[body_start:body_end])
+            pos = body_start + csz + (csz & 1)
+
+    walk(12, len(data))
+    if vid_stream is None:
+        raise ValueError("AVI has no video stream")
+    if fourcc not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(f"AVI video fourcc {fourcc!r} not supported")
+    return frames, int(w), int(h), int(fps)

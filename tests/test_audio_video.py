@@ -244,3 +244,109 @@ def test_frame_sample_stage_mjpeg(ray_session):
         assert (r["w"], r["h"]) == (48, 32)
         dec = np.frombuffer(r["frame_bytes"], dtype=np.uint8).reshape(32, 48, 3)
         assert psnr(frames[r["frame_idx"]], dec) >= 40.0
+
+
+def test_aiff_and_au_round_trips():
+    """AIFF (big-endian IFF, 80-bit extended sample rate) and Sun/NeXT
+    AU containers: lossless PCM16 round trips; AU µ-law matches the
+    raw µ-law kernel; ext80 is exact for every standard rate."""
+    import numpy as np
+
+    from raydedup.audio import (
+        _ext80_decode,
+        _ext80_encode,
+        decode_aiff,
+        decode_au,
+        decode_ulaw,
+        encode_aiff_pcm16,
+        encode_au_pcm16,
+        encode_au_ulaw,
+        encode_ulaw,
+    )
+
+    for r in (8000, 11025, 16000, 22050, 44100, 48000, 96000):
+        assert _ext80_decode(_ext80_encode(float(r))) == float(r)
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-20000, 20000, 4321).astype(np.int16)
+    x, r = decode_aiff(encode_aiff_pcm16(pcm, 16000))
+    assert r == 16000 and np.array_equal(x, pcm.astype(np.float64) / 32768.0)
+    x, r = decode_au(encode_au_pcm16(pcm, 44100))
+    assert r == 44100 and np.array_equal(x, pcm.astype(np.float64) / 32768.0)
+    x, r = decode_au(encode_au_ulaw(pcm, 8000))
+    ref = decode_ulaw(encode_ulaw(pcm).tobytes()).astype(np.float64) / 32768.0
+    assert r == 8000 and np.array_equal(x, ref)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_aiff(b"FORM\x00\x00\x00\x04WAVE")
+    with _pytest.raises(ValueError):
+        decode_au(b"nots" + b"\x00" * 24)
+
+
+def test_avi_mjpeg_container():
+    """RIFF/AVI container walk: chunked MJPG frames come back exactly
+    (no marker scanning), header dims/fps parse, and non-MJPG video
+    fourccs raise the env-stub error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from raydedup.media import psnr
+    from raydedup.video import (
+        decode_mjpeg_frame,
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = [
+        np.clip(np.cumsum(rng.integers(-2, 3, (24, 32, 3)), axis=1), 0, 255).astype(
+            np.uint8
+        )
+        for _ in range(6)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=10, quality=90)
+    fs, w, h, fps = parse_avi_mjpeg(avi)
+    assert (len(fs), w, h, fps) == (6, 32, 24, 10)
+    for payload, orig in zip(fs, frames):
+        assert psnr(decode_mjpeg_frame(payload), orig) > 40.0
+    with _pytest.raises(ValueError):
+        parse_avi_mjpeg(b"RIFF\x00\x00\x00\x04WAVE")
+    bad = avi.replace(b"MJPG", b"H264", 1)  # strh fourcc
+    with _pytest.raises(NotImplementedError):
+        parse_avi_mjpeg(bad)
+
+
+def test_frame_stage_handles_avi(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.media import phash64
+    from raydedup.stages.media import FrameSampleStage
+    from raydedup.synth import make_videos_table
+
+    table = make_videos_table(n=8)
+    codecs = table.column("codec").to_pylist()
+    assert "avi" in codecs  # the cycle must include the container path
+    out = rd.from_arrow(table).map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every_n": 5, "max_frames": 4, "strict": True},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=(1, 2),
+        num_cpus=1,
+    ).take_all()
+    stored = {
+        vid: ph
+        for vid, ph in zip(
+            table.column("video_id").to_pylist(),
+            table.column("frame_phashes").to_pylist(),
+        )
+    }
+    per_vid: dict = {}
+    for row in out:
+        w, h = row["w"], row["h"]
+        px = np.frombuffer(row["frame_bytes"], np.uint8).reshape(h, w, 3)
+        per_vid.setdefault(row["video_id"], []).append(phash64(px))
+    for vid, phs in per_vid.items():
+        assert phs == stored[vid][: len(phs)], vid
