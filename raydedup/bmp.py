@@ -163,3 +163,95 @@ def _encode_rle8(idx: np.ndarray) -> bytes:
         out += b"\x00\x00"  # end of line
     out += b"\x00\x01"  # end of data
     return bytes(out)
+
+
+# ------------------------------------------------------------------ ICO
+# Windows icon container (favicon.ico — ubiquitous in a web crawl).
+# ICONDIR + ICONDIRENTRY[count]; each payload is either a PNG stream
+# (modern form) or a BITMAPINFOHEADER DIB with doubled height (XOR
+# pixels + 1-bit AND transparency mask) and NO file header. Decode
+# picks the largest image; 32-bit entries carry real per-pixel alpha
+# (unlike plain BMP) and composite over white like every alpha path
+# in this package; the AND mask punches out fully-transparent pixels.
+
+
+def decode_ico_rgb8(data: bytes) -> np.ndarray:
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO")
+    (count,) = struct.unpack("<H", data[4:6])
+    if count == 0:
+        raise ValueError("empty ICO")
+    best = None
+    for i in range(count):
+        e = data[6 + 16 * i : 22 + 16 * i]
+        w, h = e[0] or 256, e[1] or 256
+        size, off = struct.unpack("<II", e[8:16])
+        if best is None or w * h > best[0]:
+            best = (w * h, w, h, data[off : off + size])
+    _, w, h, payload = best
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from raydedup.png import decode_png_rgb8
+
+        return decode_png_rgb8(payload)
+    # DIB form: reparse as a BMP by synthesizing the file header and
+    # halving the doubled height, then apply alpha/AND-mask over white
+    (hdr_size,) = struct.unpack("<I", payload[:4])
+    dw, dh2 = struct.unpack("<ii", payload[4:12])
+    bpp = struct.unpack("<H", payload[14:16])[0]
+    dh = dh2 // 2
+    (clr_used,) = struct.unpack("<I", payload[32:36])
+    pal_n = (clr_used or (1 << bpp)) if bpp <= 8 else 0
+    pix_off = 14 + hdr_size + 4 * pal_n
+    fixed = bytearray(payload)
+    struct.pack_into("<i", fixed, 8, dh)  # un-double the height
+    head = struct.pack("<2sIHHI", b"BM", 14 + len(fixed), 0, 0, pix_off)
+    xor_stride = ((dw * bpp + 31) // 32) * 4
+    xor_end = (pix_off - 14) + xor_stride * dh
+    rgb = decode_bmp_rgb8(head + bytes(fixed[:xor_end]))
+    # alpha: 32-bit entries carry a real alpha byte
+    if bpp == 32:
+        raw = np.frombuffer(payload, np.uint8, count=xor_stride * dh,
+                            offset=pix_off - 14).reshape(dh, xor_stride)
+        a = raw[:, : dw * 4].reshape(dh, dw, 4)[::-1, :, 3].astype(np.float64) / 255.0
+        rgb = np.clip(
+            np.rint(rgb * a[..., None] + 255.0 * (1 - a[..., None])), 0, 255
+        ).astype(np.uint8)
+    else:
+        # 1-bit AND mask follows the XOR image (rows padded to 32 bits)
+        and_stride = ((dw + 31) // 32) * 4
+        off = pix_off - 14 + xor_stride * dh
+        if off + and_stride * dh <= len(payload):
+            mask = np.frombuffer(payload, np.uint8, count=and_stride * dh,
+                                 offset=off).reshape(dh, and_stride)
+            bits = np.unpackbits(mask, axis=1)[:, :dw][::-1]  # bottom-up
+            rgb = np.where(bits[..., None] == 1, np.uint8(255), rgb)
+    return rgb
+
+
+def encode_ico_rgb8(pixels: np.ndarray, *, png: bool = True) -> bytes:
+    """(h, w, 3) uint8 (h, w ≤ 256) → single-image ICO; payload is a
+    PNG stream (modern form) or a 32-bit DIB with opaque alpha and an
+    empty AND mask. Lossless either way."""
+    h, w, _ = pixels.shape
+    if h > 256 or w > 256:
+        raise ValueError("ICO images are at most 256x256")
+    if png:
+        from raydedup.png import encode_png_rgb8
+
+        payload = encode_png_rgb8(pixels)
+        bpp = 32
+    else:
+        bgra = np.zeros((h, w, 4), np.uint8)
+        bgra[..., :3] = pixels[::-1, :, ::-1]  # bottom-up BGR
+        bgra[..., 3] = 255
+        and_stride = ((w + 31) // 32) * 4
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0,
+            h * w * 4 + and_stride * h, 0, 0, 0, 0,
+        )
+        payload = info + bgra.tobytes() + b"\x00" * (and_stride * h)
+        bpp = 32
+    entry = struct.pack(
+        "<BBBBHHII", w & 0xFF, h & 0xFF, 0, 0, 1, bpp, len(payload), 22
+    )
+    return b"\x00\x00\x01\x00\x01\x00" + entry + payload

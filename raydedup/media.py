@@ -57,6 +57,10 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from raydedup.bmp import decode_bmp_rgb8
 
         return decode_bmp_rgb8(data)
+    if fmt == "ico":
+        from raydedup.bmp import decode_ico_rgb8
+
+        return decode_ico_rgb8(data)
     if fmt in ("tiff", "tif"):
         from raydedup.tiff import decode_tiff_rgb8
 

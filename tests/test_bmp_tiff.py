@@ -292,3 +292,49 @@ def test_tiff_rejects():
     data[i + 8] = 7
     with pytest.raises(NotImplementedError):
         decode_tiff_rgb8(bytes(data))
+
+
+# ------------------------------------------------------------------ ICO
+def test_ico_round_trips_and_largest_entry():
+    from raydedup.bmp import decode_ico_rgb8, encode_ico_rgb8
+
+    rng = np.random.default_rng(31)
+    for shape in ((16, 16, 3), (32, 24, 3), (48, 48, 3)):
+        im = rng.integers(0, 256, shape, np.uint8)
+        for png in (True, False):
+            assert np.array_equal(decode_ico_rgb8(encode_ico_rgb8(im, png=png)), im)
+    # decode_image dispatch
+    im = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    assert np.array_equal(decode_image(encode_ico_rgb8(im), 16, 16, "ico"), im)
+    # multi-entry: decoder must pick the largest image
+    small = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    big = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    p_small = encode_ico_rgb8(small)[6 + 16 :]
+    p_big = encode_ico_rgb8(big)[6 + 16 :]
+    off0 = 6 + 32
+    e0 = struct.pack("<BBBBHHII", 8, 8, 0, 0, 1, 32, len(p_small), off0)
+    e1 = struct.pack("<BBBBHHII", 32, 32, 0, 0, 1, 32, len(p_big), off0 + len(p_small))
+    multi = b"\x00\x00\x01\x00\x02\x00" + e0 + e1 + p_small + p_big
+    assert np.array_equal(decode_ico_rgb8(multi), big)
+
+
+def test_ico_and_mask_punches_transparency():
+    """Hand-built 2×1 24-bit DIB icon whose AND mask marks pixel 0
+    transparent → white, pixel 1 opaque → its color."""
+    from raydedup.bmp import decode_ico_rgb8
+
+    w, h = 2, 1
+    xor_stride = ((w * 24 + 31) // 32) * 4
+    and_stride = ((w + 31) // 32) * 4
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h * 2, 1, 24, 0, xor_stride * h + and_stride * h,
+        0, 0, 0, 0,
+    )
+    xor_row = bytes([30, 20, 10, 60, 50, 40]) + b"\x00\x00"  # BGR ×2 + pad
+    and_row = bytes([0b10000000, 0, 0, 0])  # px0 transparent
+    payload = info + xor_row + and_row
+    entry = struct.pack("<BBBBHHII", w, h, 0, 0, 1, 24, len(payload), 22)
+    ico = b"\x00\x00\x01\x00\x01\x00" + entry + payload
+    out = decode_ico_rgb8(ico)
+    assert np.array_equal(out[0, 0], [255, 255, 255])
+    assert np.array_equal(out[0, 1], [40, 50, 60])
