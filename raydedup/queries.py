@@ -1131,7 +1131,7 @@ def _synth_images_path(n_base: int = 400) -> str:
     pipeline, independent of sf_dir."""
     import os
 
-    path = f"/tmp/raydedup_bench/images_q_{n_base}_v3.parquet"
+    path = f"/tmp/raydedup_bench/images_q_{n_base}_v4.parquet"
     if not os.path.exists(path):
         os.makedirs("/tmp/raydedup_bench", exist_ok=True)
         import pyarrow.parquet as pq

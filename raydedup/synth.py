@@ -281,6 +281,36 @@ def make_images_table(
         truth.root[iid] = biid
         truth.kind[iid] = "exif_rotated_dup"
 
+    # cross-format dups: ~1.5% of base rows re-served losslessly as
+    # bmp / tiff / ico — the classic crawl duplicate (same asset behind
+    # different format negotiations). Lossless codecs ⇒ identical
+    # decoded pixels ⇒ the phash channel collapses them with zero
+    # special-casing. Appended last; fresh captions via rng are fine
+    # because nothing after this consumes the stream.
+    from raydedup.bmp import encode_bmp_rgb8, encode_ico_rgb8
+    from raydedup.tiff import encode_tiff_rgb8
+
+    for k, bi in enumerate(rng.choice(n_base, size=max(1, (3 * n_base) // 200), replace=False)):
+        biid, bpx, bcap = base_rows[bi]
+        fmt = ("bmp", "tiff", "ico")[k % 3]
+        if fmt == "bmp":
+            data = encode_bmp_rgb8(bpx)
+        elif fmt == "tiff":
+            data = encode_tiff_rgb8(bpx)
+        else:
+            data = encode_ico_rgb8(bpx)
+        iid = f"img-{next_id:08d}"
+        next_id += 1
+        ids.append(iid)
+        blobs.append(data)
+        hs.append(bpx.shape[0])
+        ws.append(bpx.shape[1])
+        fmts.append(fmt)
+        caps.append(_caption(rng, vocab))
+        phashes.append(phash64(bpx))
+        truth.root[iid] = biid
+        truth.kind[iid] = "format_dup"
+
     table = pa.table(
         {
             "image_id": pa.array(ids, pa.string()),
@@ -379,7 +409,7 @@ def planted_recall(
         np.isin(kind, ("exact_dup", "skew_exact_caption"))
         | ((kind == "substring_dup") & (m["vid_tokens"].to_numpy() >= substring_window))
         | (
-            np.isin(kind, ("image_near_dup", "exif_rotated_dup"))
+            np.isin(kind, ("image_near_dup", "exif_rotated_dup", "format_dup"))
             & (m["simhash_dist"].to_numpy() <= simhash_bands - 1)
         )
     )

@@ -120,7 +120,7 @@ def test_fused_pipeline_covers_planted_structure(ray_session, corpus):
             return True
         if kind == "substring_dup":
             return len(caps[vid].split()) >= cfg.substring_window
-        if kind in ("image_near_dup", "exif_rotated_dup"):
+        if kind in ("image_near_dup", "exif_rotated_dup", "format_dup"):
             d = hamming_distance64(
                 simhash_from_phash(np.array([phash[vid]])),
                 simhash_from_phash(np.array([phash[base]])),
