@@ -389,12 +389,17 @@ def encode_jpeg_rgb8(
     subsample: str = "444",
     progressive: bool = False,
     orientation: int | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 -> JFIF bytes.
 
     ``orientation`` (1-8) writes a minimal Exif APP1 Orientation tag —
     the stored raster is ``pixels`` as given; a consumer that honors
     EXIF (``raydedup.media.decode_image`` does) re-orients on decode.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (baseline only) — the resync points real camera JPEGs carry,
+    which also let a decoder parallelize across intervals.
 
     subsample: "444" (1x1 all components) or "420" (2x2 luma; chroma
     mean-pooled to half resolution each axis).
@@ -453,6 +458,8 @@ def encode_jpeg_rgb8(
         comp_bw.append((padded.shape[1] // 8, padded.shape[0] // 8))
 
     if progressive:
+        if restart_interval:
+            raise NotImplementedError("restart markers: baseline encoder only")
         stream = _assemble_progressive(comp_zz, comp_bw, samp, qy, qc, h, w)
         if orientation is not None:
             # both assemblers start SOI (2) + APP0 (18); APP1 goes next
@@ -466,6 +473,21 @@ def encode_jpeg_rgb8(
 
     ncomp = len(planes)
     writer = _BitWriter()
+    entropy_parts: list[bytes] = []
+
+    def maybe_restart(m: int, preds: list[int]) -> None:
+        # close the current interval: byte-align (tobytes 1-pads),
+        # emit the cycling RSTn marker, reset DC predictions
+        nonlocal writer
+        if restart_interval and m and m % restart_interval == 0:
+            entropy_parts.append(writer.tobytes())
+            entropy_parts.append(
+                bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            )
+            writer = _BitWriter()
+            for i in range(len(preds)):
+                preds[i] = 0
+
     if ncomp == 1 or subsample == "444":
         # interleaved MCU = one block per component; all planes share
         # block geometry, so walk block index order with per-component
@@ -473,6 +495,7 @@ def encode_jpeg_rgb8(
         n = comp_zz[0].shape[0]
         preds = [0] * ncomp
         for b in range(n):
+            maybe_restart(b, preds)
             for ci in range(ncomp):
                 zz = comp_zz[ci][b]
                 dc_codes = dc_y if ci == 0 else dc_c
@@ -488,6 +511,7 @@ def encode_jpeg_rgb8(
         preds = [0, 0, 0]
         for my in range(mcu_h):
             for mx in range(mcu_w):
+                maybe_restart(my * mcu_w + mx, preds)
                 for dy in range(2):
                     for dx in range(2):
                         by = min(my * 2 + dy, ybh - 1)
@@ -502,7 +526,7 @@ def encode_jpeg_rgb8(
                     zz = comp_zz[ci][by * cbw + bx]
                     _encode_block(zz, int(zz[0]) - preds[ci], dc_c, ac_c, writer)
                     preds[ci] = int(zz[0])
-    entropy = writer.tobytes()
+    entropy = b"".join(entropy_parts) + writer.tobytes()
 
     # ------------------------------------------------------------ markers
     out = bytearray()
@@ -530,6 +554,8 @@ def encode_jpeg_rgb8(
     for tc_th, bits, vals in htabs:
         payload = bytes([tc_th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([ncomp])
     for ci in range(ncomp):

@@ -1164,8 +1164,9 @@ def q_image_dedup_synth(sf_dir: str):
 
 def q_image_features_synth(sf_dir: str):
     """Multimodal decode path: actor-pool decode of every payload
-    (raw + PNG codecs) emitting phash recheck + channel means; asserts
-    the stored phash column is reproduced bit-exactly. Rows-only."""
+    (raw / png / jpeg+EXIF / gif / webp / bmp / tiff / ico) emitting
+    phash recheck + channel means; asserts the stored phash column is
+    reproduced bit-exactly across all formats. Rows-only."""
     import ray.data as rd
 
     from raydedup.stages.grouped import ensure_hash_shuffle

@@ -402,3 +402,31 @@ def test_resize_kernels():
     g = rng.integers(0, 256, (10, 10), np.uint8)
     assert resize_bilinear(g, 5, 7).shape == (5, 7)
     assert resize_image(g, 5, 5).shape == (5, 5)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI + RSTn emission: restart intervals must not change decoded
+    pixels (the decoder byte-aligns and resets DC predictions at each
+    marker), across subsampling modes and grayscale, and the markers
+    must actually be present in the stream."""
+    from raydedup.jpeg import decode_jpeg_rgb8, encode_jpeg_rgb8
+
+    rng = np.random.default_rng(19)
+    img = np.clip(np.cumsum(rng.integers(-3, 4, (64, 80, 3)), axis=1), 0, 255).astype(
+        np.uint8
+    )
+    for sub in ("444", "420"):
+        base = decode_jpeg_rgb8(encode_jpeg_rgb8(img, quality=90, subsample=sub))
+        for ri in (1, 2, 5):
+            data = encode_jpeg_rgb8(img, quality=90, subsample=sub, restart_interval=ri)
+            assert b"\xff\xdd" in data
+            n_rst = sum(data.count(bytes([0xFF, 0xD0 + k])) for k in range(8))
+            assert n_rst > 0, (sub, ri)
+            assert np.array_equal(decode_jpeg_rgb8(data), base), (sub, ri)
+    g = img[..., 0]
+    d = encode_jpeg_rgb8(g, quality=90, restart_interval=3)
+    assert np.array_equal(
+        decode_jpeg_rgb8(d), decode_jpeg_rgb8(encode_jpeg_rgb8(g, quality=90))
+    )
+    with pytest.raises(NotImplementedError):
+        encode_jpeg_rgb8(img, progressive=True, restart_interval=2)
