@@ -11,9 +11,10 @@ The input table carries images as opaque ``bytes`` with typed metadata
   40 dB per-row decode invariant. Grayscale streams widen to 3
   channels and the EXIF Orientation tag is honored, so phashes are
   rotation-metadata-invariant.
-- ``gif``/``webp``/``bmp``/``tiff``: real from-scratch codecs
-  (:mod:`raydedup.gif` / :mod:`raydedup.webp` lossless VP8L /
-  :mod:`raydedup.bmp` / :mod:`raydedup.tiff` baseline 6.0).
+- ``gif``/``webp``/``bmp``/``ico``/``tiff``/``pnm``: real from-scratch
+  codecs (:mod:`raydedup.gif` / :mod:`raydedup.webp` lossless VP8L /
+  :mod:`raydedup.bmp` incl. ICO / :mod:`raydedup.tiff` baseline 6.0 /
+  Netpbm P5+P6 in this module).
 - anything else (avif, lossy-VP8, jpeg-xl, heic — formats whose DSP
   tables can't be faithfully reproduced offline) →
   ``NotImplementedError`` (clearly-marked stub per the task brief; the
@@ -65,6 +66,8 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from raydedup.tiff import decode_tiff_rgb8
 
         return decode_tiff_rgb8(data)
+    if fmt in ("pnm", "ppm", "pgm"):
+        return decode_pnm_rgb8(data)
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")
 
 
@@ -167,3 +170,45 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def encode_pnm_rgb8(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6); 2-D/1-channel input → PGM
+    (P5). The Netpbm interchange formats dataset tooling emits."""
+    if pixels.ndim == 2 or pixels.shape[2] == 1:
+        g = pixels.reshape(pixels.shape[0], pixels.shape[1])
+        head = f"P5\n{g.shape[1]} {g.shape[0]}\n255\n".encode()
+        return head + np.ascontiguousarray(g).tobytes()
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(pixels).tobytes()
+
+
+def decode_pnm_rgb8(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) → (h, w, 3) uint8. Handles comment
+    lines and arbitrary whitespace in the header; maxval ≤ 255."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise NotImplementedError("only binary PGM (P5) / PPM (P6) supported")
+    gray = data[:2] == b"P5"
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    n = w * h * (1 if gray else 3)
+    px = np.frombuffer(data, np.uint8, count=n, offset=pos)
+    if maxval != 255:
+        px = ((px.astype(np.uint16) * 255 + maxval // 2) // maxval).astype(np.uint8)
+    if gray:
+        return np.repeat(px.reshape(h, w, 1), 3, axis=2)
+    return px.reshape(h, w, 3).copy()

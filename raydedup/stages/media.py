@@ -3,11 +3,11 @@
 Images are opaque ``binary`` payloads with typed metadata (w, h, fmt).
 Each stage is a callable class for ``map_batches(Cls, concurrency=N,
 batch_size=B)`` — small batches because payloads are wide (the brief's
-memory-aware rule). The raw/png/jpeg/gif codecs are real from-scratch
-implementations (raydedup.media / raydedup.png / raydedup.jpeg /
-raydedup.gif — jpeg covers the lossy PSNR-invariant path, baseline
-AND progressive); other codecs raise ``NotImplementedError`` — a
-clearly-marked stub where this environment lacks image libraries, with
+memory-aware rule). The raw/png/jpeg/gif/webp/bmp/tiff/ico/pnm codecs
+are real from-scratch implementations (raydedup.media dispatches; jpeg
+covers the lossy PSNR-invariant path, baseline AND progressive, with
+EXIF Orientation honored); only DSP-table-bound codecs (lossy VP8,
+avif, heic) raise ``NotImplementedError`` — a clearly-marked stub with
 the Ray-side plumbing (schema, actor signature, output layout) real
 and tested.
 """

@@ -430,3 +430,21 @@ def test_jpeg_restart_markers_roundtrip():
     )
     with pytest.raises(NotImplementedError):
         encode_jpeg_rgb8(img, progressive=True, restart_interval=2)
+
+
+def test_pnm_round_trips():
+    from raydedup.media import decode_pnm_rgb8, encode_pnm_rgb8
+
+    rng = np.random.default_rng(23)
+    im = rng.integers(0, 256, (9, 13, 3), np.uint8)
+    assert np.array_equal(decode_pnm_rgb8(encode_pnm_rgb8(im)), im)
+    assert np.array_equal(decode_image(encode_pnm_rgb8(im), 13, 9, "ppm"), im)
+    g = rng.integers(0, 256, (5, 7), np.uint8)
+    out = decode_pnm_rgb8(encode_pnm_rgb8(g))
+    assert out.shape == (5, 7, 3) and np.array_equal(out[..., 0], g)
+    # header with comments and a non-255 maxval
+    data = b"P5\n# a comment\n 2 1\n# more\n63\n" + bytes([0, 63])
+    out = decode_pnm_rgb8(data)
+    assert out[0, 0, 0] == 0 and out[0, 1, 0] == 255
+    with pytest.raises(NotImplementedError):
+        decode_pnm_rgb8(b"P3\n1 1\n255\n0 0 0")  # ASCII form unsupported
