@@ -112,12 +112,14 @@ def phash64(img: np.ndarray) -> int:
     the mean. Returned as *signed* int64 (the table's storage type)."""
     cells = box_downsample(img, 8).reshape(-1)
     bits = cells > cells.mean()
-    word = 0
-    for i in range(64):
-        if bits[i]:
-            word |= 1 << i
+    # bit i = cell i: OR-reduce the shifted bits in one vector op
+    # (bit-exact with the original per-bit loop; pinned by the stored
+    # phash columns every image corpus and feature query re-checks)
+    word = np.bitwise_or.reduce(
+        bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)
+    )
     # reinterpret as signed int64
-    return int(np.uint64(word).astype(np.int64))
+    return int(word.astype(np.int64))
 
 
 def resize_bilinear(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
