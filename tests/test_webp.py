@@ -208,3 +208,28 @@ def test_decode_image_webp_fmt():
     rng = np.random.default_rng(9)
     img = rng.integers(0, 256, (14, 11, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(encode_webp_rgb8(img), 11, 14, "webp"), img)
+
+
+def test_webp_stress_random_geometries():
+    """Seeded sweep over 60 shape × content-class combinations (noise /
+    small-palette / gradient / constant, dims 1..69 including 1-pixel
+    edges) — every stream must round-trip bit-exactly."""
+    rng = np.random.default_rng(99)
+    for trial in range(60):
+        h = int(rng.integers(1, 70))
+        w = int(rng.integers(1, 70))
+        kind = trial % 4
+        if kind == 0:
+            im = rng.integers(0, 256, (h, w, 3), np.uint8)
+        elif kind == 1:
+            im = (
+                rng.integers(0, int(rng.integers(2, 20)), (h, w, 1)) * 13 % 256
+            ).astype(np.uint8) * np.ones((1, 1, 3), np.uint8)
+        elif kind == 2:
+            im = np.clip(
+                np.cumsum(rng.integers(-3, 4, (h, w, 3)), axis=1), 0, 255
+            ).astype(np.uint8)
+        else:
+            im = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+        out = decode_webp_rgb8(encode_webp_rgb8(im))
+        assert np.array_equal(out, im), (trial, h, w, kind)
