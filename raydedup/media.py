@@ -68,6 +68,10 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return decode_tiff_rgb8(data)
     if fmt in ("pnm", "ppm", "pgm"):
         return decode_pnm_rgb8(data)
+    if fmt == "tga":
+        from raydedup.tga import decode_tga_rgb8
+
+        return decode_tga_rgb8(data)
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this environment")
 
 

@@ -338,3 +338,50 @@ def test_ico_and_mask_punches_transparency():
     out = decode_ico_rgb8(ico)
     assert np.array_equal(out[0, 0], [255, 255, 255])
     assert np.array_equal(out[0, 1], [40, 50, 60])
+
+
+# ------------------------------------------------------------------ TGA
+def test_tga_round_trips_and_handbuilt_forms():
+    from raydedup.tga import decode_tga_rgb8, encode_tga_rgb8
+
+    rng = np.random.default_rng(41)
+    for shape in ((13, 17, 3), (1, 1, 3), (30, 4, 3)):
+        for rle in (False, True):
+            im = rng.integers(0, 256, shape, np.uint8)
+            assert np.array_equal(
+                decode_tga_rgb8(encode_tga_rgb8(im, rle=rle)), im
+            ), (shape, rle)
+    # runs-heavy image: RLE must actually compress
+    im = np.repeat(
+        rng.integers(0, 4, (8, 5, 1)).astype(np.uint8) * 70, 6, axis=1
+    ) * np.ones((1, 1, 3), np.uint8)
+    a = encode_tga_rgb8(im, rle=True)
+    assert np.array_equal(decode_tga_rgb8(a), im)
+    assert len(a) < len(encode_tga_rgb8(im))
+    # decode_image dispatch
+    im = rng.integers(0, 256, (6, 9, 3), np.uint8)
+    assert np.array_equal(decode_image(encode_tga_rgb8(im), 9, 6, "tga"), im)
+    # 16-bit 5-5-5, top-origin
+    v = (31 << 10) | 15
+    head = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 1, 1, 16, 0x20)
+    out = decode_tga_rgb8(head + struct.pack("<H", v))
+    assert out[0, 0].tolist() == [255, 0, 15 * 255 // 31]
+    # 8-bit palette bottom-up
+    pal = bytes([0, 0, 255, 0, 255, 0])  # BGR entries: red, green
+    head = struct.pack("<BBBHHBHHHHBB", 0, 1, 1, 0, 2, 24, 0, 0, 1, 2, 8, 0)
+    out = decode_tga_rgb8(head + pal + bytes([0, 1]))
+    assert np.array_equal(out[1, 0], [255, 0, 0])
+    assert np.array_equal(out[0, 0], [0, 255, 0])
+    # 32-bit BGRA composites over white
+    head = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 1, 1, 32, 0x20)
+    out = decode_tga_rgb8(head + bytes([50, 100, 200, 128]))
+    a = 128 / 255
+    exp = np.round(np.array([200, 100, 50]) * a + 255 * (1 - a)).astype(np.uint8)
+    assert np.array_equal(out[0, 0], exp)
+    # grayscale
+    head = struct.pack("<BBBHHBHHHHBB", 0, 0, 3, 0, 0, 0, 0, 0, 2, 1, 8, 0x20)
+    out = decode_tga_rgb8(head + bytes([7, 200]))
+    assert np.array_equal(out[0, 0], [7, 7, 7])
+    assert np.array_equal(out[0, 1], [200, 200, 200])
+    with pytest.raises(ValueError):
+        decode_tga_rgb8(b"\x00" * 10)
