@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "hll_users_per_type",
     "top_terms",
     "image_dedup_synth",
+    "image_thumbs_synth",
     "sliding_window_counts",
     "audio_features_synth",
     "video_frames_synth",
