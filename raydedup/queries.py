@@ -1348,11 +1348,67 @@ def q_image_thumbs_synth(sf_dir: str):
     return thumbs.select(["image_id", "thumb_w", "thumb_h"])
 
 
+def q_image_stream_dedup(sf_dir: str):
+    """STREAMING image dedup: the corpus arrives in order through a
+    sharded online :class:`raydedup.session.PhashSession` (the live
+    counterpart of the batch SimHash band path) — each chunk is
+    Hamming-verified against everything ingested before it, then
+    ingested itself; an image is a dup if some earlier image sits
+    within the banded Hamming budget. SELF-VERIFYING: the flags must
+    equal a brute-force prefix-Hamming sweep on the driver (exact
+    ground truth at corpus scale). Rows-only."""
+    import numpy as np
+    import ray.data as rd
+
+    from raydedup.session import PhashSession
+
+    ds = rd.read_parquet(_synth_images_path(), columns=["image_id", "phash"])
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    ids = t.column("image_id").to_pylist()
+    ph = np.array(t.column("phash").to_pylist(), dtype=np.int64)
+    sess = PhashSession(num_shards=4)
+    flags = np.zeros(len(ids), dtype=bool)
+    chunk = 128
+    for lo in range(0, len(ids), chunk):
+        hi = min(lo + chunk, len(ids))
+        if lo:
+            hits = sess.query_batch(ph[lo:hi])
+            flags[lo:hi] = [len(h) > 0 for h in hits]
+        sess.insert_batch(ids[lo:hi], ph[lo:hi])
+        # within-chunk arrivals: check against earlier rows of the
+        # same chunk too (ingest-then-probe keeps one RPC round; the
+        # self-hit and later-arrival hits are masked out)
+        if hi - lo > 1:
+            hits = sess.query_batch(ph[lo:hi])
+            for k, h in enumerate(hits):
+                others = set(h) - {ids[lo + k]}
+                if others & set(ids[lo : lo + k]):
+                    flags[lo + k] = True
+    # exact ground truth: any earlier image within Hamming <= 3
+    x = ph.view(np.uint64)
+    want = np.zeros(len(ids), dtype=bool)
+    for i in range(1, len(ids)):
+        xx = x[:i] ^ x[i]
+        d = np.zeros(i, dtype=np.int64)
+        while xx.any():
+            d += (xx & np.uint64(1)).astype(np.int64)
+            xx = xx >> np.uint64(1)
+        want[i] = bool((d <= 3).any())
+    assert np.array_equal(flags, want), "streaming flags diverge from ground truth"
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "is_dup": pa.array(flags.tolist(), pa.bool_()),
+        }
+    )
+
+
 QUERIES.update(
     {
         "image_dedup_synth": q_image_dedup_synth,
         "image_features_synth": q_image_features_synth,
         "image_thumbs_synth": q_image_thumbs_synth,
+        "image_stream_dedup": q_image_stream_dedup,
         "audio_features_synth": q_audio_features_synth,
         "video_frames_synth": q_video_frames_synth,
     }

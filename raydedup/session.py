@@ -634,3 +634,122 @@ class LshDeletionSession:
         if self._keys:
             self.session.remove_batch(self._keys)
             self._keys = []
+
+
+class PhashSession:
+    """Streaming near-duplicate IMAGE index: the online counterpart of
+    the batch SimHash band path (``stages/bands.py``), sharded across
+    the same Ray actors as :class:`MinHashLshSession` — what a crawler
+    uses to filter incoming images against everything ingested so far.
+
+    The 64-bit perceptual hash splits into ``bands`` equal bit-slices
+    (each slice is one uint64 band word for the inner session, so the
+    packed columnar RPC paths apply unchanged). By pigeonhole, two
+    hashes within Hamming distance ``bands - 1`` share at least one
+    identical slice, so candidate recall is exactly 1.0 at the default
+    radius (``hamming_k = bands - 1 = 3``, matching the batch
+    pipeline's budget). Each stored key is the composite
+    ``id-bytes + 8-byte big-endian phash``: candidates come back
+    carrying their phash, so Hamming verification is one vectorized
+    XOR-popcount on the driver — no driver-side id→phash store (which
+    would not be 100-TB-shaped) and no shard-protocol changes.
+    """
+
+    def __init__(
+        self, bands: int = 4, hamming_k: int | None = None, num_shards: int = 8
+    ):
+        if bands <= 0 or 64 % bands:
+            raise ValueError("bands must divide 64")
+        self.bands = int(bands)
+        self.width = 64 // self.bands
+        self.hamming_k = self.bands - 1 if hamming_k is None else int(hamming_k)
+        if self.hamming_k >= self.bands:
+            raise ValueError(
+                "recall guarantee requires hamming_k < bands (pigeonhole)"
+            )
+        self._inner = MinHashLshSession(
+            params=(self.bands, 1), num_perm=self.bands, num_shards=num_shards
+        )
+
+    # ------------------------------------------------------------- codec
+    def _words(self, phashes) -> np.ndarray:
+        ph = np.atleast_1d(np.asarray(phashes, dtype=np.int64)).view(np.uint64)
+        shifts = np.arange(self.bands, dtype=np.uint64) * np.uint64(self.width)
+        mask = np.uint64((1 << self.width) - 1)
+        return (ph[:, None] >> shifts[None, :]) & mask
+
+    @staticmethod
+    def _composite(ids, phashes) -> list[bytes]:
+        blob = (
+            np.atleast_1d(np.asarray(phashes, dtype=np.int64))
+            .astype(">i8")
+            .view(np.uint8)
+            .reshape(-1, 8)
+        )
+        return [
+            (i if isinstance(i, bytes) else str(i).encode()) + blob[k].tobytes()
+            for k, i in enumerate(ids)
+        ]
+
+    # -------------------------------------------------------------- ops
+    def insert(self, image_id, phash: int, check_duplication: bool = True) -> None:
+        self.insert_batch([image_id], [phash], check_duplication)
+
+    def insert_batch(self, ids, phashes, check_duplication: bool = True) -> None:
+        self._inner.insert_batch(
+            self._composite(ids, phashes), self._words(phashes), check_duplication
+        )
+
+    def query(self, phash: int) -> list:
+        return self.query_batch([phash])[0]
+
+    def query_batch(self, phashes) -> list[list]:
+        """Hamming-verified matches per query: decoded ids of every
+        stored image within ``hamming_k`` bits."""
+        ph = np.atleast_1d(np.asarray(phashes, dtype=np.int64)).view(np.uint64)
+        raw = self._inner.query_batch(self._words(phashes))
+        out: list[list] = []
+        for q, cands in zip(ph, raw):
+            if not cands:
+                out.append([])
+                continue
+            cph = np.frombuffer(
+                b"".join(c[-8:] for c in cands), dtype=">u8"
+            ).astype(np.uint64)
+            x = cph ^ q
+            dist = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                dist += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = np.flatnonzero(dist <= self.hamming_k)
+            out.append([cands[int(i)][:-8].decode() for i in keep])
+        return out
+
+    def remove(self, image_id, phash: int) -> None:
+        self.remove_batch([image_id], [phash])
+
+    def remove_batch(self, ids, phashes) -> None:
+        self._inner.remove_batch(self._composite(ids, phashes))
+
+    def count_keys(self) -> int:
+        return self._inner.count_keys()
+
+    def save(self, path: str) -> dict:
+        return self._inner.save(path)
+
+    @classmethod
+    def restore(
+        cls,
+        path: str,
+        bands: int = 4,
+        hamming_k: int | None = None,
+        num_shards: int | None = None,
+    ) -> "PhashSession":
+        self = cls.__new__(cls)
+        self.bands = int(bands)
+        self.width = 64 // self.bands
+        self.hamming_k = self.bands - 1 if hamming_k is None else int(hamming_k)
+        self._inner = MinHashLshSession.restore(path, num_shards=num_shards)
+        if self._inner.b != self.bands or self._inner.r != 1:
+            raise ValueError("checkpoint was not written by a PhashSession")
+        return self

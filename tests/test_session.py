@@ -223,3 +223,57 @@ def test_session_save_restore(ray_session, tmp_path):
         back.remove("k0")
         assert "k0" not in back and back.count_keys() == 39
         back.shutdown()
+
+
+def test_phash_session_matches_brute_force(ray_session):
+    """Streaming image index: query results must equal brute-force
+    Hamming<=k over everything inserted (recall 1.0 by pigeonhole at
+    k = bands-1, precision 1.0 by the XOR-popcount verify), and
+    remove/save/restore must behave like the MinHash session."""
+    import numpy as np
+
+    from raydedup.session import PhashSession
+    from raydedup.synth import make_images_table
+
+    table, _ = make_images_table(n_base=120, seed=7)
+    ids = table.column("image_id").to_pylist()
+    ph = np.array(table.column("phash").to_pylist(), dtype=np.int64)
+    s = PhashSession(num_shards=3)
+    s.insert_batch(ids, ph)
+    assert s.count_keys() == len(ids)
+    x = ph.view(np.uint64)
+    res = s.query_batch(ph)
+    for i in range(0, len(ids), 11):
+        xx = x ^ x[i]
+        d = np.zeros(len(x), np.int64)
+        while xx.any():
+            d += (xx & np.uint64(1)).astype(np.int64)
+            xx = xx >> np.uint64(1)
+        assert set(res[i]) == {ids[j] for j in np.flatnonzero(d <= 3)}, i
+    # perturbations within the budget are found; self-match always
+    q = int(np.int64(np.uint64(x[5]) ^ np.uint64(0b101)))  # 2 bit flips
+    assert ids[5] in s.query(q)
+    s.remove(ids[0], int(ph[0]))
+    assert ids[0] not in s.query(int(ph[0]))
+    with pytest.raises(ValueError):
+        PhashSession(bands=5)  # must divide 64
+    with pytest.raises(ValueError):
+        PhashSession(hamming_k=4)  # breaks the pigeonhole guarantee
+
+
+def test_phash_session_save_restore(ray_session, tmp_path):
+    import numpy as np
+
+    from raydedup.session import PhashSession
+
+    rng = np.random.default_rng(3)
+    ph = rng.integers(-(2**62), 2**62, 64).astype(np.int64)
+    ids = [f"im-{i}" for i in range(64)]
+    s = PhashSession(num_shards=2)
+    s.insert_batch(ids, ph)
+    s.save(str(tmp_path / "ck"))
+    s2 = PhashSession.restore(str(tmp_path / "ck"), num_shards=4)
+    for i in (0, 17, 63):
+        assert sorted(s2.query(int(ph[i]))) == sorted(s.query(int(ph[i])))
+    s2.insert("fresh", 12345)  # restored index stays mutable
+    assert "fresh" in s2.query(12345)
