@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "top_terms",
     "image_dedup_synth",
     "image_thumbs_synth",
+    "image_stream_dedup",
     "sliding_window_counts",
     "audio_features_synth",
     "video_frames_synth",
