@@ -41,7 +41,9 @@ class DecodeFeaturesStage:
                 ph.append(phash64(img))
                 means.append(img.reshape(-1, 3).mean(axis=0))
                 ok.append(True)
-            except NotImplementedError:
+            except Exception:
+                # crawl reality: corrupt payloads are guaranteed at
+                # scale — flag the row, never kill the batch
                 if self.strict:
                     raise
                 ph.append(0)
@@ -72,12 +74,19 @@ class ResizeStage:
     so downstream batches are dense and shuffles ship predictable
     bytes — the property a 100-TB thumbnail stage needs."""
 
-    def __init__(self, out: int = 8, out_w: int | None = None, mode: str = "rgb"):
+    def __init__(
+        self,
+        out: int = 8,
+        out_w: int | None = None,
+        mode: str = "rgb",
+        strict: bool = False,
+    ):
         if mode not in ("rgb", "gray"):
             raise ValueError(f"mode {mode!r}: rgb or gray")
         self.out_h = out
         self.out_w = out if out_w is None else out_w
         self.mode = mode
+        self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("image_id").to_pylist()
@@ -85,20 +94,28 @@ class ResizeStage:
         ws = batch.column("w").to_pylist()
         hs = batch.column("h").to_pylist()
         fmts = batch.column("fmt").to_pylist()
-        thumbs = []
+        out_ids, thumbs = [], []
         for i in range(len(ids)):
-            img = decode_image(blobs[i], ws[i], hs[i], fmts[i])
+            try:
+                img = decode_image(blobs[i], ws[i], hs[i], fmts[i])
+            except Exception:
+                # corrupt payload: drop the row (flat-map semantics) —
+                # a thumbnailer must not die to one bad crawl blob
+                if self.strict:
+                    raise
+                continue
             if self.mode == "gray":
                 t = np.clip(box_downsample(img, self.out_h), 0, 255).astype(np.uint8)
             else:
                 t = resize_image(img, self.out_h, self.out_w)
+            out_ids.append(ids[i])
             thumbs.append(t.tobytes())
         return pa.table(
             {
-                "image_id": pa.array(ids, pa.string()),
+                "image_id": pa.array(out_ids, pa.string()),
                 "thumb": pa.array(thumbs, pa.binary()),
-                "thumb_w": pa.array([self.out_w] * len(ids), pa.int32()),
-                "thumb_h": pa.array([self.out_h] * len(ids), pa.int32()),
+                "thumb_w": pa.array([self.out_w] * len(out_ids), pa.int32()),
+                "thumb_h": pa.array([self.out_h] * len(out_ids), pa.int32()),
             }
         )
 
@@ -194,7 +211,8 @@ class AudioFeatureStage:
                 zc.append(int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))))
                 dur.append(len(x) / max(rate, 1))
                 ok.append(True)
-            except NotImplementedError:
+            except Exception:
+                # corrupt payloads flag the row, never kill the batch
                 if self.strict:
                     raise
                 rms.append(0.0)
@@ -246,56 +264,61 @@ class FrameSampleStage:
         codecs = batch.column("codec").to_pylist()
         o_id, o_idx, o_bytes, o_w, o_h = [], [], [], [], []
         for vid, blob, w, h, n, codec in zip(ids, blobs, ws, hs, nf, codecs):
-            if codec == "rawvideo":
-                frame_sz = w * h * 3
-                for k, f in enumerate(range(0, n, self.every_n)):
-                    if k >= self.max_frames:
-                        break
-                    o_id.append(vid)
-                    o_idx.append(f)
-                    o_bytes.append(blob[f * frame_sz : (f + 1) * frame_sz])
-                    o_w.append(w)
-                    o_h.append(h)
-            elif codec in ("mjpeg", "avi"):
-                if codec == "avi":
-                    # container chunks give exact frame payloads with
-                    # no marker scan; only sampled frames are decoded
-                    from raydedup.video import parse_avi_mjpeg
+            # per-video buffers: a corrupt payload mid-decode drops the
+            # whole video (no partial emissions) instead of killing the
+            # batch — crawl-shaped behavior; strict=True raises
+            v_idx: list[int] = []
+            v_frames: list = []
+            try:
+                if codec == "rawvideo":
+                    frame_sz = w * h * 3
+                    for k, f in enumerate(range(0, n, self.every_n)):
+                        if k >= self.max_frames:
+                            break
+                        v_idx.append(f)
+                        v_frames.append((blob[f * frame_sz : (f + 1) * frame_sz], w, h))
+                elif codec in ("mjpeg", "avi"):
+                    if codec == "avi":
+                        # container chunks give exact frame payloads with
+                        # no marker scan; only sampled frames are decoded
+                        from raydedup.video import parse_avi_mjpeg
 
-                    payloads, _, _, _ = parse_avi_mjpeg(blob)
-                    offs = [(None, p) for p in payloads]
+                        payloads, _, _, _ = parse_avi_mjpeg(blob)
+                        offs = [(None, p) for p in payloads]
+                    else:
+                        offs = mjpeg_frame_offsets(blob)
+                    for k, f in enumerate(range(0, min(n, len(offs)), self.every_n)):
+                        if k >= self.max_frames:
+                            break
+                        a, b = offs[f]
+                        px = decode_mjpeg_frame(b if a is None else blob[a:b])
+                        v_idx.append(f)
+                        v_frames.append((px.tobytes(), px.shape[1], px.shape[0]))
+                elif codec == "gif":
+                    # animated GIF: frames depend on their predecessors
+                    # (disposal/transparency), so decode sequentially and
+                    # sample the composited frames
+                    frames = decode_gif(blob)
+                    for k, f in enumerate(range(0, min(n, len(frames)), self.every_n)):
+                        if k >= self.max_frames:
+                            break
+                        px = frames[f]
+                        v_idx.append(f)
+                        v_frames.append((px.tobytes(), px.shape[1], px.shape[0]))
                 else:
-                    offs = mjpeg_frame_offsets(blob)
-                for k, f in enumerate(range(0, min(n, len(offs)), self.every_n)):
-                    if k >= self.max_frames:
-                        break
-                    a, b = offs[f]
-                    px = decode_mjpeg_frame(b if a is None else blob[a:b])
-                    o_id.append(vid)
-                    o_idx.append(f)
-                    o_bytes.append(px.tobytes())
-                    o_w.append(px.shape[1])
-                    o_h.append(px.shape[0])
-            elif codec == "gif":
-                # animated GIF: frames depend on their predecessors
-                # (disposal/transparency), so decode sequentially and
-                # sample the composited frames
-                frames = decode_gif(blob)
-                for k, f in enumerate(range(0, min(n, len(frames)), self.every_n)):
-                    if k >= self.max_frames:
-                        break
-                    px = frames[f]
-                    o_id.append(vid)
-                    o_idx.append(f)
-                    o_bytes.append(px.tobytes())
-                    o_w.append(px.shape[1])
-                    o_h.append(px.shape[0])
-            elif self.strict:
-                raise NotImplementedError(
-                    f"video codec {codec!r}: no video libraries in this environment"
-                )
-            else:
+                    raise NotImplementedError(
+                        f"video codec {codec!r}: no video libraries in this environment"
+                    )
+            except Exception:
+                if self.strict:
+                    raise
                 continue
+            for f, (fb, fw, fh) in zip(v_idx, v_frames):
+                o_id.append(vid)
+                o_idx.append(f)
+                o_bytes.append(fb)
+                o_w.append(fw)
+                o_h.append(fh)
         return pa.table(
             {
                 "video_id": pa.array(o_id, pa.string()),

@@ -448,3 +448,74 @@ def test_pnm_round_trips():
     assert out[0, 0, 0] == 0 and out[0, 1, 0] == 255
     with pytest.raises(NotImplementedError):
         decode_pnm_rgb8(b"P3\n1 1\n255\n0 0 0")  # ASCII form unsupported
+
+
+def test_stages_survive_corrupt_payloads(ray_session):
+    """Crawl reality: corrupt blobs are guaranteed at scale — every
+    media stage must flag or drop the bad row, never kill the batch;
+    strict=True must still raise."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.media import (
+        AudioFeatureStage,
+        DecodeFeaturesStage,
+        FrameSampleStage,
+        ResizeStage,
+    )
+
+    rng = np.random.default_rng(29)
+    good = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    imgs = pa.table(
+        {
+            "image_id": pa.array(["ok", "bad-png", "bad-trunc"], pa.string()),
+            "bytes": pa.array(
+                [good.tobytes(), b"\x89PNG\r\n\x1a\ngarbage", b"\xff\xd8\xff"],
+                pa.binary(),
+            ),
+            "w": pa.array([8, 8, 8], pa.int32()),
+            "h": pa.array([8, 8, 8], pa.int32()),
+            "fmt": pa.array(["raw", "png", "jpeg"], pa.string()),
+        }
+    )
+    feats = DecodeFeaturesStage()(imgs)
+    assert feats.column("decode_ok").to_pylist() == [True, False, False]
+    thumbs = ResizeStage(4)(imgs)
+    assert thumbs.column("image_id").to_pylist() == ["ok"]  # bad rows dropped
+    with pytest.raises(Exception):
+        DecodeFeaturesStage(strict=True)(imgs)
+    with pytest.raises(Exception):
+        ResizeStage(4, strict=True)(imgs)
+
+    auds = pa.table(
+        {
+            "audio_id": pa.array(["ok", "bad"], pa.string()),
+            "bytes": pa.array(
+                [np.zeros(100, np.int16).tobytes(), b"fLaCbroken"], pa.binary()
+            ),
+            "sample_rate": pa.array([8000, 8000], pa.int32()),
+            "n_samples": pa.array([100, 100], pa.int32()),
+            "codec": pa.array(["pcm16", "flac"], pa.string()),
+        }
+    )
+    af = AudioFeatureStage()(auds)
+    assert af.column("decode_ok").to_pylist() == [True, False]
+    with pytest.raises(Exception):
+        AudioFeatureStage(strict=True)(auds)
+
+    vids = pa.table(
+        {
+            "video_id": pa.array(["ok", "bad"], pa.string()),
+            "bytes": pa.array(
+                [good.tobytes() * 3, b"RIFFbroken-avi-payload"], pa.binary()
+            ),
+            "w": pa.array([8, 8], pa.int32()),
+            "h": pa.array([8, 8], pa.int32()),
+            "n_frames": pa.array([3, 3], pa.int32()),
+            "codec": pa.array(["rawvideo", "avi"], pa.string()),
+        }
+    )
+    vf = FrameSampleStage(every_n=1, max_frames=2)(vids)
+    assert set(vf.column("video_id").to_pylist()) == {"ok"}
+    with pytest.raises(Exception):
+        FrameSampleStage(every_n=1, strict=True)(vids)
