@@ -55,7 +55,7 @@ def ensure_bench_table(n_base: int, with_images: bool = True) -> str:
     ``*_truth.parquet`` (see synth.truth_pairs_table) so benches report
     dup-pair recall — the north-rule headline — at corpus scale."""
     suffix = "" if with_images else "_nopix"
-    path = f"/tmp/raydedup_bench/images_{n_base}{suffix}_rg4k_v4.parquet"
+    path = f"/tmp/raydedup_bench/images_{n_base}{suffix}_rg4k_v5.parquet"
     tpath = truth_path(path)
     if not (os.path.exists(path) and os.path.exists(tpath)):
         os.makedirs("/tmp/raydedup_bench", exist_ok=True)

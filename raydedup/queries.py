@@ -1131,7 +1131,7 @@ def _synth_images_path(n_base: int = 400) -> str:
     pipeline, independent of sf_dir."""
     import os
 
-    path = f"/tmp/raydedup_bench/images_q_{n_base}_v4.parquet"
+    path = f"/tmp/raydedup_bench/images_q_{n_base}_v5.parquet"
     if not os.path.exists(path):
         os.makedirs("/tmp/raydedup_bench", exist_ok=True)
         import pyarrow.parquet as pq
@@ -1165,8 +1165,13 @@ def q_image_dedup_synth(sf_dir: str):
 def q_image_features_synth(sf_dir: str):
     """Multimodal decode path: actor-pool decode of every payload
     (raw / png / jpeg+EXIF / gif / webp / bmp / tiff / ico) emitting
-    phash recheck + channel means; asserts the stored phash column is
-    reproduced bit-exactly across all formats. Rows-only."""
+    phash recheck + channel means. SELF-VERIFYING: the stored phash
+    column must be reproduced bit-exactly for every decodable row, and
+    decode_ok must be False for EXACTLY the corpus's planted corrupt
+    blobs (the last three rows — valid metadata, undecodable bytes):
+    a hardened stage flags storage-truncated payloads instead of
+    dying, and a codec regression cannot hide behind the flag.
+    Rows-only."""
     import ray.data as rd
 
     from raydedup.stages.grouped import ensure_hash_shuffle
@@ -1182,7 +1187,23 @@ def q_image_features_synth(sf_dir: str):
         num_cpus=1,
         max_restarts=0,
     )
-    return feats.select_columns(["image_id", "phash_check", "decode_ok"])
+    out = pa.concat_tables(list(feats.iter_batches(batch_format="pyarrow")))
+    stored = pa.concat_tables(
+        list(
+            rd.read_parquet(
+                _synth_images_path(), columns=["image_id", "phash"]
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    j = out.join(stored, keys=["image_id"]).sort_by("image_id")
+    ok = np.asarray(j.column("decode_ok"))
+    bad_ids = {r for r, o in zip(j.column("image_id").to_pylist(), ok) if not o}
+    expect_bad = set(sorted(stored.column("image_id").to_pylist())[-3:])
+    assert bad_ids == expect_bad, (bad_ids, expect_bad)
+    got = np.asarray(j.column("phash_check"))[ok]
+    want = np.asarray(j.column("phash"))[ok]
+    assert np.array_equal(got, want), "decoded phash diverges from stored"
+    return j.select(["image_id", "phash_check", "decode_ok"])
 
 
 def _synth_media_path(kind: str, n: int) -> str:

@@ -54,6 +54,7 @@ class GroundTruth:
     root: dict[str, str] = field(default_factory=dict)  # image_id -> base image_id
     kind: dict[str, str] = field(default_factory=dict)  # image_id -> planted kind
     skew_caption_ids: list[str] = field(default_factory=list)
+    corrupt_ids: list[str] = field(default_factory=list)  # undecodable payloads
 
     def pairs(self) -> set[tuple[str, str]]:
         out = set()
@@ -310,6 +311,52 @@ def make_images_table(
         phashes.append(phash64(bpx))
         truth.root[iid] = biid
         truth.kind[iid] = "format_dup"
+
+    # corrupt payloads: three rows whose METADATA is valid (caption,
+    # phash, dims — computed upstream, as in a real crawl) but whose
+    # bytes are undecodable (bad zlib stream / headerless JPEG / bad
+    # VP8L signature — the storage-truncation class). Always the LAST
+    # rows of the table so consumers can assert exactly which rows a
+    # hardened decode stage must flag without killing the batch. Not
+    # planted as dups: phashes are fresh.
+    import struct as _struct
+
+    corrupt_blobs = [
+        (
+            b"\x89PNG\r\n\x1a\n"
+            + b"\x00\x00\x00\x0dIHDR"
+            + _struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)
+            + b"XXXX"
+            + b"\x00\x00\x00\x04IDAT"
+            + b"nota"
+            + b"XXXX"
+            + b"\x00\x00\x00\x00IEND"
+            + b"XXXX",
+            "png",
+        ),
+        (
+            b"\xff\xd8\xff\xe0"
+            + _struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+            + b"\xff\xd9",
+            "jpeg",
+        ),
+        (
+            b"RIFF" + _struct.pack("<I", 13) + b"WEBPVP8L" + _struct.pack("<I", 2) + b"\x00\x00",
+            "webp",
+        ),
+    ]
+    for data, fmt in corrupt_blobs:
+        iid = f"img-{next_id:08d}"
+        next_id += 1
+        ids.append(iid)
+        blobs.append(data)
+        hs.append(8)
+        ws.append(8)
+        fmts.append(fmt)
+        caps.append(_caption(rng, vocab))
+        phashes.append(phash64(_pixels(next_id, 8, 8, seed + 40_000_000)))
+        truth.corrupt_ids.append(iid)
 
     table = pa.table(
         {

@@ -132,17 +132,20 @@ def test_decode_stages(ray_session):
     from raydedup.stages.media import DecodeFeaturesStage, ResizeStage
     from raydedup.synth import make_images_table
 
-    table, _ = make_images_table(n_base=40, seed=42)
+    table, truth = make_images_table(n_base=40, seed=42)
+    corrupt = set(truth.corrupt_ids)
     ds = rd.from_arrow(table)
     feats = ds.map_batches(
         DecodeFeaturesStage, batch_format="pyarrow", batch_size=16, concurrency=(1, 2), num_cpus=1
     ).take_all()
     assert len(feats) == table.num_rows
-    assert all(f["decode_ok"] for f in feats)
+    # decode_ok is False for exactly the planted corrupt rows
+    assert {f["image_id"] for f in feats if not f["decode_ok"]} == corrupt
     # recomputed phash must equal the stored phash column
     stored = dict(zip(table.column("image_id").to_pylist(), table.column("phash").to_pylist()))
     for f in feats:
-        assert f["phash_check"] == stored[f["image_id"]]
+        if f["image_id"] not in corrupt:
+            assert f["phash_check"] == stored[f["image_id"]]
 
     thumbs = ds.map_batches(
         ResizeStage,
@@ -152,7 +155,7 @@ def test_decode_stages(ray_session):
         concurrency=(1, 2),
         num_cpus=1,
     ).take_all()
-    assert len(thumbs) == table.num_rows
+    assert len(thumbs) == table.num_rows - len(corrupt)  # bad rows dropped
     assert all(len(t["thumb"]) == 16 * 24 * 3 for t in thumbs)
     assert all(t["thumb_h"] == 16 and t["thumb_w"] == 24 for t in thumbs)
 

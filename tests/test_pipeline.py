@@ -203,10 +203,15 @@ def test_decode_invariant(corpus):
     from raydedup.media import decode_image, psnr
     from raydedup.synth import _pixels
 
-    table, _ = corpus
+    table, truth = corpus
+    corrupt = set(truth.corrupt_ids)
     n_lossy = 0
     for i in range(table.num_rows):
         row = {c: table.column(c)[i].as_py() for c in ("image_id", "bytes", "w", "h", "fmt")}
+        if row["image_id"] in corrupt:
+            with pytest.raises(Exception):
+                decode_image(row["bytes"], row["w"], row["h"], row["fmt"])
+            continue
         img = decode_image(row["bytes"], row["w"], row["h"], row["fmt"])
         assert img.shape == (row["h"], row["w"], 3)
         if row["fmt"] == "png":
