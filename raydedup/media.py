@@ -33,8 +33,41 @@ from raydedup.jpeg import decode_jpeg_rgb8, encode_jpeg_rgb8  # noqa: F401 (re-e
 from raydedup.png import decode_png_rgb8, encode_png_rgb8  # noqa: F401 (re-export)
 
 
+def sniff_format(data: bytes) -> str | None:
+    """Identify an image payload by magic bytes — crawl metadata lies
+    (a JPEG served under a .png URL is routine), and every container
+    here except raw/TGA is self-describing. Returns a ``decode_image``
+    fmt string, or None when nothing matches."""
+    if len(data) < 4:
+        return None
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:4] == b"\x00\x00\x01\x00":
+        return "ico"
+    if data[:2] in (b"II", b"MM") and data[2:4] in (b"*\x00", b"\x00*"):
+        return "tiff"
+    if data[:2] in (b"P5", b"P6"):
+        return "pnm"
+    return None
+
+
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """Decode one image payload to (h, w, 3) uint8."""
+    """Decode one image payload to (h, w, 3) uint8. ``fmt="auto"``
+    sniffs the container by magic bytes (raw/TGA carry none and must
+    be declared)."""
+    if fmt == "auto":
+        sniffed = sniff_format(data)
+        if sniffed is None:
+            raise ValueError("cannot sniff image format (no known magic)")
+        fmt = sniffed
     if fmt == "raw":
         return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "png":

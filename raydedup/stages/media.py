@@ -17,7 +17,13 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from raydedup.media import box_downsample, decode_image, phash64, resize_image
+from raydedup.media import (
+    box_downsample,
+    decode_image,
+    phash64,
+    resize_image,
+    sniff_format,
+)
 
 
 class DecodeFeaturesStage:
@@ -36,16 +42,27 @@ class DecodeFeaturesStage:
         fmts = batch.column("fmt").to_pylist()
         ph, means, ok = [], [], []
         for i in range(len(ids)):
+            img = None
             try:
                 img = decode_image(blobs[i], ws[i], hs[i], fmts[i])
+            except Exception:
+                if self.strict:
+                    raise
+                # crawl reality: metadata lies — before flagging, retry
+                # under the magic-byte-sniffed container (a JPEG served
+                # as .png is routine); raw/TGA have no magic and stay
+                # declared-only
+                sniffed = sniff_format(blobs[i])
+                if sniffed is not None and sniffed != fmts[i]:
+                    try:
+                        img = decode_image(blobs[i], ws[i], hs[i], sniffed)
+                    except Exception:
+                        img = None
+            if img is not None:
                 ph.append(phash64(img))
                 means.append(img.reshape(-1, 3).mean(axis=0))
                 ok.append(True)
-            except Exception:
-                # crawl reality: corrupt payloads are guaranteed at
-                # scale — flag the row, never kill the batch
-                if self.strict:
-                    raise
+            else:
                 ph.append(0)
                 means.append(np.zeros(3))
                 ok.append(False)

@@ -522,3 +522,55 @@ def test_stages_survive_corrupt_payloads(ray_session):
     assert set(vf.column("video_id").to_pylist()) == {"ok"}
     with pytest.raises(Exception):
         FrameSampleStage(every_n=1, strict=True)(vids)
+
+
+def test_format_sniffing_and_mislabeled_payloads():
+    """Crawl metadata lies: a payload served under the wrong fmt must
+    still decode via magic-byte sniffing — decode_image(fmt="auto")
+    directly, and DecodeFeaturesStage's sniff-retry on declared-fmt
+    failure."""
+    import pyarrow as pa
+
+    from raydedup.media import sniff_format
+    from raydedup.png import encode_png_rgb8
+    from raydedup.stages.media import DecodeFeaturesStage
+
+    rng = np.random.default_rng(31)
+    im = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    from raydedup.bmp import encode_bmp_rgb8, encode_ico_rgb8
+    from raydedup.jpeg import encode_jpeg_rgb8
+    from raydedup.media import encode_pnm_rgb8
+    from raydedup.tiff import encode_tiff_rgb8
+    from raydedup.webp import encode_webp_rgb8
+
+    blobs = {
+        "png": encode_png_rgb8(im),
+        "jpeg": encode_jpeg_rgb8(im),
+        "webp": encode_webp_rgb8(im),
+        "bmp": encode_bmp_rgb8(im),
+        "ico": encode_ico_rgb8(im),
+        "tiff": encode_tiff_rgb8(im),
+        "pnm": encode_pnm_rgb8(im),
+    }
+    for fmt, blob in blobs.items():
+        assert sniff_format(blob) == fmt, fmt
+        out = decode_image(blob, 8, 8, "auto")
+        assert out.shape == (8, 8, 3)
+    assert sniff_format(im.tobytes()) is None
+    with pytest.raises(ValueError):
+        decode_image(im.tobytes(), 8, 8, "auto")
+
+    # stage: a PNG mislabeled as jpeg decodes via sniff-retry with the
+    # correct phash; garbage stays flagged
+    batch = pa.table(
+        {
+            "image_id": pa.array(["mislabeled", "garbage"], pa.string()),
+            "bytes": pa.array([blobs["png"], b"\x00\x01\x02\x03" * 4], pa.binary()),
+            "w": pa.array([8, 8], pa.int32()),
+            "h": pa.array([8, 8], pa.int32()),
+            "fmt": pa.array(["jpeg", "png"], pa.string()),
+        }
+    )
+    feats = DecodeFeaturesStage()(batch)
+    assert feats.column("decode_ok").to_pylist() == [True, False]
+    assert feats.column("phash_check").to_pylist()[0] == phash64(im)
