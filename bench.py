@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "substring_pairs_docs",
     "ngram_jaccard_docs",
     "containment_pairs_docs",
+    "decontaminate_docs",
     "embedding_near_dup",
     "ann_topk",
     "token_counts",

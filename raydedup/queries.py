@@ -180,6 +180,61 @@ def q_langid_docs(sf_dir: str):
     )
 
 
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination — the LLM-pipeline op of removing
+    training documents that leak evaluation data (the GPT-3-style
+    n-gram overlap check). The "benchmark set" here is the 30-char
+    prefixes of documents with ``doc_id % 29 == 0`` (a deterministic
+    stand-in for an external eval file, which is always
+    metadata-small); a document is contaminated when it contains any
+    OTHER benchmark doc's snippet. The snippet list broadcasts once
+    via ``ray.put`` and matching is one vectorized
+    ``pc.match_substring`` per snippet per batch — no shuffle, no
+    join: the 100-TB shape for a small probe set against a huge
+    corpus. Fully oracled (strpos cross-join in SQL)."""
+    import ray
+
+    def bench_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = (ids % 29 == 0) & (
+            pc.utf8_length(t.column("text")).to_numpy(zero_copy_only=False) >= 30
+        )
+        return t.filter(pa.array(keep))
+
+    bench = pa.concat_tables(
+        list(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(bench_rows, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    snips = [
+        (int(i), t[:30])
+        for i, t in zip(
+            bench.column("doc_id").to_pylist(), bench.column("text").to_pylist()
+        )
+    ]
+    ref = ray.put(snips)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        sn = ray.get(ref)  # tiny; cached in the worker's plasma client
+        ids = batch.column("doc_id")
+        idnp = ids.to_numpy()
+        acc = np.zeros(len(batch), dtype=bool)
+        for bid, s in sn:
+            m = pc.match_substring(batch.column("text"), s).to_numpy(
+                zero_copy_only=False
+            )
+            acc |= m & (idnp != bid)
+        return pa.table(
+            {"doc_id": ids, "contaminated": pa.array(acc, pa.bool_())}
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
 def q_fingerprint_docs(sf_dir: str):
     from raydedup.stages.text import fingerprint_batch
 
@@ -629,6 +684,20 @@ def q_ann_lsh_topk(sf_dir: str):
 # ------------------------------------------------------------------ oracles
 ORACLES: dict[str, str] = {
     "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    "decontaminate_docs": r"""
+        WITH bench AS (
+            SELECT doc_id AS bid, substring(text, 1, 30) AS snip
+            FROM documents
+            WHERE doc_id % 29 = 0 AND length(text) >= 30
+        )
+        SELECT d.doc_id AS doc_id,
+               COALESCE(
+                   bool_or(strpos(d.text, b.snip) > 0 AND b.bid <> d.doc_id),
+                   FALSE
+               ) AS contaminated
+        FROM documents d LEFT JOIN bench b ON TRUE
+        GROUP BY d.doc_id
+    """,
     "token_counts": r"SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens FROM documents",
     "doc_quality": r"""
         WITH t AS (
@@ -724,6 +793,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "langid_docs": q_langid_docs,
     "fingerprint_docs": q_fingerprint_docs,
+    "decontaminate_docs": q_decontaminate_docs,
     "top_terms": q_top_terms,
     "docs_per_source": q_docs_per_source,
     "events_per_type": q_events_per_type,
