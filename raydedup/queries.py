@@ -235,6 +235,93 @@ def q_decontaminate_docs(sf_dir: str):
     )
 
 
+def q_repetition_docs(sf_dir: str):
+    """Gopher-style within-document repetition signals (duplicate-word /
+    top-word / duplicate-2-gram counts) — the canonical repetition
+    quality filter for training corpora, emitted as exact integer
+    counts (ratios derive downstream). Pure per-batch kernel: no
+    shuffle, streams at any scale."""
+    from raydedup.stages.text import repetition_batch
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(lambda t: repetition_batch(t), batch_format="pyarrow")
+        .select_columns(["doc_id", "n_words", "max_word_n", "n_2gram", "n_2gram_distinct"])
+    )
+
+
+def q_token_rarity_docs(sf_dir: str):
+    """Corpus-frequency rarity scoring (the KenLM-perplexity-proxy
+    quality filter): pass 1 builds the corpus token-frequency table
+    (partial ``value_counts`` per batch → small groupby — the
+    pre-aggregation pattern); pass 2 broadcasts it once via ``ray.put``
+    and gathers per-doc ``sum`` of token corpus-frequencies with one
+    ``index_in`` + ``reduceat`` per batch. Integer outputs → exact
+    oracle. At 100 TB the exact vocab table is replaced by top-K exact
+    + count-min tail (``raydedup.cms``) behind the same broadcast; the
+    size guard below marks the switch point."""
+    import ray
+
+    def explode_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch.column("text")))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field(0), "n_part": vc.field(1)})
+
+    freq_ds = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(explode_counts, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n_part")
+    )
+    if freq_ds.count() > 5_000_000:  # broadcast guard: switch to top-K + CMS
+        raise NotImplementedError(
+            "vocabulary exceeds the exact-broadcast budget; wire the "
+            "count-min tail (raydedup.cms) here for open-vocab corpora"
+        )
+    freq_tbl = pa.concat_tables(list(freq_ds.iter_batches(batch_format="pyarrow")))
+    vocab = freq_tbl.column("token").combine_chunks()
+    counts = freq_tbl.column("sum(n_part)").to_numpy(zero_copy_only=False).astype(np.int64)
+    ref = ray.put((vocab, counts))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vb, cb = ray.get(ref)  # cached in the worker's plasma client
+        col = pc.fill_null(batch.column("text"), "")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(batch)
+        words = pc.utf8_split_whitespace(col)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        n_tok = np.zeros(n, np.int64)
+        sums = np.zeros(n, np.int64)
+        if len(flat):
+            offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]
+            docidx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            docidx = docidx[keep]
+            pos = pc.index_in(flat.filter(pa.array(keep)), value_set=vb).to_numpy(
+                zero_copy_only=False
+            )
+            if len(pos):
+                w = cb[pos.astype(np.int64)]  # every token is in the corpus vocab
+                n_tok += np.bincount(docidx, minlength=n).astype(np.int64)
+                np.add.at(sums, docidx, w)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "sum_token_freq": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 def q_fingerprint_docs(sf_dir: str):
     from raydedup.stages.text import fingerprint_batch
 
@@ -699,6 +786,50 @@ ORACLES: dict[str, str] = {
         GROUP BY d.doc_id
     """,
     "token_counts": r"SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens FROM documents",
+    "repetition_docs": r"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+            FROM documents
+        ),
+        tw AS (
+            SELECT doc_id, max(c) AS max_word_n FROM (
+                SELECT doc_id, word, count(*) AS c
+                FROM (SELECT doc_id, unnest(words) AS word FROM w)
+                GROUP BY doc_id, word
+            ) GROUP BY doc_id
+        ),
+        bg AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                                  i -> words[i] || ' ' || words[i + 1]) AS grams
+            FROM w
+        )
+        SELECT w.doc_id AS doc_id,
+               CAST(len(w.words) AS BIGINT) AS n_words,
+               CAST(COALESCE(tw.max_word_n, 0) AS BIGINT) AS max_word_n,
+               CAST(len(bg.grams) AS BIGINT) AS n_2gram,
+               CAST(len(list_distinct(bg.grams)) AS BIGINT) AS n_2gram_distinct
+        FROM w JOIN bg ON w.doc_id = bg.doc_id
+        LEFT JOIN tw ON w.doc_id = tw.doc_id
+    """,
+    "token_rarity_docs": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+            FROM documents
+        ),
+        freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        per AS (
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   CAST(sum(f.c) AS BIGINT) AS sum_token_freq
+            FROM tok t JOIN freq f USING (token) GROUP BY t.doc_id
+        )
+        SELECT d.doc_id AS doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               COALESCE(p.sum_token_freq, 0) AS sum_token_freq
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
     "doc_quality": r"""
         WITH t AS (
           SELECT doc_id, text, length(text) AS nc,
@@ -794,6 +925,8 @@ QUERIES = {
     "langid_docs": q_langid_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "decontaminate_docs": q_decontaminate_docs,
+    "repetition_docs": q_repetition_docs,
+    "token_rarity_docs": q_token_rarity_docs,
     "top_terms": q_top_terms,
     "docs_per_source": q_docs_per_source,
     "events_per_type": q_events_per_type,

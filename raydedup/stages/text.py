@@ -338,6 +338,80 @@ class LangIdStage:
         )
 
 
+# ------------------------------------------------------- repetition signals
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    quality rules), emitted as raw integer counts so downstream filters
+    pick their own ratio thresholds and the SQL oracle matches exactly:
+
+    - ``n_words``          whitespace tokens
+    - ``max_word_n``       occurrences of the most-repeated word
+    - ``n_2gram``          word 2-grams (= max(n_words − 1, 0))
+    - ``n_2gram_distinct`` distinct word 2-grams
+
+    (duplicate-word fraction = 1 − distinct/total, top-word fraction =
+    ``max_word_n / n_words``, dup-2-gram fraction = 1 −
+    ``n_2gram_distinct / n_2gram`` — the Gopher repetition filters.)
+
+    Fully vectorized: one whitespace split, one dictionary encode, then
+    numpy sorts/reduceats over the flat code buffer — per-(doc, word)
+    counts from a run-length pass over the sorted ``doc·V + code`` keys,
+    per-doc maxima via ``maximum.reduceat``, distinct 2-grams via one
+    ``lexsort`` over (doc, code₁, code₂). Zero per-row Python."""
+    col = pc.fill_null(batch.column(text_col), "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    n_words = np.zeros(n, np.int64)
+    max_word_n = np.zeros(n, np.int64)
+    n_2gram = np.zeros(n, np.int64)
+    n_distinct = np.zeros(n, np.int64)
+
+    words = pc.utf8_split_whitespace(col)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    if len(flat):
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]  # the list array may be a slice
+        docidx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        # the split kernel emits '' at string edges — drop them (same
+        # token definition as token_counts / top_terms)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        docidx = docidx[keep]
+        if len(codes):
+            V = np.int64(len(enc.dictionary))
+            n_words += np.bincount(docidx, minlength=n).astype(np.int64)
+            # per-(doc, word) occurrence counts: run lengths of the
+            # sorted combined key, then per-doc max over the runs
+            sk = np.sort(docidx * V + codes)
+            starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+            runlen = np.diff(np.r_[starts, len(sk)]).astype(np.int64)
+            rdoc = sk[starts] // V  # sorted by construction
+            dstarts = np.flatnonzero(np.r_[True, rdoc[1:] != rdoc[:-1]])
+            max_word_n[rdoc[dstarts]] = np.maximum.reduceat(runlen, dstarts)
+            # 2-grams: adjacent token pairs within the same doc
+            adj = docidx[1:] == docidx[:-1]
+            if adj.any():
+                g1, g2 = codes[:-1][adj], codes[1:][adj]
+                gdoc = docidx[1:][adj]
+                n_2gram += np.bincount(gdoc, minlength=n).astype(np.int64)
+                order = np.lexsort((g2, g1, gdoc))  # overflow-safe vs V²-keys
+                sd, s1, s2 = gdoc[order], g1[order], g2[order]
+                new = np.r_[
+                    True, (sd[1:] != sd[:-1]) | (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+                ]
+                n_distinct += np.bincount(sd[new], minlength=n).astype(np.int64)
+    return (
+        batch.append_column("n_words", pa.array(n_words, pa.int64()))
+        .append_column("max_word_n", pa.array(max_word_n, pa.int64()))
+        .append_column("n_2gram", pa.array(n_2gram, pa.int64()))
+        .append_column("n_2gram_distinct", pa.array(n_distinct, pa.int64()))
+    )
+
+
 # -------------------------------------------------------------- fingerprints
 _FP_BASE = np.uint64(1099511628211)
 

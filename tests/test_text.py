@@ -140,3 +140,45 @@ def test_token_counts_still_exact(corpus):
         s = s or ""
         assert nt == len(ws.findall(s))
         assert nb == len(bpe.findall(s))
+
+
+def _ref_repetition(texts):
+    """Brute-force Gopher repetition signals (Counter-based oracle)."""
+    from collections import Counter
+
+    rows = []
+    for s in texts:
+        w = (s or "").split()
+        grams = [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+        rows.append(
+            (
+                len(w),
+                max(Counter(w).values()) if w else 0,
+                len(grams),
+                len(set(grams)),
+            )
+        )
+    return rows
+
+
+def test_repetition_signals_exact(corpus):
+    from raydedup.stages.text import repetition_batch
+
+    docs = corpus + ["a a a b b c", "one", "two two", "x y x y x y", "  padded  "]
+    out = repetition_batch(pa.table({"text": pa.array(docs, pa.string())}))
+    got = list(
+        zip(
+            out.column("n_words").to_pylist(),
+            out.column("max_word_n").to_pylist(),
+            out.column("n_2gram").to_pylist(),
+            out.column("n_2gram_distinct").to_pylist(),
+        )
+    )
+    assert got == _ref_repetition(docs)
+
+
+def test_repetition_empty_batch():
+    from raydedup.stages.text import repetition_batch
+
+    out = repetition_batch(pa.table({"text": pa.array([], pa.string())}))
+    assert len(out) == 0 and out.column("n_words").type == pa.int64()
