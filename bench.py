@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "ann_topk",
     "token_counts",
     "doc_quality",
+    "repetition_docs",
+    "token_rarity_docs",
     "lineitem_agg",
     "window_counts",
     "hll_users_per_type",

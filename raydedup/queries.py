@@ -273,6 +273,7 @@ def q_token_rarity_docs(sf_dir: str):
         .map_batches(explode_counts, batch_format="pyarrow")
         .groupby("token")
         .sum("n_part")
+        .materialize()  # vocab blocks stay in the object store; ONE execution
     )
     if freq_ds.count() > 5_000_000:  # broadcast guard: switch to top-K + CMS
         raise NotImplementedError(
