@@ -145,7 +145,8 @@ class AudioFeatureStage:
     sizing, feature-only output schema (audio bytes never re-emitted).
     Decoders (:mod:`raydedup.audio`, from the public specs): raw
     ``pcm16``, RIFF ``wav`` containers (PCM8/PCM16, G.711 µ-law/A-law,
-    mono IMA ADPCM format tags), and raw ``ulaw``/``alaw`` streams.
+    mono and stereo IMA ADPCM format tags), and raw ``ulaw``/``alaw``
+    streams.
     Codecs this environment genuinely can't build from scratch (opus,
     mp3, aac) raise ``NotImplementedError`` — a clearly-marked
     env-gated stub; a library decoder slots into ``_decode``

@@ -350,3 +350,82 @@ def test_frame_stage_handles_avi(ray_session):
         per_vid.setdefault(row["video_id"], []).append(phash64(px))
     for vid, phs in per_vid.items():
         assert phs == stored[vid][: len(phs)], vid
+
+
+def _scalar_ima_decode(data: bytes, block_align: int) -> np.ndarray:
+    """Per-sample scalar IMA ADPCM reference (mono layout)."""
+    import struct
+
+    from raydedup.audio import _IMA_INDEX_ADJ, _IMA_STEPS
+
+    out = []
+    for off in range(0, len(data) - 3, block_align):
+        block = data[off : off + block_align]
+        pred, idx, _ = struct.unpack_from("<hBB", block, 0)
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = int(_IMA_STEPS[idx])
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[nib & 7])))
+                out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
+def test_stereo_adpcm_roundtrip_bit_exact():
+    """Stereo WAV IMA ADPCM: the de-interleave + lane decode must be
+    bit-exact with decoding each channel's blocks by the scalar
+    reference recurrence, and the downmixed decode_wav output must be
+    the exact mean of the per-channel decodes."""
+    from raydedup import audio
+
+    n = 5000
+    t = np.arange(n)
+    left = (12000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    right = (9000 * np.sin(2 * np.pi * 660 * t / 16000 + 0.7)).astype(np.int16)
+    pcm = np.stack([left, right], axis=1)
+    for balign in (256, 1024):
+        blob = audio.encode_ima_adpcm_stereo(pcm, block_align=balign)
+        assert len(blob) % balign == 0
+        # channel split == scalar per-channel decode
+        ld, rd, mb = audio._split_stereo_adpcm(blob, balign)
+        gl, gr = audio.decode_ima_adpcm_many([(ld, mb), (rd, mb)])
+        assert np.array_equal(gl, _scalar_ima_decode(ld, mb))
+        assert np.array_equal(gr, _scalar_ima_decode(rd, mb))
+        # interleaved public API
+        inter = audio.decode_ima_adpcm(blob, balign, channels=2)
+        assert np.array_equal(inter[0::2], gl) and np.array_equal(inter[1::2], gr)
+        # lossy round-trip fidelity per channel
+        assert _snr_db(left / 32768.0, gl / 32768.0) > 25.0
+        assert _snr_db(right / 32768.0, gr / 32768.0) > 25.0
+        # container path downmixes exactly like multi-channel PCM
+        x, rate = audio.decode_wav(audio.encode_wav_adpcm_stereo(pcm, 16000, balign))
+        want = (gl.astype(np.float64) + gr.astype(np.float64)) / 2.0 / 32768.0
+        assert rate == 16000 and np.allclose(x, want[: len(x)], atol=0, rtol=0)
+
+
+def test_stereo_adpcm_batch_matches_scalar():
+    """decode_wav_batch lane-batches stereo streams (two lanes per clip)
+    bit-exactly vs per-payload decode_wav, mixed with mono payloads."""
+    from raydedup import audio
+
+    pcm = _tone()
+    lr = np.stack([pcm, pcm[::-1].copy()], axis=1)
+    payloads = [
+        audio.encode_wav_adpcm_stereo(lr, 16000, block_align=256),
+        audio.encode_wav_adpcm(pcm, 16000, block_align=1024),
+        audio.encode_wav_adpcm_stereo(lr[: len(lr) // 3], 16000, block_align=1024),
+        audio.encode_wav_pcm16(pcm, 16000),
+    ]
+    got = audio.decode_wav_batch(payloads)
+    for d, g in zip(payloads, got):
+        x, rate = audio.decode_wav(d)
+        assert np.array_equal(g[0], x) and g[1] == rate
