@@ -1414,7 +1414,7 @@ def _synth_media_path(kind: str, n: int) -> str:
     """Deterministic synthetic audio/video table, cached under /tmp."""
     import os
 
-    path = f"/tmp/raydedup_bench/{kind}_q_{n}_v4.parquet"  # v4: avi slice in videos, aiff/au slices in audio
+    path = f"/tmp/raydedup_bench/{kind}_q_{n}_v5.parquet"  # v5: stereo-ADPCM slice in audio (v4: avi / aiff / au slices)
     if not os.path.exists(path):
         os.makedirs("/tmp/raydedup_bench", exist_ok=True)
         import pyarrow.parquet as pq

@@ -475,12 +475,13 @@ def planted_recall(
 def make_audio_table(n: int = 200, seed: int = 11, rate: int = 16000) -> pa.Table:
     """Deterministic audio corpus over every real codec path: each row
     is a two-tone + noise signal encoded as one of pcm16 / wav(IMA
-    ADPCM) / ulaw / alaw / flac, with the ORIGINAL signal's RMS stored
+    ADPCM, mono or stereo) / ulaw / alaw / flac / aiff / au, with the
+    ORIGINAL (stereo: downmixed) signal's RMS stored
     as ``expected_rms`` so feature extraction self-verifies (companded
     codecs reproduce RMS within ~2%; FLAC is lossless — exact)."""
     from raydedup import audio
 
-    codecs = ["pcm16", "wav", "ulaw", "alaw", "flac", "aiff", "au"]
+    codecs = ["pcm16", "wav", "ulaw", "alaw", "flac", "aiff", "au", "wav_stereo"]
     ids, blobs, rates, ns, cods, exp = [], [], [], [], [], []
     for i in range(n):
         rng = np.random.default_rng(seed + i)
@@ -505,13 +506,23 @@ def make_audio_table(n: int = 200, seed: int = 11, rate: int = 16000) -> pa.Tabl
             blob = audio.encode_aiff_pcm16(pcm, rate)  # lossless container
         elif codec == "au":
             blob = audio.encode_au_ulaw(pcm, rate)  # µ-law companded
+        elif codec == "wav_stereo":
+            # stereo IMA ADPCM: R = attenuated phase-shifted copy; the
+            # stage downmixes (mean), so the self-verify target is the
+            # DOWNMIXED signal's RMS
+            right = np.clip(pcm.astype(np.int32) * 2 // 3, -32768, 32767).astype(np.int16)
+            lr = np.stack([pcm, np.roll(right, 7)], axis=1)
+            blob = audio.encode_wav_adpcm_stereo(lr, rate)
+            pcm = ((lr[:, 0].astype(np.int32) + lr[:, 1].astype(np.int32)) // 2).astype(
+                np.int16
+            )
         else:
             blob = audio.encode_alaw(pcm).tobytes()
         ids.append(f"aud-{i:06d}")
         blobs.append(blob)
         rates.append(rate)
         ns.append(dur)
-        cods.append(codec)
+        cods.append("wav" if codec == "wav_stereo" else codec)
         exp.append(float(np.sqrt(np.mean((pcm.astype(np.float64) / 32768.0) ** 2))))
     return pa.table(
         {
