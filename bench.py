@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_docs",
     "containment_pairs_docs",
     "decontaminate_docs",
+    "cluster_representatives",
     "embedding_near_dup",
     "ann_topk",
     "token_counts",

@@ -272,12 +272,12 @@ SELECT doc_id,
 FROM fp"""
 
 
-def minhash_clusters_sql(b: int = 9, r: int = 13, num_perm: int = 128, seed: int = 1) -> str:
-    """End-to-end dedup CLUSTER oracle: edges = banded-LSH candidate
-    pairs (md5 profile) ∪ exact-duplicate stars (md5(text) groups);
-    cluster id = min reachable doc id via a recursive transitive
-    closure — exactly the engine's union-find semantics."""
-    return f"""WITH RECURSIVE {_sig_cte(num_perm, seed)},
+def _clusters_cte(b: int, r: int, num_perm: int, seed: int) -> str:
+    """Shared CTE chain ending in ``labels(doc_id, cluster_id)``: the
+    transitive closure of LSH-candidate ∪ exact-dup edges (the
+    end-to-end clustering oracle body, reused by the representative
+    oracle)."""
+    return f"""{_sig_cte(num_perm, seed)},
 bands AS (
   SELECT doc_id, j // {r} AS band,
          string_agg(CAST(hv AS VARCHAR), ',' ORDER BY j) AS key
@@ -302,8 +302,37 @@ reach(src, dst) AS (
   SELECT a, a FROM edges
   UNION
   SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a
+),
+labels AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)"""
+
+
+def minhash_clusters_sql(b: int = 9, r: int = 13, num_perm: int = 128, seed: int = 1) -> str:
+    """End-to-end dedup CLUSTER oracle: edges = banded-LSH candidate
+    pairs (md5 profile) ∪ exact-duplicate stars (md5(text) groups);
+    cluster id = min reachable doc id via a recursive transitive
+    closure — exactly the engine's union-find semantics."""
+    return f"""WITH RECURSIVE {_clusters_cte(b, r, num_perm, seed)}
+SELECT doc_id, cluster_id FROM labels"""
+
+
+def cluster_representatives_sql(b: int = 9, r: int = 13, num_perm: int = 128, seed: int = 1) -> str:
+    """Quality-aware canonicalization oracle: one row per cluster
+    (unclustered docs are their own singleton cluster), representative
+    = the longest member (C4-style keep-longest), ties → smallest
+    doc_id."""
+    return f"""WITH RECURSIVE {_clusters_cte(b, r, num_perm, seed)},
+all_docs AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
 )
-SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"""
+SELECT cluster_id, rep_id, n_docs FROM (
+  SELECT cluster_id, doc_id AS rep_id,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM all_docs
+) WHERE rk = 1"""
 
 
 def langid_sql(profiles: dict[str, str]) -> str:

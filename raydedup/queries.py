@@ -1328,6 +1328,126 @@ def q_minhash_clusters_md5(sf_dir: str):
 QUERIES["minhash_clusters_md5"] = q_minhash_clusters_md5
 
 
+def q_cluster_representatives(sf_dir: str):
+    """Quality-aware canonicalization — the step a training pipeline
+    runs AFTER near-dup clustering: one representative per cluster,
+    chosen as the LONGEST member (the C4-style keep-longest rule),
+    ties → smallest doc_id; docs in no cluster are their own singleton.
+    Emits (cluster_id, rep_id, n_docs).
+
+    100-TB shape: cluster labels union with the slim (doc_id, n_chars)
+    projection (no text shipped) and co-locate in ONE doc_id hash
+    shuffle; representatives then reduce per cluster_id in a second
+    keyed shuffle — reduceat max/min kernels per partition, no
+    driver-side join, no broadcast of the (corpus-sized) label table.
+    Fully oracled (recursive-closure clustering + window-function
+    representative selection in SQL)."""
+    import ray.data as rd
+
+    from raydedup.pipeline import DedupConfig, dedup_pipeline
+    from raydedup.stages.grouped import auto_partitions, map_key_runs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cfg = DedupConfig(
+        id_col="doc_id",
+        text_col="text",
+        phash_col=None,
+        use_simhash=False,
+        use_substring=False,
+        use_exact=True,
+        signature_concurrency=4,
+        hashfunc="md5",
+    )
+    clusters = dedup_pipeline(ds, cfg)["clusters"]
+    if isinstance(clusters, pa.Table):
+        clusters = rd.from_arrow(clusters)
+
+    def as_labels(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("image_id"),
+                "n_chars": pa.nulls(len(b), pa.int64()),
+                "cluster_id": b.column("cluster_id"),
+            }
+        )
+
+    def as_docs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars").cast(pa.int64()),
+                "cluster_id": pa.nulls(len(b), pa.int64()),
+            }
+        )
+
+    u = (
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        .map_batches(as_docs, batch_format="pyarrow")
+        .union(clusters.map_batches(as_labels, batch_format="pyarrow"))
+    )
+    nparts = auto_partitions(u)
+
+    def attach(block: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        # per doc run (1 doc row + ≤1 label row): -1 sentinels make
+        # the non-null value a reduceat max
+        if len(block) == 0:
+            return pa.table(
+                {
+                    "cluster_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            )
+        d = block.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = pc.fill_null(block.column("n_chars"), -1).to_numpy(zero_copy_only=False)
+        cl = pc.fill_null(block.column("cluster_id"), -1).to_numpy(zero_copy_only=False)
+        ncr = np.maximum.reduceat(nc, starts)
+        clr = np.maximum.reduceat(cl, starts)
+        dr = d[starts]
+        clr = np.where(clr < 0, dr, clr)  # unclustered → own singleton
+        return pa.table(
+            {
+                "cluster_id": pa.array(clr, pa.int64()),
+                "doc_id": pa.array(dr, pa.int64()),
+                "n_chars": pa.array(ncr, pa.int64()),
+            }
+        )
+
+    from raydedup.stages.grouped import staged
+
+    # two keyed shuffles: stage the first (live sibling
+    # HashShuffleOperators degrade the 2.49 executor ~2× — see staged())
+    labeled = staged(map_key_runs(u, "doc_id", attach, num_partitions=nparts, min_run=1))
+
+    def pick_rep(block: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if len(block) == 0:
+            return pa.table(
+                {
+                    "cluster_id": pa.array([], pa.int64()),
+                    "rep_id": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        c = block.column("cluster_id").to_numpy(zero_copy_only=False)
+        d = block.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = block.column("n_chars").to_numpy(zero_copy_only=False)
+        runidx = np.repeat(np.arange(len(starts)), ends - starts)
+        maxv = np.maximum.reduceat(nc, starts)
+        dm = np.where(nc == maxv[runidx], d, np.iinfo(np.int64).max)
+        return pa.table(
+            {
+                "cluster_id": pa.array(c[starts], pa.int64()),
+                "rep_id": pa.array(np.minimum.reduceat(dm, starts), pa.int64()),
+                "n_docs": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return map_key_runs(labeled, "cluster_id", pick_rep, num_partitions=nparts, min_run=1)
+
+
+QUERIES["cluster_representatives"] = q_cluster_representatives
+
+
 # ------------------------------------------------ image-payload pipelines
 def _synth_images_path(n_base: int = 400) -> str:
     """Deterministic synthetic image+caption table (input_hint schema),
@@ -1831,6 +1951,7 @@ def _install_generated_oracles() -> None:
             "forest_topk_docs": og.forest_topk_sql(),
             "fingerprint_docs": og.fingerprint_sql(),
             "minhash_clusters_md5": og.minhash_clusters_sql(b=b, r=r),
+            "cluster_representatives": og.cluster_representatives_sql(b=b, r=r),
         }
     )
 
