@@ -89,7 +89,9 @@ def explode_simhash_bands(batch: pa.Table, num_bands: int, id_col: str, simhash_
     )
 
 
-def _emit_pairs_from_runs(ids: np.ndarray, starts, ends, bucket_cap: int):
+def _emit_pairs_from_runs_loop(ids: np.ndarray, starts, ends, bucket_cap: int):
+    """Scalar reference for the vectorized emitter below (pinned by
+    tests/test_grouped.py) — one np.unique + triu per run."""
     out_a, out_b = [], []
     for s, e in zip(starts, ends):
         run = np.unique(ids[s:e])
@@ -108,17 +110,109 @@ def _emit_pairs_from_runs(ids: np.ndarray, starts, ends, bucket_cap: int):
     return None, None
 
 
+def _unique_codes_per_run(id_arr, starts, ends):
+    """Shared per-run distinct machinery, vectorized across ALL runs of
+    a block: ONE Arrow dictionary encode of the id column (C++ hash —
+    no Python string compares), codes re-ranked to VALUE order (so
+    code comparisons == id comparisons: triu output is id_a < id_b and
+    a run's first unique is its min id, exactly like np.unique), then
+    one lexsort + adjacent-diff to drop duplicate ids inside each run.
+
+    Returns (vdict, ku, m, upre, krow): value-sorted dictionary, flat
+    value-ranked unique codes grouped by run, uniques per run, each
+    run's offset into ``ku``, and the BLOCK row index each kept unique
+    was taken from (for carrying sibling columns, e.g. simhash words) —
+    or None when there are no runs.
+    """
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    if len(starts) == 0:
+        return None
+    if isinstance(id_arr, pa.ChunkedArray):
+        id_arr = id_arr.combine_chunks()
+    enc = id_arr.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order_d = pc.sort_indices(enc.dictionary).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(order_d), np.int64)
+    rank[order_d] = np.arange(len(order_d), dtype=np.int64)
+    vdict = enc.dictionary.take(pa.array(order_d))
+    # flat (run, value-rank) rows — runs may be disjoint block slices
+    rsz = ends - starts
+    tot = int(rsz.sum())
+    rpre = np.cumsum(rsz) - rsz
+    flat = np.arange(tot, dtype=np.int64) - np.repeat(rpre, rsz) + np.repeat(starts, rsz)
+    run_of = np.repeat(np.arange(len(starts), dtype=np.int64), rsz)
+    vc = rank[codes[flat]]
+    o = np.lexsort((vc, run_of))
+    vcs, rs = vc[o], run_of[o]
+    newm = np.empty(len(o), dtype=bool)
+    newm[0] = True
+    newm[1:] = (rs[1:] != rs[:-1]) | (vcs[1:] != vcs[:-1])
+    ku = vcs[newm]
+    kr = rs[newm]
+    krow = flat[o][newm]
+    m = np.bincount(kr, minlength=len(starts))
+    upre = np.cumsum(m) - m
+    return vdict, ku, m, upre, krow
+
+
+def _flat_triu(base: np.ndarray, m: np.ndarray):
+    """All (i < j) index pairs for every run at once: run r contributes
+    indices base[r] .. base[r]+m[r]-1. Pure repeat/cumsum arithmetic —
+    no per-run Python."""
+    tot_u = int(m.sum())
+    upos = np.arange(tot_u, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    gidx = upos + np.repeat(base, m)
+    c = np.repeat(m, m) - 1 - upos  # element at pos p pairs with m-1-p successors
+    totp = int(c.sum())
+    ai = np.repeat(gidx, c)
+    off = np.arange(totp, dtype=np.int64) - np.repeat(np.cumsum(c) - c, c)
+    return ai, ai + 1 + off
+
+
+def _emit_pairs_from_runs(id_arr, starts, ends, bucket_cap: int):
+    """Vectorized-across-runs pair emission: per-run distinct ids via
+    ``_unique_codes_per_run``, then one flat triu for runs within
+    ``bucket_cap`` and a min-id star above it. The scalar reference
+    (``_emit_pairs_from_runs_loop``) paid one Python np.unique — an
+    OBJECT-dtype sort for string ids — per bucket; a 5M-row corpus has
+    ~10⁶ multi-buckets per partition wave, so the per-run interpreter
+    cost was the bands stage's real wall. Returns (a, b) Arrow arrays
+    or (None, None)."""
+    res = _unique_codes_per_run(id_arr, starts, ends)
+    if res is None:
+        return None, None
+    vdict, ku, m, upre, _ = res
+    outs_a, outs_b = [], []
+    small = (m >= 2) & (m <= bucket_cap)
+    if small.any():
+        ai, bj = _flat_triu(upre[small], m[small])
+        outs_a.append(ku[ai])
+        outs_b.append(ku[bj])
+    big = m > bucket_cap
+    if big.any():
+        mb = m[big] - 1
+        base = np.repeat(upre[big], mb)
+        off = np.arange(int(mb.sum()), dtype=np.int64) - np.repeat(np.cumsum(mb) - mb, mb)
+        outs_a.append(ku[base])  # run's first unique == min id (value-ranked)
+        outs_b.append(ku[base + 1 + off])
+    if not outs_a:
+        return None, None
+    a = np.concatenate(outs_a)
+    b = np.concatenate(outs_b)
+    return vdict.take(pa.array(a)), vdict.take(pa.array(b))
+
+
 def candidate_pairs(band_ds, id_col: str, bucket_cap: int = 512, num_partitions: int = 32):
     """bucket hash-partition → vectorized run pair emission → global
     pair dedupe (the reference's query-side set-union, ``lsh.py:423-432``)."""
 
     def emit(block: pa.Table, starts, ends) -> pa.Table:
         typ = block.column(id_col).type
-        ids = block.column(id_col).to_numpy(zero_copy_only=False)
-        a, b = _emit_pairs_from_runs(ids, starts, ends, bucket_cap)
+        a, b = _emit_pairs_from_runs(block.column(id_col), starts, ends, bucket_cap)
         if a is None:
             return pa.table({"id_a": pa.array([], typ), "id_b": pa.array([], typ)})
-        return pa.table({"id_a": pa.array(a, typ), "id_b": pa.array(b, typ)})
+        return pa.table({"id_a": a, "id_b": b})
 
     pairs = map_key_runs(band_ds, "bucket", emit, num_partitions)
     return unique_rows_partitioned(pairs, ["id_a", "id_b"], num_partitions)
@@ -131,29 +225,35 @@ def simhash_candidate_pairs(
     from raydedup.simhash import hamming_distance64
 
     def emit(block: pa.Table, starts, ends) -> pa.Table:
+        # vectorized across runs (same machinery as candidate_pairs):
+        # per-run distinct ids carry their simhash word via the kept-row
+        # index, one flat triu over the capped runs, ONE elementwise
+        # Hamming verify over all candidate endpoints. Oversized buckets
+        # are degenerate (constant phash floods); the exact pre-collapse
+        # pass covers them, so they are dropped, not starred.
         typ = block.column(id_col).type
-        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        empty = pa.table({"id_a": pa.array([], typ), "id_b": pa.array([], typ)})
+        res = _unique_codes_per_run(block.column(id_col), starts, ends)
+        if res is None:
+            return empty
+        vdict, ku, m, upre, krow = res
+        ok = (m >= 2) & (m <= bucket_cap)
+        if not ok.any():
+            return empty
+        ai, bj = _flat_triu(upre[ok], m[ok])
+        if not len(ai):
+            return empty
         sh = block.column("sh").to_numpy(zero_copy_only=False)
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            run_ids, idx = np.unique(ids[s:e], return_index=True)
-            m = len(run_ids)
-            if m < 2 or m > bucket_cap:
-                # oversized buckets are degenerate (constant phash
-                # floods); the exact pre-collapse pass covers them
-                continue
-            w = sh[s:e][idx]
-            d = hamming_distance64(w[:, None], w[None, :])
-            iu = np.triu_indices(m, 1)
-            keep = d[iu] <= max_hamming
-            out_a.append(run_ids[iu[0][keep]])
-            out_b.append(run_ids[iu[1][keep]])
-        if out_a:
-            a = np.concatenate(out_a)
-            b = np.concatenate(out_b)
-        else:
-            a = b = []
-        return pa.table({"id_a": pa.array(a, typ), "id_b": pa.array(b, typ)})
+        d = hamming_distance64(sh[krow[ai]], sh[krow[bj]])
+        keep = d <= max_hamming
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "id_a": vdict.take(pa.array(ku[ai[keep]])),
+                "id_b": vdict.take(pa.array(ku[bj[keep]])),
+            }
+        )
 
     pairs = map_key_runs(band_ds, "bucket", emit, num_partitions)
     return unique_rows_partitioned(pairs, ["id_a", "id_b"], num_partitions)

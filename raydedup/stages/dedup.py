@@ -144,16 +144,16 @@ def exact_dedup(ds, key_cols: list[str], id_col: str, keep_payload: bool = True,
     def keep_min_per_run(block: pa.Table) -> pa.Table:
         if len(block) == 0:
             return block
-        block = block.sort_by([("content_hash", "ascending")])
+        # ONE two-key Arrow C++ sort replaces the former per-run Python
+        # argmin (an object-dtype compare per group for string ids):
+        # after (hash, id) sort, each run's first row IS its min-id rep
+        block = block.sort_by(
+            [("content_hash", "ascending"), (id_col, "ascending")]
+        )
         h = block.column("content_hash").to_numpy(zero_copy_only=False)
-        ids = block.column(id_col).to_numpy(zero_copy_only=False)
         change = np.nonzero(h[1:] != h[:-1])[0] + 1
         starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(h)]))
-        keep = np.array(
-            [s + np.argmin(ids[s:e]) for s, e in zip(starts, ends)], dtype=np.int64
-        )
-        return block.take(pa.array(keep))
+        return block.take(pa.array(starts))
 
     return parted.map_batches(keep_min_per_run, batch_size=None, batch_format="pyarrow")
 
@@ -170,20 +170,16 @@ def exact_dup_pairs(ds, key_cols: list[str], id_col: str, num_partitions: int | 
     ).select_columns(["content_hash", id_col])
 
     def star_runs(block: pa.Table, starts, ends) -> pa.Table:
+        # vectorized across runs (bands._unique_codes_per_run): min-id
+        # star per content group with bucket_cap=1 forcing the star
+        # branch for every multi-unique run
+        from raydedup.stages.bands import _emit_pairs_from_runs
+
         typ = block.column(id_col).type
-        ids = block.column(id_col).to_numpy(zero_copy_only=False)
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            run = np.unique(ids[s:e])
-            if len(run) < 2:
-                continue
-            out_a.append(np.repeat(run[:1], len(run) - 1))
-            out_b.append(run[1:])
-        if out_a:
-            return pa.table(
-                {"id_a": pa.array(np.concatenate(out_a), typ), "id_b": pa.array(np.concatenate(out_b), typ)}
-            )
-        return pa.table({"id_a": pa.array([], typ), "id_b": pa.array([], typ)})
+        a, b = _emit_pairs_from_runs(block.column(id_col), starts, ends, 1)
+        if a is None:
+            return pa.table({"id_a": pa.array([], typ), "id_b": pa.array([], typ)})
+        return pa.table({"id_a": a, "id_b": b})
 
     return map_key_runs(hashed, "content_hash", star_runs, num_partitions)
 
@@ -1371,6 +1367,122 @@ def _ngram_pairs_fused(slim, id_col, text_col, n, threshold, id_type, mode="jacc
     return pairs_ds.map_batches(score_batch, batch_size=None, batch_format="pyarrow")
 
 
+def _allpairs_window_pairs_loop(ids, szs, rems, starts, ends, threshold):
+    """Scalar reference for ``_allpairs_window_pairs`` (pinned by
+    tests/test_text.py) — one argsort + searchsorted per anchor run."""
+    tt = threshold / (1.0 + threshold)
+    a_out, b_out = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        rid, rsz, rrem = ids[s:e], szs[s:e], rems[s:e]
+        o = np.argsort(rsz, kind="stable")
+        rid, rsz, rrem = rid[o], rsz[o], rrem[o]
+        hi = np.searchsorted(rsz, rsz / threshold + 1e-9, side="right")
+        cnt = np.maximum(hi - np.arange(len(rsz)) - 1, 0)
+        total = int(cnt.sum())
+        if not total:
+            continue
+        ai = np.repeat(np.arange(len(rsz)), cnt)
+        bj = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt) + ai + 1
+        ub = np.minimum(rrem[ai], rrem[bj])
+        ok = ub >= tt * (rsz[ai] + rsz[bj]) - 1e-9
+        pa_, pb_ = rid[ai[ok]], rid[bj[ok]]
+        ne = pa_ != pb_
+        a_out.append(np.minimum(pa_[ne], pb_[ne]))
+        b_out.append(np.maximum(pa_[ne], pb_[ne]))
+    if a_out:
+        return np.concatenate(a_out), np.concatenate(b_out)
+    return None, None
+
+
+def _allpairs_window_pairs(id_arr, szs, rems, starts, ends, threshold):
+    """AllPairs candidate emission, vectorized across EVERY anchor run
+    of a block at once.
+
+    Semantics (identical to the scalar reference): each run is sorted
+    by set size; doc i pairs with the contiguous window of later docs
+    whose size ≤ sz[i]/t (LENGTH filter: J(A,B) ≥ t ⇒ min ≥ t·max),
+    then the PPJoin positional bound prunes emissions whose in-row
+    tails can't reach the equivalent-overlap threshold (lossless — see
+    ``_fused_candidate_rows``).
+
+    Vectorization notes:
+    - ids are Arrow-dictionary-encoded ONCE per block and re-ranked to
+      value order, so the min/max pair canonicalization runs on int64
+      codes (the scalar path paid a Python object compare per candidate
+      for string ids).
+    - the per-run ``searchsorted`` becomes ONE merge: data sizes and
+      query values (sz/t + ε) interleave in a single lexsort keyed
+      (run, value, data-before-query); a query's within-run position
+      minus its query rank IS its side='right' insertion point. Pure
+      float comparisons — bit-identical boundary behavior to the scalar
+      path (the ε guard from the r4 prefix-length bugfix is preserved,
+      unlike a run-offset composite-key trick which would absorb it).
+
+    Returns (id_a, id_b) Arrow arrays (already min/max-canonicalized)
+    or (None, None).
+    """
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    multi = (ends - starts) >= 2
+    starts, ends = starts[multi], ends[multi]
+    if len(starts) == 0:
+        return None, None
+    if isinstance(id_arr, pa.ChunkedArray):
+        id_arr = id_arr.combine_chunks()
+    enc = id_arr.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    od = pc.sort_indices(enc.dictionary).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(od), np.int64)
+    rank[od] = np.arange(len(od), dtype=np.int64)
+    vdict = enc.dictionary.take(pa.array(od))
+
+    rsz_runs = ends - starts
+    tot = int(rsz_runs.sum())
+    rpre = np.cumsum(rsz_runs) - rsz_runs
+    flat = np.arange(tot, dtype=np.int64) - np.repeat(rpre, rsz_runs) + np.repeat(starts, rsz_runs)
+    run_of = np.repeat(np.arange(len(starts), dtype=np.int64), rsz_runs)
+    o = np.lexsort((szs[flat], run_of))  # run-major, size-ascending
+    s_ = szs[flat][o]
+    rem_ = rems[flat][o]
+    c_ = rank[codes[flat]][o]
+    r_ = run_of[o]
+    pos_within = np.arange(tot, dtype=np.int64) - rpre[r_]
+
+    # merged searchsorted: data (tag 0) before equal queries (tag 1)
+    # reproduces side='right'; stable lexsort keeps equal queries in
+    # element order, so the k-th query of a run belongs to element k
+    w = np.concatenate((s_, s_ / threshold + 1e-9))
+    tag = np.concatenate((np.zeros(tot, np.int8), np.ones(tot, np.int8)))
+    rn = np.concatenate((r_, r_))
+    ord2 = np.lexsort((tag, w, rn))
+    pos2 = np.arange(2 * tot, dtype=np.int64) - 2 * rpre[rn[ord2]]
+    qsel = ord2 >= tot
+    el = ord2[qsel] - tot  # flat (sorted-order) element of each query
+    hi = np.empty(tot, dtype=np.int64)
+    hi[el] = pos2[qsel] - pos_within[el]  # data rows before the query
+
+    cnt = np.maximum(hi - pos_within - 1, 0)
+    total = int(cnt.sum())
+    if not total:
+        return None, None
+    ai = np.repeat(np.arange(tot, dtype=np.int64), cnt)
+    bj = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt) + ai + 1
+    tt = threshold / (1.0 + threshold)  # J ≥ t ⟺ |A∩B| ≥ tt·(|A|+|B|)
+    ub = np.minimum(rem_[ai], rem_[bj])
+    ok = ub >= tt * (s_[ai] + s_[bj]) - 1e-9
+    ca, cb = c_[ai[ok]], c_[bj[ok]]
+    ne = ca != cb  # defensive: never emit a self-pair
+    ca, cb = ca[ne], cb[ne]
+    if not len(ca):
+        return None, None
+    return (
+        vdict.take(pa.array(np.minimum(ca, cb))),
+        vdict.take(pa.array(np.maximum(ca, cb))),
+    )
+
+
 def ngram_jaccard_pairs(
     ds,
     id_col: str,
@@ -1485,46 +1597,19 @@ def ngram_jaccard_pairs(
     exploded = slim.map_batches(prefix_explode, batch_format="pyarrow")
 
     def pairs_in_runs(block: pa.Table, starts, ends) -> pa.Table:
-        # AllPairs LENGTH filter: J(A,B) ≥ t ⇒ min(|A|,|B|) ≥ t·max
-        # (since |A∩B| ≤ min and |A∪B| ≥ max). Each anchor run is sorted
-        # by set size; doc i only pairs with the window of docs whose
-        # size ≤ sz[i]/t — a hot anchor shared by m near-uniform-size
-        # docs still emits its pairs, but size-skewed floods collapse
-        # from O(m²) to the qualifying windows.
-        ids = block.column(id_col).to_numpy(zero_copy_only=False)
-        szs = block.column("sz").to_numpy(zero_copy_only=False).astype(np.float64)
-        rems = block.column("rem").to_numpy(zero_copy_only=False).astype(np.float64)
-        tt = threshold / (1.0 + threshold)  # J ≥ t ⟺ |A∩B| ≥ tt·(|A|+|B|)
-        a_out, b_out = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            rid = ids[s:e]
-            rsz = szs[s:e]
-            rrem = rems[s:e]
-            o = np.argsort(rsz, kind="stable")
-            rid, rsz, rrem = rid[o], rsz[o], rrem[o]
-            hi = np.searchsorted(rsz, rsz / threshold + 1e-9, side="right")
-            cnt = np.maximum(hi - np.arange(len(rsz)) - 1, 0)
-            total = int(cnt.sum())
-            if not total:
-                continue
-            ai = np.repeat(np.arange(len(rsz)), cnt)
-            bj = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt) + ai + 1
-            # PPJoin positional bound (lossless — see
-            # _fused_candidate_rows): prune emissions whose in-row
-            # tails can't reach the equivalent-overlap threshold
-            ub = np.minimum(rrem[ai], rrem[bj])
-            ok = ub >= tt * (rsz[ai] + rsz[bj]) - 1e-9
-            pa_, pb_ = rid[ai[ok]], rid[bj[ok]]
-            ne = pa_ != pb_  # defensive: never emit a self-pair
-            a_out.append(np.minimum(pa_[ne], pb_[ne]))
-            b_out.append(np.maximum(pa_[ne], pb_[ne]))
-        if a_out:
-            a, b = np.concatenate(a_out), np.concatenate(b_out)
-        else:
-            a = b = []
-        return pa.table({"id_a": pa.array(a, id_type), "id_b": pa.array(b, id_type)})
+        a, b = _allpairs_window_pairs(
+            block.column(id_col),
+            block.column("sz").to_numpy(zero_copy_only=False).astype(np.float64),
+            block.column("rem").to_numpy(zero_copy_only=False).astype(np.float64),
+            starts,
+            ends,
+            threshold,
+        )
+        if a is None:
+            return pa.table(
+                {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)}
+            )
+        return pa.table({"id_a": a, "id_b": b})
 
     from raydedup.stages.grouped import staged
 

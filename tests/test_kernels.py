@@ -384,3 +384,83 @@ def test_signature_stage_flat_equals_rows_path(reference_datasketch):
         for t in sorted(word_ngram_shingles(d or "", 3)):
             m.update(t)
         assert np.array_equal(sigs[i], m.hashvalues), f"doc {i}"
+
+
+def test_emit_pairs_from_runs_matches_scalar_reference():
+    """The vectorized-across-runs bucket pair emitter (triu + star) must
+    emit exactly the scalar per-run np.unique/triu reference's pair set
+    for string AND int ids, at caps that exercise both branches."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raydedup.stages.bands import (
+        _emit_pairs_from_runs,
+        _emit_pairs_from_runs_loop,
+    )
+
+    rng = np.random.default_rng(42)
+    sizes = rng.integers(2, 7, 500)
+    sizes[rng.integers(0, 500, 5)] = 40  # over-cap runs (star branch)
+    tot = int(sizes.sum())
+    raw = rng.integers(0, tot // 2, tot)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    ends = np.cumsum(sizes)
+    for ids_arr, ids_np in (
+        (pa.array([f"img{v:07d}" for v in raw]), np.array([f"img{v:07d}" for v in raw], dtype=object)),
+        (pa.array(raw, pa.int64()), raw),
+    ):
+        for cap in (512, 16, 1):
+            a1, b1 = _emit_pairs_from_runs(ids_arr, starts, ends, cap)
+            a0, b0 = _emit_pairs_from_runs_loop(ids_np, starts, ends, cap)
+            got = sorted(zip(a1.to_pylist(), b1.to_pylist())) if a1 is not None else None
+            want = sorted(zip(list(a0), list(b0))) if a0 is not None else None
+            assert got == want, cap
+    # empty + duplicate-only runs
+    assert _emit_pairs_from_runs(
+        pa.array([], pa.string()), np.empty(0, np.int64), np.empty(0, np.int64), 8
+    ) == (None, None)
+    assert _emit_pairs_from_runs(
+        pa.array(["a", "a"]), np.array([0]), np.array([2]), 8
+    ) == (None, None)
+
+
+def test_allpairs_window_pairs_matches_scalar_reference():
+    """The flat AllPairs window kernel (merged searchsorted + PPJoin
+    positional bound) must match the per-run scalar reference pair for
+    pair — including the exact-threshold boundary class the r4 epsilon
+    fix guards (15·0.2 → prefix underflow)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raydedup.stages.dedup import (
+        _allpairs_window_pairs,
+        _allpairs_window_pairs_loop,
+    )
+
+    rng = np.random.default_rng(7)
+    sizes = rng.integers(2, 9, 800)
+    tot = int(sizes.sum())
+    raw = rng.integers(0, tot // 2, tot)
+    szs = rng.integers(3, 40, tot).astype(np.float64)
+    rems = np.maximum(1, szs * rng.random(tot)).astype(np.float64)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    ends = np.cumsum(sizes)
+    for ids_arr, ids_np in (
+        (pa.array([f"d{v:06d}" for v in raw]), np.array([f"d{v:06d}" for v in raw], dtype=object)),
+        (pa.array(raw, pa.int64()), raw),
+    ):
+        for t in (0.8, 0.5, 0.2):
+            a1, b1 = _allpairs_window_pairs(ids_arr, szs, rems, starts, ends, t)
+            a0, b0 = _allpairs_window_pairs_loop(ids_np, szs, rems, starts, ends, t)
+            got = sorted(zip(a1.to_pylist(), b1.to_pylist())) if a1 is not None else None
+            want = sorted(zip(list(a0), list(b0))) if a0 is not None else None
+            assert got == want, t
+    # exact-threshold boundary sizes (equal sizes at the window edge)
+    szs = np.array([15.0, 15.0, 12.0, 12.0])
+    rems = szs.copy()
+    ids = pa.array([1, 2, 3, 4], pa.int64())
+    st, en = np.array([0]), np.array([4])
+    for t in (0.8, 0.5):
+        a1, b1 = _allpairs_window_pairs(ids, szs, rems, st, en, t)
+        a0, b0 = _allpairs_window_pairs_loop(np.array([1, 2, 3, 4]), szs, rems, st, en, t)
+        assert sorted(zip(a1.to_pylist(), b1.to_pylist())) == sorted(zip(list(a0), list(b0)))
