@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "token_rarity_docs",
     "lineitem_agg",
     "window_counts",
+    "sessionize_events",
+    "json_field_stats",
     "hll_users_per_type",
     "top_terms",
     "image_dedup_synth",

@@ -534,6 +534,134 @@ def q_sliding_window_counts(sf_dir: str):
     return _sum_by_keys(pre, ["user_id", "win"], "n_part", "n")
 
 
+def q_sessionize_events(sf_dir: str, gap_us: int = 1_800_000_000):
+    """Gap-based sessionization (a new session starts after a >30-min
+    silence) — the canonical event-stream operator no tumbling window
+    expresses. One slim keyed shuffle of (user_id, ts_us) int64 rows
+    (16 B/event — gap sessions need the user's full event order, so
+    map-side pre-aggregation is impossible BY SEMANTICS; the shuffle
+    payload being two ints is the 100-TB concession), then the whole
+    partition sessionizes vectorized: one diff for the break flags, one
+    cumsum for per-user session ordinals, reduceat-free run slicing for
+    the per-session aggregates. Emits (user_id, session_id, n_events,
+    start_us, end_us) — all integers, hash-exact vs the SQL
+    window-function oracle."""
+    from raydedup.stages.grouped import map_key_runs
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "us": pc.cast(batch.column("ts"), pa.int64()),
+            }
+        )
+
+    pre = _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+        to_us, batch_format="pyarrow"
+    )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "session_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "start_us": pa.array([], pa.int64()),
+            "end_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def sessionize(block: pa.Table, starts, ends) -> pa.Table:
+        if len(block) == 0 or len(starts) == 0:
+            return empty
+        users = block.column("user_id").to_numpy(zero_copy_only=False)
+        us = block.column("us").to_numpy(zero_copy_only=False)
+        n = len(us)
+        # break flags: first event of each user run, or gap > gap_us
+        brk = np.zeros(n, dtype=bool)
+        brk[starts] = True
+        brk[1:] |= (us[1:] - us[:-1]) > gap_us
+        # per-user session ordinal (1-based): global cumsum re-based at
+        # each user run's start
+        cum = np.cumsum(brk)
+        sid = cum - np.repeat(cum[starts] - 1, ends - starts)
+        # per-session aggregates from the session-start positions
+        sstart = np.flatnonzero(brk)
+        send = np.append(sstart[1:], n)
+        return pa.table(
+            {
+                "user_id": pa.array(users[sstart], pa.int64()),
+                "session_id": pa.array(sid[sstart], pa.int64()),
+                "n_events": pa.array((send - sstart).astype(np.int64)),
+                "start_us": pa.array(us[sstart], pa.int64()),
+                "end_us": pa.array(us[send - 1], pa.int64()),
+            }
+        )
+
+    return map_key_runs(
+        pre, "user_id", sessionize, num_partitions=8, min_run=1, sort_extra=["us"]
+    )
+
+
+def q_json_field_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer field ``k`` out of
+    the JSON ``props`` column with ONE vectorized Arrow regex kernel
+    per batch (no per-row json.loads), pre-aggregate (count/sum/max)
+    per event_type inside the map, and combine the tiny partials in one
+    keyed run — the shuffle moves a handful of rows per block, never
+    the events."""
+    from raydedup.stages.grouped import map_key_runs
+
+    def extract_partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch.column("props"), pattern=r'"k":\s*(?P<v>-?\d+)')
+        v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        # nulls (field absent): identity fills — 0 for the sum, int64
+        # min for the max — so they never perturb either reduction
+        sv = pc.fill_null(v, 0).to_numpy(zero_copy_only=False)
+        mv = pc.fill_null(v, np.iinfo(np.int64).min).to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.argsort(et, kind="stable")
+        se, sv, mv = et[order], sv[order], mv[order]
+        change = np.concatenate(([True], se[1:] != se[:-1]))
+        gs = np.flatnonzero(change)
+        return pa.table(
+            {
+                "event_type": pa.array(se[gs], pa.string()),
+                "n_part": pa.array(np.diff(np.append(gs, len(se))).astype(np.int64)),
+                "sum_part": pa.array(np.add.reduceat(sv, gs), pa.int64()),
+                "max_part": pa.array(np.maximum.reduceat(mv, gs), pa.int64()),
+            }
+        )
+
+    pre = _read(sf_dir, "events", columns=["event_type", "props"]).map_batches(
+        extract_partial, batch_format="pyarrow"
+    )
+
+    def combine(block: pa.Table, starts, ends) -> pa.Table:
+        idx = pa.array(starts, pa.int64())
+        nn = block.column("n_part").to_numpy(zero_copy_only=False)
+        ss = block.column("sum_part").to_numpy(zero_copy_only=False)
+        mm = block.column("max_part").to_numpy(zero_copy_only=False)
+        if not len(starts):
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_k": pa.array([], pa.int64()),
+                    "max_k": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "event_type": block.column("event_type").take(idx),
+                "n_events": pa.array(np.add.reduceat(nn, starts), pa.int64()),
+                "sum_k": pa.array(np.add.reduceat(ss, starts), pa.int64()),
+                "max_k": pa.array(np.maximum.reduceat(mm, starts), pa.int64()),
+            }
+        )
+
+    return map_key_runs(pre, "event_type", combine, num_partitions=2, min_run=1)
+
+
 def q_lineitem_agg(sf_dir: str):
     """Grouped sum/count with a map-side combiner: each block collapses
     to ≤ |groups| rows before the shuffle, so the exchange moves
@@ -865,6 +993,28 @@ ORACLES: dict[str, str] = {
         "FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k "
         "GROUP BY 1, 2"
     ),
+    "sessionize_events": r"""
+        WITH o AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+        ), s AS (
+          SELECT user_id, us,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT user_id, CAST(sid AS BIGINT) AS session_id, count(*) AS n_events,
+               min(us) AS start_us, max(us) AS end_us
+        FROM s GROUP BY 1, 2
+    """,
+    "json_field_stats": r"""
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
+               max(CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT)) AS max_k
+        FROM events GROUP BY 1
+    """,
     "lineitem_agg": (
         "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n "
         "FROM lineitem GROUP BY 1, 2"
@@ -935,6 +1085,8 @@ QUERIES = {
     "hll_users_per_type": q_hll_users_per_type,
     "window_counts": q_window_counts,
     "sliding_window_counts": q_sliding_window_counts,
+    "sessionize_events": q_sessionize_events,
+    "json_field_stats": q_json_field_stats,
     "lineitem_agg": q_lineitem_agg,
     "orders_by_segment": q_orders_by_segment,
     "ann_topk": q_ann_topk,

@@ -264,3 +264,53 @@ def test_orders_by_segment_shuffle_fallback(ray_session):
         .reset_index(drop=True)
     )
     assert broadcast.equals(joined)
+
+
+def test_sessionize_events_gap_semantics(ray_session, tmp_path):
+    """Gap-based sessionization: a gap of EXACTLY gap_us stays in the
+    same session, one microsecond more starts a new one; per-user
+    ordinals are 1-based; singleton users sessionize too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydedup.queries import q_sessionize_events
+
+    gap = 1_800_000_000
+    base = 1_700_000_000_000_000
+    rows = {
+        "user_id": [1, 1, 1, 1, 2],
+        "ts": pa.array(
+            [base, base + gap, base + 2 * gap + 1, base + 2 * gap + 2, base],
+            pa.timestamp("us"),
+        ),
+    }
+    pq.write_table(pa.table(rows), tmp_path / "events.parquet")
+    out = q_sessionize_events(str(tmp_path)).to_pandas()
+    out = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    # user 1: events 1+2 share session 1 (gap == gap_us keeps), events
+    # 3+4 are session 2 (gap_us+1 breaks); user 2 is a singleton
+    assert out.to_dict("records") == [
+        {"user_id": 1, "session_id": 1, "n_events": 2, "start_us": base, "end_us": base + gap},
+        {"user_id": 1, "session_id": 2, "n_events": 2, "start_us": base + 2 * gap + 1, "end_us": base + 2 * gap + 2},
+        {"user_id": 2, "session_id": 1, "n_events": 1, "start_us": base, "end_us": base},
+    ]
+
+
+def test_json_field_stats_extraction(ray_session, tmp_path):
+    """The vectorized regex extraction matches per-row parsing,
+    including rows without the field (count them, skip their sum)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydedup.queries import q_json_field_stats
+
+    rows = {
+        "event_type": ["a", "a", "b", "b"],
+        "props": ['{"k": 3}', '{"k": -2}', '{"k": 10}', "{}"],
+    }
+    pq.write_table(pa.table(rows), tmp_path / "events.parquet")
+    out = q_json_field_stats(str(tmp_path)).to_pandas().sort_values("event_type")
+    assert out.to_dict("records") == [
+        {"event_type": "a", "n_events": 2, "sum_k": 1, "max_k": 3},
+        {"event_type": "b", "n_events": 2, "sum_k": 10, "max_k": 10},
+    ]
