@@ -219,6 +219,27 @@ SELECT query_id, vec_id FROM (
 ) WHERE rk <= {k}"""
 
 
+def cross_source_neardup_sql(b: int = 9, r: int = 13, num_perm: int = 128, seed: int = 1) -> str:
+    """Cross-source fuzzy-join oracle: the banded-LSH candidate-pair
+    set restricted to pairs whose endpoints carry DIFFERENT ``source``
+    values. The engine compares 64-bit source hashes inside the bucket
+    kernel; a hash collision could only *drop* a pair (w.h.p. caveat
+    shared with every band oracle), so grouping on the exact strings
+    here gives the same pair set."""
+    return f"""WITH {_sig_cte(num_perm, seed)},
+bands AS (
+  SELECT doc_id, j // {r} AS band,
+         string_agg(CAST(hv AS VARCHAR), ',' ORDER BY j) AS key
+  FROM sig WHERE j < {b * r}
+  GROUP BY doc_id, j // {r}
+)
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+JOIN documents dx ON dx.doc_id = x.doc_id
+JOIN documents dy ON dy.doc_id = y.doc_id
+WHERE dx.source <> dy.source"""
+
+
 def lsh_session_dedup_sql(b: int = 9, r: int = 13, num_perm: int = 128, seed: int = 1) -> str:
     """Streaming first-seen dedup oracle: doc i is a dup iff some
     earlier doc (doc_id ascending — the engine's arrival order) shares

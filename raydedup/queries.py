@@ -1094,6 +1094,310 @@ QUERIES = {
 }
 
 
+# ------------------------------------- training-data ops (round-5 final)
+def q_dup_ngram_fraction(sf_dir: str):
+    """Cross-document duplicated-n-gram counts — the exact-substring
+    dedup *metric* from the dedup literature ("what fraction of this
+    doc's 5-grams appear in another doc"), used to rank/filter docs
+    before the heavier pair-emitting passes. Per batch: fully
+    vectorized window hashing (``flat_ngram_hashes64`` — one polars
+    xxhash + one poly-hash gather for the whole batch) deduped per doc
+    (``unique_per_row``); the shuffle moves only slim (hash u64,
+    doc_id) rows — never text; dup flags come from ≥2-row hash runs
+    (``map_key_runs`` pre-filters singletons) and fold back with the
+    map-side totals in one keyed-run reduceat sum. Counts are exact
+    integers (the oracle groups 5-gram strings; 64-bit hash collisions
+    are the usual w.h.p. caveat shared with every band oracle)."""
+    from raydedup.stages.grouped import auto_partitions, map_key_runs
+    from raydedup.suffix import flat_ngram_hashes64, unique_per_row
+
+    n = 5
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    parts = auto_partitions(ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        cnt, w = flat_ngram_hashes64(batch.column("text"), n)
+        dcnt, hflat = unique_per_row(cnt, w)
+        ids = batch.column("doc_id")
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), dcnt)
+        zeros = np.zeros(len(hflat), np.int64)
+        shingle_rows = pa.table(
+            {
+                "h": pa.array(hflat, pa.uint64()),
+                "doc_id": ids.take(pa.array(idx)),
+                "dup_ngrams": pa.array(zeros),
+                "total_ngrams": pa.array(zeros),
+            }
+        )
+        totals = pa.table(
+            {
+                "h": pa.array(np.zeros(len(batch), np.uint64)),
+                "doc_id": ids,
+                "dup_ngrams": pa.array(np.zeros(len(batch), np.int64)),
+                "total_ngrams": pa.array(dcnt, pa.int64()),
+            }
+        )
+        return pa.concat_tables([shingle_rows, totals])
+
+    from raydedup.stages.grouped import staged
+
+    # one explode pass, STAGED before branching: the shingle rows go
+    # through the h-shuffle (dup flags), the totals rows go straight to
+    # the doc_id sum — materializing first means neither branch
+    # re-executes the read+hash lineage (and multi-branch lazy plans
+    # over raw lineage are a known Ray 2.49 deadlock, see grouped.py)
+    exploded = staged(ds.map_batches(explode, batch_format="pyarrow"))
+
+    def only_shingles(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("total_ngrams"), 0))
+
+    def only_totals(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("total_ngrams"), 0)).drop_columns(["h"])
+
+    shingles = exploded.map_batches(only_shingles, batch_format="pyarrow")
+    totals = exploded.map_batches(only_totals, batch_format="pyarrow")
+
+    def flag_dups(block: pa.Table, starts, ends) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], block.column("doc_id").type),
+                "dup_ngrams": pa.array([], pa.int64()),
+                "total_ngrams": pa.array([], pa.int64()),
+            }
+        )
+        if len(starts) == 0:
+            return empty
+        rsz = ends - starts
+        tot = int(rsz.sum())
+        idx = np.repeat(starts, rsz) + (
+            np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(rsz) - rsz, rsz)
+        )
+        return pa.table(
+            {
+                "doc_id": block.column("doc_id").take(pa.array(idx)),
+                "dup_ngrams": pa.array(np.ones(tot, np.int64)),
+                "total_ngrams": pa.array(np.zeros(tot, np.int64)),
+            }
+        )
+
+    dup_rows = map_key_runs(shingles, "h", flag_dups, parts)
+
+    def sum_runs(block: pa.Table, starts, ends) -> pa.Table:
+        idx = pa.array(starts, pa.int64())
+        d = block.column("dup_ngrams").to_numpy(zero_copy_only=False)
+        t = block.column("total_ngrams").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": block.column("doc_id").take(idx),
+                "dup_ngrams": pa.array(
+                    np.add.reduceat(d, starts) if len(starts) else np.array([], np.int64),
+                    pa.int64(),
+                ),
+                "total_ngrams": pa.array(
+                    np.add.reduceat(t, starts) if len(starts) else np.array([], np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return map_key_runs(
+        dup_rows.union(totals), "doc_id", sum_runs, parts, min_run=1
+    )
+
+
+def q_cross_source_neardup(sf_dir: str):
+    """Fuzzy JOIN between collections: banded-LSH candidate pairs whose
+    endpoints come from DIFFERENT sources (syndication / cross-corpus
+    contamination detection). Same md5-profile signature + band fold as
+    ``lsh_candidate_pairs_docs``; the band rows additionally carry a
+    64-bit source hash (8 B — never the string) so the cross-side
+    filter runs inside the bucket kernel, not as a post-hoc join
+    against a doc→source table (which at 10^12 rows would be a second
+    all-to-all)."""
+    import pyarrow.compute as _pc
+
+    from raydedup.schema import sig_to_numpy
+    from raydedup.stages.bands import (
+        _emit_pairs_from_runs,  # noqa: F401 (machinery shared below)
+        _flat_triu,
+        _unique_codes_per_run,
+        fold_band_buckets,
+    )
+    from raydedup.stages.dedup import _hash_id_array
+    from raydedup.stages.grouped import (
+        auto_partitions,
+        map_key_runs,
+        staged,
+        unique_rows_partitioned,
+    )
+    from raydedup.stages.signatures import SignatureStage
+
+    b, r, num_perm = 9, 13, 128
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    parts = auto_partitions(ds)
+    sigs = ds.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm,
+            seed=1,
+            shingle="word3",
+            text_col="text",
+            phash_col=None,
+            hashfunc="md5",
+            drop_cols=("text",),
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        max_restarts=0,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = sig_to_numpy(batch.column("minhash"), num_perm)
+        buckets = fold_band_buckets(sig, b, r)
+        idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), b))
+        srch = _hash_id_array(batch.column("source"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(idx),
+                "bucket": pa.array(buckets, pa.uint64()),
+                "srch": pa.array(np.repeat(srch, b), pa.uint64()),
+            }
+        )
+
+    # staged(): the signature actor pool holds every CPU slot of a
+    # small session, so the downstream shuffle's aggregator actors can
+    # never schedule while the pool is live in the same plan (4-CPU
+    # deadlock, round-1 pitfall). Materializing the slim band rows
+    # retires the pool before the shuffle starts — exactly how
+    # dedup_pipeline sequences the same stages.
+    band_ds = staged(sigs.map_batches(explode, batch_format="pyarrow"))
+
+    def emit(block: pa.Table, starts, ends) -> pa.Table:
+        typ = block.column("doc_id").type
+        empty = pa.table({"id_a": pa.array([], typ), "id_b": pa.array([], typ)})
+        res = _unique_codes_per_run(block.column("doc_id"), starts, ends)
+        if res is None:
+            return empty
+        vdict, ku, m, upre, krow = res
+        # pair-set semantics: full cliques (no star collapse — the
+        # deliverable is the exact cross-source pair set)
+        ok = m >= 2
+        if not ok.any():
+            return empty
+        ai, bj = _flat_triu(upre[ok], m[ok])
+        if not len(ai):
+            return empty
+        sr = block.column("srch").to_numpy(zero_copy_only=False)
+        keep = sr[krow[ai]] != sr[krow[bj]]
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "id_a": vdict.take(pa.array(ku[ai[keep]])),
+                "id_b": vdict.take(pa.array(ku[bj[keep]])),
+            }
+        )
+
+    # staged(): the signature actor pool + two HashShuffleOperators in
+    # one lazy plan wedge a 4-CPU session (pool holds every CPU slot the
+    # shuffle aggregators need — round-1 pitfall); sequential stage
+    # execution is also measurably faster (see grouped.staged).
+    pairs = staged(map_key_runs(band_ds, "bucket", emit, parts))
+    return unique_rows_partitioned(pairs, ["id_a", "id_b"], parts)
+
+
+def q_stratified_sample_docs(sf_dir: str):
+    """Deterministic hash-based stratified sampling — the data-mixing
+    op (per-source keep rates, reproducible across runs/engines, no
+    RNG state). The keep decision is a pure row-local function of
+    (doc_id, source): the MinHash-style (a·x+b) uint64-wrap →
+    Mersenne-reduce hash taken mod 100 against a per-source rate
+    derived from the source name. No shuffle, no broadcast — streams
+    at any scale, and re-runs select the identical sample (the
+    property that makes ablation corpora reproducible)."""
+    from raydedup.hashing import MERSENNE_PRIME
+
+    A = np.uint64(6364136223846793005)
+    B = np.uint64(1442695040888963407)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        x = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = A * x + B  # uint64 wrap-around, as in the signature kernels
+        hi = v >> np.uint64(61)
+        v = (v & MERSENNE_PRIME) + hi
+        v[v >= MERSENNE_PRIME] -= MERSENNE_PRIME
+        slot = (v % np.uint64(100)).astype(np.int64)
+        src_num = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("source"), 3), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        rate = 10 + 7 * (src_num % 8)
+        return batch.filter(pa.array(slot < rate))
+
+    return _read(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        sample, batch_format="pyarrow"
+    )
+
+
+QUERIES["dup_ngram_fraction"] = q_dup_ngram_fraction
+QUERIES["cross_source_neardup"] = q_cross_source_neardup
+QUERIES["stratified_sample_docs"] = q_stratified_sample_docs
+
+# dup_ngram_fraction: the oracle groups the 5-gram *strings* (the
+# engine groups their 64-bit window hashes — collision caveat shared
+# with every band oracle); tokenization matches split_ws_tokens via the
+# same \s+ split the green token_counts oracle pins.
+ORACLES["dup_ngram_fraction"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(words) - 4, 0)),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+                || words[i+3] || ' ' || words[i+4]))) AS gram
+  FROM w
+),
+df AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram),
+per AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS total_ngrams,
+         CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams
+  FROM g JOIN df USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id AS doc_id,
+       COALESCE(per.dup_ngrams, 0) AS dup_ngrams,
+       COALESCE(per.total_ngrams, 0) AS total_ngrams
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+# stratified_sample_docs: the (a·x+b) uint64 wrap + Mersenne reduction
+# is exactly SQL-reproducible via HUGEINT % 2^64 (the profile every
+# generated sketch oracle uses).
+ORACLES["stratified_sample_docs"] = """
+WITH h AS (
+  SELECT doc_id, source,
+         ((6364136223846793005::HUGEINT * doc_id + 1442695040888963407)
+           % 18446744073709551616)::UBIGINT AS v
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+         (v & 2305843009213693951) + (v >> 61) AS v2
+  FROM h
+),
+s AS (
+  SELECT doc_id, source,
+         (CASE WHEN v2 >= 2305843009213693951
+               THEN v2 - 2305843009213693951 ELSE v2 END) % 100 AS slot
+  FROM m
+)
+SELECT doc_id, source FROM s
+WHERE slot < 10 + 7 * (CAST(substring(source, 4) AS BIGINT) % 8)
+"""
+
+
 # --------------------------------------------- wider sketch/query surface
 def q_containment_pairs_docs(sf_dir: str):
     """EXACT shingle-containment pairs (|A∩B|/|A| ≥ 0.5) via the
@@ -2096,6 +2400,7 @@ def _install_generated_oracles() -> None:
             "source_union_signatures": og.source_union_sql(),
             "topk_similar_docs": og.topk_similar_sql(),
             "lsh_candidate_pairs_docs": og.lsh_candidate_pairs_sql(b=b, r=r),
+            "cross_source_neardup": og.cross_source_neardup_sql(b=b, r=r),
             "lsh_session_dedup": og.lsh_session_dedup_sql(b=b, r=r),
             "ann_lsh_topk": og.ann_lsh_topk_sql(),
             "hll_users_per_type": og.hll_users_per_type_sql(),
