@@ -1398,6 +1398,60 @@ WHERE slot < 10 + 7 * (CAST(substring(source, 4) AS BIGINT) % 8)
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing — concatenate documents in doc_id order and
+    chunk the token stream at a fixed sequence length (the GPT-2/T5
+    "concat then chunk" pretraining batcher). Each doc gets the global
+    token offset of its first token via the distributed prefix sum
+    (``stages/scan.py`` — two O(K) metadata passes + one slim keyed
+    shuffle; nothing sequential ever touches the driver beyond K
+    integers), then ``seq_id``/``seq_pos`` locate it inside the packed
+    stream. Token counts are the byte-class run-counting kernel the
+    ``token_counts`` oracle pins; all outputs exact integers."""
+    from raydedup.stages.scan import exclusive_prefix_sum
+    from raydedup.stages.text import token_count_batch
+
+    budget = 512
+    counts = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(lambda t: token_count_batch(t), batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+    )
+    packed = exclusive_prefix_sum(counts, "doc_id", "n_tokens", out_col="tok_offset")
+
+    def locate(t: pa.Table) -> pa.Table:
+        off = t.column("tok_offset").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "seq_id", pa.array(off // budget, pa.int64())
+        ).append_column("seq_pos", pa.array(off % budget, pa.int64()))
+
+    return packed.map_batches(locate, batch_format="pyarrow")
+
+
+QUERIES["pack_sequences"] = q_pack_sequences
+
+# pack_sequences: the oracle is the window-function scan DuckDB runs
+# natively; tokenization is the \s+ profile the green token_counts
+# oracle pins. Integer-only output — hash-safe.
+ORACLES["pack_sequences"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // 512 AS seq_id, tok_offset % 512 AS seq_pos
+FROM o
+"""
+
+
 # --------------------------------------------- wider sketch/query surface
 def q_containment_pairs_docs(sf_dir: str):
     """EXACT shingle-containment pairs (|A∩B|/|A| ≥ 0.5) via the
