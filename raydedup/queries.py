@@ -1338,6 +1338,78 @@ def q_stratified_sample_docs(sf_dir: str):
     )
 
 
+def q_source_mix_epochs(sf_dir: str):
+    """Deterministic data-recipe mixing — upsample each source by a
+    per-source epoch factor (the LLaMA-style 'epochs per corpus'
+    table) and give every repeated row a reproducible interleave key
+    so a downstream sort-by-key yields the same epoch-blended stream
+    on every run/engine. Pure row-local flat-map: np.repeat + arange
+    for the epochs, the engine's (a·x+b)-wrap → Mersenne-reduce hash
+    of (doc_id·8+epoch) for the key. No shuffle, no RNG state —
+    streams at any scale."""
+    from raydedup.hashing import MERSENNE_PRIME
+
+    A = np.uint64(6364136223846793005)
+    B = np.uint64(1442695040888963407)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        src_num = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("source"), 3), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        reps = 1 + (src_num % 4)
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+        epoch = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        ids = batch.column("doc_id").take(pa.array(idx))
+        x = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = A * (x * np.uint64(8) + epoch.astype(np.uint64)) + B
+        hi = v >> np.uint64(61)
+        v = (v & MERSENNE_PRIME) + hi
+        v[v >= MERSENNE_PRIME] -= MERSENNE_PRIME
+        return pa.table(
+            {
+                "doc_id": ids,
+                "source": batch.column("source").take(pa.array(idx)),
+                "epoch": pa.array(epoch, pa.int64()),
+                "interleave_key": pa.array(v, pa.uint64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+
+
+QUERIES["source_mix_epochs"] = q_source_mix_epochs
+
+# source_mix_epochs: generate_series unnest reproduces the repeat;
+# the interleave key is the HUGEINT % 2^64 wrap profile every
+# generated sketch oracle uses. Integer-only output — hash-safe.
+ORACLES["source_mix_epochs"] = """
+WITH e AS (
+  SELECT doc_id, source,
+         unnest(generate_series(0, CAST(substring(source, 4) AS BIGINT) % 4)) AS epoch
+  FROM documents
+),
+h AS (
+  SELECT doc_id, source, epoch,
+         ((6364136223846793005::HUGEINT * (doc_id * 8 + epoch) + 1442695040888963407)
+           % 18446744073709551616)::UBIGINT AS v
+  FROM e
+),
+m AS (
+  SELECT doc_id, source, epoch,
+         (v & 2305843009213693951) + (v >> 61) AS v2
+  FROM h
+)
+SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+       CAST(CASE WHEN v2 >= 2305843009213693951
+                 THEN v2 - 2305843009213693951 ELSE v2 END AS UBIGINT) AS interleave_key
+FROM m
+"""
+
+
 QUERIES["dup_ngram_fraction"] = q_dup_ngram_fraction
 QUERIES["cross_source_neardup"] = q_cross_source_neardup
 QUERIES["stratified_sample_docs"] = q_stratified_sample_docs

@@ -85,3 +85,29 @@ def test_stratified_sample_exact_and_deterministic(ray_session):
     got1 = set(QUERIES["stratified_sample_docs"](SF).to_pandas()["doc_id"])
     got2 = set(QUERIES["stratified_sample_docs"](SF).to_pandas()["doc_id"])
     assert got1 == want and got2 == want and 0 < len(want) < len(x)
+
+
+def test_source_mix_epochs_exact(ray_session):
+    """Repeat factors, epoch numbering and interleave keys all exact vs
+    a pure Python expansion; re-run identical (reproducibility is the
+    operator's point)."""
+    from raydedup.hashing import MERSENNE_PRIME
+    from raydedup.queries import QUERIES
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+
+    def key(d, e):
+        v = (6364136223846793005 * (d * 8 + e) + 1442695040888963407) % (1 << 64)
+        v = (v & int(MERSENNE_PRIME)) + (v >> 61)
+        return v - int(MERSENNE_PRIME) if v >= int(MERSENNE_PRIME) else v
+
+    want = {
+        (d, e, key(d, e))
+        for d, s in zip(tbl.column("doc_id").to_pylist(), tbl.column("source").to_pylist())
+        for e in range(1 + int(s[3:]) % 4)
+    }
+    got1 = QUERIES["source_mix_epochs"](SF).to_pandas()
+    got2 = QUERIES["source_mix_epochs"](SF).to_pandas()
+    g1 = set(zip(got1["doc_id"], got1["epoch"], got1["interleave_key"]))
+    g2 = set(zip(got2["doc_id"], got2["epoch"], got2["interleave_key"]))
+    assert g1 == want == g2 and len(got1) == len(want) > len(tbl)
