@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "sliding_window_counts",
     "audio_features_synth",
     "video_frames_synth",
+    "dup_ngram_fraction",
+    "cross_source_neardup",
+    "stratified_sample_docs",
+    "source_mix_epochs",
+    "pack_sequences",
 ]
 
 

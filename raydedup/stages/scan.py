@@ -74,7 +74,14 @@ def exclusive_prefix_sum(
             return pa.table({"mn": pa.array([], pa.int64()), "mx": pa.array([], pa.int64())})
         return pa.table({"mn": [int(o.min())], "mx": [int(o.max())]})
 
-    bounds = slim.map_batches(batch_bounds, batch_format="pyarrow").take_all()
+    # ray 2.49 skips map UDFs on empty blocks, so a zero-row input block
+    # passes through with the pre-UDF (order, value) schema — keep only
+    # rows the UDF actually produced
+    bounds = [
+        b
+        for b in slim.map_batches(batch_bounds, batch_format="pyarrow").take_all()
+        if "mn" in b
+    ]
     if not bounds:
         # Ray 2.49 skips map UDFs on empty blocks, so build the typed
         # empty result explicitly instead of appending in a map.
@@ -106,7 +113,8 @@ def exclusive_prefix_sum(
     partial = slim.map_batches(range_sums, batch_format="pyarrow").take_all()
     totals = np.zeros(parts, np.int64)
     for row in partial:
-        totals[row["rng"]] += row["s"]
+        if "rng" in row:  # same empty-block pass-through guard
+            totals[row["rng"]] += row["s"]
     base = np.concatenate(([0], np.cumsum(totals)[:-1]))
 
     def add_rng(t: pa.Table) -> pa.Table:

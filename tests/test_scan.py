@@ -64,6 +64,14 @@ def test_prefix_sum_singleton_and_empty(ray_session):
     got = exclusive_prefix_sum(one, "k", "v", out_col="off").to_pandas()
     assert got["off"].tolist() == [0]
 
+    # more blocks than rows → zero-row input blocks, whose map UDFs
+    # ray 2.49 skips (pre-UDF schema pass-through in the metadata passes)
+    few = rd.from_arrow(
+        pa.table({"k": pa.array([3, 1, 2], pa.int64()), "v": pa.array([5, 7, 11], pa.int64())})
+    ).repartition(8)
+    got = exclusive_prefix_sum(few, "k", "v", out_col="off").to_pandas().sort_values("k")
+    assert got["off"].tolist() == [0, 7, 18]
+
     empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}))
     out = exclusive_prefix_sum(empty, "k", "v", out_col="off")
     # ray 2.49 to_pandas() drops columns on zero-row datasets — assert
