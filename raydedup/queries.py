@@ -1228,11 +1228,8 @@ def q_cross_source_neardup(sf_dir: str):
     filter runs inside the bucket kernel, not as a post-hoc join
     against a doc→source table (which at 10^12 rows would be a second
     all-to-all)."""
-    import pyarrow.compute as _pc
-
     from raydedup.schema import sig_to_numpy
     from raydedup.stages.bands import (
-        _emit_pairs_from_runs,  # noqa: F401 (machinery shared below)
         _flat_triu,
         _unique_codes_per_run,
         fold_band_buckets,
