@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "lineitem_agg",
     "window_counts",
     "sessionize_events",
+    "asof_join_events",
     "json_field_stats",
     "hll_users_per_type",
     "top_terms",

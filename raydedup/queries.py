@@ -602,6 +602,82 @@ def q_sessionize_events(sf_dir: str, gap_us: int = 1_800_000_000):
     )
 
 
+def q_asof_join_events(sf_dir: str):
+    """As-of join — each 'click' matched to the LATEST 'view' of the
+    same user at or before it (pandas ``merge_asof`` semantics; the
+    attribution join Ray Data has no operator for). Ordering contract:
+    (ts, views-before-clicks, event_id) — equal-timestamp views are
+    eligible, ties among them resolve to the largest event_id. One
+    slim keyed shuffle of (user_id, us, is_click, event_id) int64 rows
+    co-locates each user's stream; the match is then one vectorized
+    forward-fill over the WHOLE partition block (``maximum.accumulate``
+    of view positions with a run-start validity check — no per-user
+    Python loop, users are just runs). Emits (event_id,
+    matched_event_id, gap_us) with -1 sentinels — all integers,
+    hash-exact vs the IGNORE-NULLS window oracle."""
+    from raydedup.stages.grouped import map_key_runs
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.is_in(et, value_set=pa.array(["view", "click"]))
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "us": pc.cast(b.column("ts"), pa.int64()),
+                "is_click": pc.cast(
+                    pc.equal(b.column("event_type"), "click"), pa.int64()
+                ),
+                "event_id": b.column("event_id"),
+            }
+        )
+
+    pre = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "matched_event_id": pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def asof(block: pa.Table, starts, ends) -> pa.Table:
+        if len(block) == 0 or len(starts) == 0:
+            return empty
+        us = block.column("us").to_numpy(zero_copy_only=False)
+        clk = block.column("is_click").to_numpy(zero_copy_only=False).astype(bool)
+        eid = block.column("event_id").to_numpy(zero_copy_only=False)
+        pos = np.arange(len(us), dtype=np.int64)
+        # forward-fill the last view POSITION; a fill that carried over
+        # a run (user) boundary is detectable because positions only
+        # grow: it is < the row's own run start
+        fill = np.maximum.accumulate(np.where(~clk, pos, -1))
+        run_start = np.repeat(starts, ends - starts)
+        valid = fill >= run_start
+        m = clk
+        matched = np.where(valid[m], eid[np.maximum(fill[m], 0)], -1)
+        gaps = np.where(valid[m], us[m] - us[np.maximum(fill[m], 0)], -1)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[m], pa.int64()),
+                "matched_event_id": pa.array(matched, pa.int64()),
+                "gap_us": pa.array(gaps, pa.int64()),
+            }
+        )
+
+    return map_key_runs(
+        pre,
+        "user_id",
+        asof,
+        num_partitions=8,
+        min_run=1,
+        sort_extra=["us", "is_click", "event_id"],
+    )
+
+
 def q_json_field_stats(sf_dir: str):
     """Semi-structured extraction: pull the integer field ``k`` out of
     the JSON ``props`` column with ONE vectorized Arrow regex kernel
@@ -993,6 +1069,26 @@ ORACLES: dict[str, str] = {
         "FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k "
         "GROUP BY 1, 2"
     ),
+    "asof_join_events": r"""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) AS us,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+          FROM events WHERE event_type IN ('view', 'click')
+        ),
+        w AS (
+          SELECT *,
+                 last_value(CASE WHEN is_click = 0 THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, is_click, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_id,
+                 last_value(CASE WHEN is_click = 0 THEN us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, is_click, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_us
+          FROM e
+        )
+        SELECT event_id, COALESCE(m_id, -1) AS matched_event_id,
+               COALESCE(us - m_us, -1) AS gap_us
+        FROM w WHERE is_click = 1
+    """,
     "sessionize_events": r"""
         WITH o AS (
           SELECT user_id, epoch_us(ts) AS us,
@@ -1086,6 +1182,7 @@ QUERIES = {
     "window_counts": q_window_counts,
     "sliding_window_counts": q_sliding_window_counts,
     "sessionize_events": q_sessionize_events,
+    "asof_join_events": q_asof_join_events,
     "json_field_stats": q_json_field_stats,
     "lineitem_agg": q_lineitem_agg,
     "orders_by_segment": q_orders_by_segment,

@@ -314,3 +314,91 @@ def test_json_field_stats_extraction(ray_session, tmp_path):
         {"event_type": "a", "n_events": 2, "sum_k": 1, "max_k": 3},
         {"event_type": "b", "n_events": 2, "sum_k": 10, "max_k": 10},
     ]
+
+
+def test_asof_join_events_semantics(ray_session, tmp_path):
+    """As-of join tie rules pinned on a hand-built stream: equal-ts
+    views ARE eligible for a click at the same ts (views sort before
+    clicks), ties among views resolve to the largest event_id, clicks
+    with no prior view get -1 sentinels, and user streams never bleed
+    into each other."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydedup.queries import q_asof_join_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = lambda n: t0 + dt.timedelta(microseconds=n)
+    rows = [
+        # user 1: click before any view → -1; then view/click pairs
+        (0, us(10), 1, "click"),
+        (1, us(20), 1, "view"),
+        (2, us(30), 1, "click"),      # → view 1, gap 10
+        (3, us(40), 1, "view"),
+        (4, us(40), 1, "view"),       # equal-ts views: largest id wins
+        (5, us(40), 1, "click"),      # → view 4 (same ts eligible), gap 0
+        (6, us(50), 1, "error"),      # other types ignored
+        # user 2: isolated — must not see user 1's views
+        (7, us(25), 2, "click"),      # → -1
+        (8, us(60), 2, "view"),
+        (9, us(70), 2, "click"),      # → view 8, gap 10
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = (
+        q_asof_join_events(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = {
+        0: (-1, -1),
+        2: (1, 10),
+        5: (4, 0),
+        7: (-1, -1),
+        9: (8, 10),
+    }
+    assert got["event_id"].tolist() == sorted(want)
+    for row in got.itertuples(index=False):
+        assert (row.matched_event_id, row.gap_us) == want[row.event_id], row.event_id
+
+
+def test_asof_join_events_bruteforce(ray_session):
+    """Full sf0.001 events table vs a pure Python per-user scan."""
+    import pyarrow.parquet as pq
+
+    from raydedup.queries import q_asof_join_events
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
+    evs = sorted(
+        (r for r in t.to_pylist() if r["event_type"] in ("view", "click")),
+        key=lambda r: (r["user_id"], r["ts"], r["event_type"] == "click", r["event_id"]),
+    )
+    want = {}
+    last_view = {}
+    for r in evs:
+        u = r["user_id"]
+        if r["event_type"] == "view":
+            last_view[u] = r
+        else:
+            v = last_view.get(u)
+            if v is None:
+                want[r["event_id"]] = (-1, -1)
+            else:
+                d = r["ts"] - v["ts"]
+                gap = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+                want[r["event_id"]] = (v["event_id"], gap)
+    got = q_asof_join_events(sf).to_pandas()
+    assert len(got) == len(want) > 0
+    for row in got.itertuples(index=False):
+        assert (row.matched_event_id, row.gap_us) == want[row.event_id], row.event_id
