@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "window_counts",
     "sessionize_events",
     "asof_join_events",
+    "overlapping_sessions",
     "json_field_stats",
     "hll_users_per_type",
     "top_terms",
