@@ -678,6 +678,108 @@ def q_asof_join_events(sf_dir: str):
     )
 
 
+def q_overlapping_sessions(sf_dir: str, bucket_us: int = 3_600_000_000):
+    """Interval-overlap RANGE join — co-active session pairs across
+    users (sessions whose [start_us, end_us] intervals intersect), the
+    join shape Ray Data has no operator for. Sessions (from
+    :func:`q_sessionize_events`) replicate to each fixed-width time
+    bucket they cover (replication = ceil(len/W)+1 rows — sessions are
+    gap-bounded and short relative to W, so the blowup is ~2×); ONE
+    keyed shuffle on the bucket co-locates all sessions active in the
+    same hour; within each bucket a start-sorted plane sweep emits each
+    pair exactly once in its canonical bucket — the LATER start's
+    bucket, which both intervals provably cover (overlap ⇒ the later
+    start lies inside the earlier interval, and every replica carries
+    the original endpoints), so boundary replication never
+    double-counts. The sweep is a flat pair expansion: rows sorted by
+    (start, user, session), each canonical row i pairs with its
+    run-local predecessors (their starts ≤ start_i by sort order —
+    the searchsorted rank IS the local index when keys are unique),
+    then one vectorized ``end_j ≥ start_i`` filter keeps the true
+    overlaps, so cost is bounded by (co-active sessions per bucket)²
+    per bucket with W the knob. Emits (user_a, session_a, user_b,
+    session_b, overlap_us) with (a) the lexicographically earlier
+    (start, user, session) endpoint — all integers, hash-exact vs the
+    SQL self-join oracle."""
+    from raydedup.stages.grouped import map_key_runs
+
+    sess = q_sessionize_events(sf_dir)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ss = batch.column("start_us").to_numpy(zero_copy_only=False)
+        es = batch.column("end_us").to_numpy(zero_copy_only=False)
+        nb = (es // bucket_us - ss // bucket_us + 1).astype(np.int64)
+        total = int(nb.sum())
+        rep = np.repeat(np.arange(len(ss), dtype=np.int64), nb)
+        bucket = np.repeat(ss // bucket_us, nb) + (
+            np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(nb) - nb, nb)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "user_id": batch.column("user_id").take(pa.array(rep)),
+                "session_id": batch.column("session_id").take(pa.array(rep)),
+                "start_us": pa.array(ss[rep], pa.int64()),
+                "end_us": pa.array(es[rep], pa.int64()),
+            }
+        )
+
+    pre = sess.map_batches(replicate, batch_format="pyarrow")
+
+    empty = pa.table(
+        {
+            "user_a": pa.array([], pa.int64()),
+            "session_a": pa.array([], pa.int64()),
+            "user_b": pa.array([], pa.int64()),
+            "session_b": pa.array([], pa.int64()),
+            "overlap_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def sweep(block: pa.Table, starts, ends) -> pa.Table:
+        if len(block) == 0 or len(starts) == 0:
+            return empty
+        bucket = block.column("bucket").to_numpy(zero_copy_only=False)
+        users = block.column("user_id").to_numpy(zero_copy_only=False)
+        sids = block.column("session_id").to_numpy(zero_copy_only=False)
+        ss = block.column("start_us").to_numpy(zero_copy_only=False)
+        es = block.column("end_us").to_numpy(zero_copy_only=False)
+        n = len(ss)
+        run_start = np.repeat(starts, ends - starts)
+        local = np.arange(n, dtype=np.int64) - run_start
+        # canonical rows: the replica living in its OWN start's bucket
+        # (the later endpoint of every pair it closes)
+        canon = np.flatnonzero((ss // bucket_us) == bucket)
+        c = local[canon]
+        total = int(c.sum())
+        if total == 0:
+            return empty
+        i = np.repeat(canon, c)
+        j = np.repeat(run_start[canon], c) + (
+            np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(c) - c, c)
+        )
+        keep = (es[j] >= ss[i]) & (users[j] != users[i])
+        i, j = i[keep], j[keep]
+        return pa.table(
+            {
+                "user_a": pa.array(users[j], pa.int64()),
+                "session_a": pa.array(sids[j], pa.int64()),
+                "user_b": pa.array(users[i], pa.int64()),
+                "session_b": pa.array(sids[i], pa.int64()),
+                "overlap_us": pa.array(np.minimum(es[j], es[i]) - ss[i], pa.int64()),
+            }
+        )
+
+    return map_key_runs(
+        pre,
+        "bucket",
+        sweep,
+        num_partitions=8,
+        min_run=1,
+        sort_extra=["start_us", "user_id", "session_id"],
+    )
+
+
 def q_json_field_stats(sf_dir: str):
     """Semi-structured extraction: pull the integer field ``k`` out of
     the JSON ``props`` column with ONE vectorized Arrow regex kernel
@@ -1105,6 +1207,30 @@ ORACLES: dict[str, str] = {
                min(us) AS start_us, max(us) AS end_us
         FROM s GROUP BY 1, 2
     """,
+    "overlapping_sessions": r"""
+        WITH o AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+        ), s AS (
+          SELECT user_id, us,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        ), sess AS (
+          SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                 min(us) AS start_us, max(us) AS end_us
+          FROM s GROUP BY 1, 2
+        )
+        SELECT a.user_id AS user_a, a.session_id AS session_a,
+               b.user_id AS user_b, b.session_id AS session_b,
+               least(a.end_us, b.end_us) - b.start_us AS overlap_us
+        FROM sess a JOIN sess b
+          ON (a.start_us, a.user_id, a.session_id) < (b.start_us, b.user_id, b.session_id)
+         AND a.end_us >= b.start_us
+         AND a.user_id <> b.user_id
+    """,
     "json_field_stats": r"""
         SELECT event_type, count(*) AS n_events,
                CAST(sum(CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1183,6 +1309,7 @@ QUERIES = {
     "sliding_window_counts": q_sliding_window_counts,
     "sessionize_events": q_sessionize_events,
     "asof_join_events": q_asof_join_events,
+    "overlapping_sessions": q_overlapping_sessions,
     "json_field_stats": q_json_field_stats,
     "lineitem_agg": q_lineitem_agg,
     "orders_by_segment": q_orders_by_segment,

@@ -402,3 +402,79 @@ def test_asof_join_events_bruteforce(ray_session):
     assert len(got) == len(want) > 0
     for row in got.itertuples(index=False):
         assert (row.matched_event_id, row.gap_us) == want[row.event_id], row.event_id
+
+
+def test_overlapping_sessions_boundary_and_dedupe(ray_session, tmp_path):
+    """Interval-join edge rules pinned on hand-built sessions around a
+    bucket boundary (W = 1 h): a session straddling two buckets pairs
+    exactly once with partners in EITHER bucket (canonical-bucket
+    dedupe), point-touching intervals (end_a == start_b) count with
+    overlap 0 (closed intervals), and equal-start ties canonicalize by
+    (user, session)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydedup.queries import q_overlapping_sessions
+
+    t0 = dt.datetime(2024, 1, 1)  # epoch hour-aligned: bucket edge at +60 min
+    m = lambda n: t0 + dt.timedelta(minutes=n)
+    rows = [
+        # user 1: ONE session [50, 70] min (20-min event gap < 30-min
+        # cutoff) — straddles the 60-min bucket boundary, replicates to
+        # buckets 0 and 1
+        (1, m(50)), (1, m(70)),
+        # user 2: [65, 66] — bucket 1 only; overlaps user 1 there
+        (2, m(65)), (2, m(66)),
+        # user 3: [55, 58] — bucket 0 only; overlaps user 1 there
+        (3, m(55)), (3, m(58)),
+        # user 4: point session [70, 70] touching user 1's end exactly
+        (4, m(70)),
+        # user 5: [50, 52] — start TIES user 1's; user id breaks the tie
+        (5, m(50)), (5, m(52)),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array(["view"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = q_overlapping_sessions(str(tmp_path)).to_pandas()
+    MIN = 60_000_000
+    want = {
+        (1, 1, 2, 1, 1 * MIN),   # min(70,66)-65
+        (1, 1, 3, 1, 3 * MIN),   # min(70,58)-55
+        (1, 1, 4, 1, 0),         # point touch
+        (1, 1, 5, 1, 2 * MIN),   # tie at 50: user 1 is the 'a' side
+    }
+    assert set(map(tuple, got.itertuples(index=False))) == want
+    assert len(got) == len(want)  # no double-emission across buckets
+
+
+def test_overlapping_sessions_bruteforce(ray_session):
+    """Full sf0.001 pipeline vs a brute-force O(n²) sweep over the
+    sessionize output — pins the replicate/sweep machinery independent
+    of the SQL oracle."""
+    from raydedup.queries import q_overlapping_sessions, q_sessionize_events
+
+    sf = "/root/testdata/sf0.001"
+    sess = q_sessionize_events(sf).to_pandas()
+    recs = sorted(
+        sess.itertuples(index=False),
+        key=lambda r: (r.start_us, r.user_id, r.session_id),
+    )
+    want = set()
+    for i, b in enumerate(recs):
+        for a in recs[:i]:
+            if a.end_us >= b.start_us and a.user_id != b.user_id:
+                want.add(
+                    (a.user_id, a.session_id, b.user_id, b.session_id,
+                     min(a.end_us, b.end_us) - b.start_us)
+                )
+    got = q_overlapping_sessions(sf).to_pandas()
+    assert set(map(tuple, got.itertuples(index=False))) == want
+    assert len(got) == len(want) > 0
