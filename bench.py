@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "stratified_sample_docs",
     "source_mix_epochs",
     "pack_sequences",
+    "length_quantiles",
+    "normalize_docs",
+    "semantic_dedup",
 ]
 
 

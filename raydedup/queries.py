@@ -2743,6 +2743,200 @@ def q_lsh_session_dedup(sf_dir: str):
 QUERIES["lsh_session_dedup"] = q_lsh_session_dedup
 
 
+# ------------------------------------------- corpus statistics / cleaning
+def q_length_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
+    """Exact grouped quantiles by distributed histogramming: blocks
+    pre-aggregate ``(source, n_chars) → count`` (the map-side
+    combiner), ONE keyed shuffle co-locates each source's histogram,
+    and the run kernel walks cumulative counts to the ``ceil(q·n)``
+    rank (``percentile_disc`` semantics — integer-exact, so the DuckDB
+    oracle hash-matches). Only histogram rows (groups × distinct
+    values) ever shuffle, never documents: at 100 TB a bounded integer
+    domain keeps this metadata-small per source. Unbounded or
+    continuous columns would swap in the staged sort + rank-select
+    (the ``stages/scan.py`` carry machinery) or a mergeable t-digest
+    for approximate quantiles."""
+    from raydedup.stages.grouped import auto_partitions, map_key_runs
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_chars", "c"])
+
+    hist = _read(sf_dir, "documents", columns=["source", "n_chars"]).map_batches(
+        pre, batch_format="pyarrow"
+    )
+
+    def runs(block: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        # rows arrive sorted by (source, n_chars); partial counts for
+        # the same length may repeat across upstream blocks — the
+        # cumulative walk absorbs them without a distinct pass.
+        if len(starts) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    **{f"p{int(q * 100)}_chars": pa.array([], pa.int64()) for q in qs},
+                }
+            )
+        vals = block.column("n_chars").to_numpy()
+        gcum = np.cumsum(block.column("c").to_numpy(zero_copy_only=False))
+        base = np.where(starts > 0, gcum[np.maximum(starts - 1, 0)], 0)
+        totals = gcum[ends - 1] - base
+        out = {
+            "source": block.column("source").take(pa.array(starts)),
+            "n_docs": pa.array(totals, pa.int64()),
+        }
+        for q in qs:
+            rank = np.ceil(q * totals).astype(np.int64)  # 1-based disc rank
+            idx = np.searchsorted(gcum, base + rank, side="left")
+            out[f"p{int(q * 100)}_chars"] = pa.array(vals[idx], pa.int64())
+        return pa.table(out)
+
+    return map_key_runs(
+        hist,
+        "source",
+        runs,
+        auto_partitions(hist, rows_per_partition=65536),
+        min_run=1,
+        sort_extra=["n_chars"],
+    )
+
+
+QUERIES["length_quantiles"] = q_length_quantiles
+ORACLES["length_quantiles"] = """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50_chars,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p90_chars,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p99_chars
+    FROM documents GROUP BY source
+"""
+
+
+def q_normalize_docs(sf_dir: str):
+    """Text normalization — the cleaning pass a training pipeline runs
+    BEFORE dedup (lowercase, collapse whitespace, drop stopwords):
+    entirely Arrow-kernel per batch — ``utf8_lower`` →
+    ``split_ws_tokens`` (str.split parity) → one ``is_in`` stopword
+    mask over the flat token buffer → offsets rebuilt with two cumsums
+    → ``binary_join``. No shuffle, no per-row Python; streams at any
+    scale. String output hash-matches the DuckDB list-filter oracle."""
+    from raydedup.stages.text import QualityStage
+    from raydedup.suffix import split_ws_tokens
+
+    stop_arr = pa.array(sorted(QualityStage.STOPWORDS), pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lens, flat = split_ws_tokens(pc.utf8_lower(batch.column("text")))
+        keep = pc.invert(pc.is_in(flat, value_set=stop_arr)).to_numpy(
+            zero_copy_only=False
+        )
+        off = np.concatenate(([0], np.cumsum(lens)))
+        csk = np.concatenate(([0], np.cumsum(keep)))
+        new_off = csk[off]  # kept-token count before each row boundary
+        kept = flat.filter(pa.array(keep))
+        larr = pa.ListArray.from_arrays(pa.array(new_off, pa.int32()), kept)
+        norm = pc.binary_join(larr, " ")
+        return pa.table({"doc_id": batch.column("doc_id"), "norm_text": norm})
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(
+    "the a an and or of to in is are was were be been it this that with for on as at by".split()
+))
+QUERIES["normalize_docs"] = q_normalize_docs
+ORACLES["normalize_docs"] = rf"""
+    SELECT doc_id,
+           array_to_string(
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '' AND NOT list_contains([{_STOP_SQL}], x)),
+               ' ') AS norm_text
+    FROM documents
+"""
+
+
+def q_semantic_dedup(sf_dir: str, threshold: float = 0.45, n_centroids: int = 16):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): spherical k-means clusters the embedding space
+    (seeded driver Lloyd over a bounded sample — ``build_ivf_centroids``,
+    the IVF coarse quantizer), every row gets its cell via one
+    broadcast matmul, and ONE keyed shuffle co-locates each cell so the
+    in-cell rule runs vectorized: row ``i`` is a semantic duplicate iff
+    some same-cell row with a smaller ``vec_id`` has cosine similarity
+    > threshold (one gram matrix + upper-triangle reduction per cell —
+    the all-pairs work is confined to cells, never the corpus).
+
+    Rows-only for the driver (k-means float iteration is not
+    SQL-reproducible — same class as ``ivf_topk``); SELF-VERIFYING:
+    the distributed flags are asserted equal to a single-process numpy
+    evaluation of the identical rule at test scale, and the
+    cross-cell miss risk is inherent to the method (the paper's
+    trade-off), not to this execution."""
+    import ray
+
+    from raydedup.stages.ann import _emb_matrix, _normalize, add_ivf_cell, build_ivf_centroids
+    from raydedup.stages.grouped import auto_partitions, map_key_runs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = build_ivf_centroids(ds, n_centroids=n_centroids)
+    cds = add_ivf_cell(ds, cent)
+
+    def runs(block: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if len(block) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "is_dup": pa.array([], pa.int32())}
+            )
+        ids_all = block.column("vec_id").to_numpy()
+        m_all = _normalize(_emb_matrix(block, "embedding"))
+        dup = np.zeros(len(block), dtype=bool)
+        for s, e in zip(starts, ends):
+            order = np.argsort(ids_all[s:e], kind="stable") + s
+            m = m_all[order]
+            sim = m @ m.T
+            hit = np.triu(sim > threshold, k=1).any(axis=0)
+            dup[order] = hit
+        return pa.table(
+            {
+                "vec_id": pa.array(ids_all, pa.int64()),
+                "is_dup": pa.array(dup.astype(np.int32), pa.int32()),
+            }
+        )
+
+    # the run kernel emits EVERY block row (singleton cells ride along
+    # with is_dup=0 — min_run only gates which runs get the gram matrix)
+    res = map_key_runs(
+        cds,
+        "cell",
+        runs,
+        auto_partitions(cds, rows_per_partition=65536),
+        min_run=2,
+    )
+    out = pa.concat_tables(list(res.iter_batches(batch_format="pyarrow")))
+
+    # self-verify: single-process evaluation of the identical rule
+    # (deterministic centroids → identical cells → identical flags).
+    full = pa.concat_tables(list(cds.iter_batches(batch_format="pyarrow")))
+    ids = full.column("vec_id").to_numpy()
+    cells = full.column("cell").to_numpy()
+    m = _normalize(_emb_matrix(full, "embedding"))
+    want = np.zeros(len(full), dtype=bool)
+    for c in np.unique(cells):
+        sel = np.where(cells == c)[0]
+        sel = sel[np.argsort(ids[sel], kind="stable")]
+        sim = m[sel] @ m[sel].T
+        want[sel] = np.triu(sim > threshold, k=1).any(axis=0)
+    got_map = dict(zip(out.column("vec_id").to_pylist(), out.column("is_dup").to_pylist()))
+    want_map = dict(zip(ids.tolist(), want.astype(int).tolist()))
+    assert got_map == want_map, "semantic_dedup distributed/local mismatch"
+    return out.sort_by("vec_id")
+
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+
+
 # ---------------------------------------------- generated sketch oracles
 # The md5-profile sketch queries are fully SQL-reproducible; their
 # oracle statements are generated with the permutation constants

@@ -111,3 +111,65 @@ def test_source_mix_epochs_exact(ray_session):
     g1 = set(zip(got1["doc_id"], got1["epoch"], got1["interleave_key"]))
     g2 = set(zip(got2["doc_id"], got2["epoch"], got2["interleave_key"]))
     assert g1 == want == g2 and len(got1) == len(want) > len(tbl)
+
+
+def test_length_quantiles_bruteforce(ray_session):
+    """Exact grouped quantiles (percentile_disc semantics) vs a numpy
+    ceil-rank oracle per source — pins the histogram pre-aggregation +
+    cumulative-walk kernel, including repeated partial-count rows."""
+    from raydedup.queries import QUERIES
+
+    got = QUERIES["length_quantiles"](SF).to_pandas().set_index("source")
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["source", "n_chars"])
+    src = np.asarray(tbl.column("source").to_pylist())
+    nch = tbl.column("n_chars").to_numpy()
+    for s in np.unique(src):
+        v = np.sort(nch[src == s])
+        row = got.loc[s]
+        assert row["n_docs"] == len(v)
+        for q, col in ((0.5, "p50_chars"), (0.9, "p90_chars"), (0.99, "p99_chars")):
+            assert row[col] == v[int(np.ceil(q * len(v))) - 1], (s, q)
+    assert len(got) == len(np.unique(src))
+
+
+def test_normalize_docs_bruteforce(ray_session):
+    """Arrow-kernel normalization == Python lower/split/filter/join."""
+    from raydedup.queries import QUERIES
+    from raydedup.stages.text import QualityStage
+
+    got = QUERIES["normalize_docs"](SF).to_pandas().set_index("doc_id")["norm_text"]
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    stop = QualityStage.STOPWORDS
+    for did, txt in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        want = " ".join(w for w in txt.lower().split() if w not in stop)
+        assert got[did] == want, did
+
+
+def test_semantic_dedup_matches_independent_rule(ray_session):
+    """The distributed SemDeDup flags equal an independent local
+    evaluation (same seeded centroids -> same cells -> same in-cell
+    smaller-id cosine rule), and a threshold above the corpus max
+    similarity flags nothing."""
+    from raydedup.queries import QUERIES, q_semantic_dedup
+    from raydedup.stages.ann import _normalize, build_ivf_centroids
+
+    got = QUERIES["semantic_dedup"](SF).to_pandas().set_index("vec_id")["is_dup"]
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy()
+    m = _normalize(np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64))
+
+    import ray.data as rd
+
+    cent = build_ivf_centroids(rd.from_arrow(tbl), n_centroids=16)
+    cells = np.argmax(m @ cent.T, axis=1)
+    want = np.zeros(len(ids), dtype=int)
+    for c in np.unique(cells):
+        sel = np.where(cells == c)[0]
+        sel = sel[np.argsort(ids[sel], kind="stable")]
+        sim = m[sel] @ m[sel].T
+        want[sel] = np.triu(sim > 0.45, k=1).any(axis=0).astype(int)
+    for i, vid in enumerate(ids):
+        assert got[vid] == want[i], vid
+
+    none = q_semantic_dedup(SF, threshold=1.01).to_pandas()
+    assert none["is_dup"].sum() == 0
