@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "length_quantiles",
     "normalize_docs",
     "semantic_dedup",
+    "top_docs_per_source",
+    "uniform_sample_docs",
+    "price_quantiles_sketch",
 ]
 
 

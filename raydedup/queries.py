@@ -2937,6 +2937,173 @@ def q_semantic_dedup(sf_dir: str, threshold: float = 0.45, n_centroids: int = 16
 QUERIES["semantic_dedup"] = q_semantic_dedup
 
 
+def q_top_docs_per_source(sf_dir: str, k: int = 3):
+    """Grouped top-N (the window-function ``row_number() ≤ k``): blocks
+    pre-select their own per-source top-k (the combiner — at most
+    groups × k rows leave each block, so the tail is tiny BY
+    CONSTRUCTION), then one coalesced merge task ranks each source's
+    survivors. Order is total (n_chars DESC, doc_id ASC) → integer
+    ranks hash-match the SQL window oracle. No full shuffle: the
+    groups × k × blocks tail is the only data movement."""
+    from raydedup.stages.grouped import _run_bounds, merge_key_groups
+
+    sort_spec = [
+        ("source", "ascending"),
+        ("n_chars", "descending"),
+        ("doc_id", "ascending"),
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        t = t.sort_by(sort_spec)
+        starts, ends = _run_bounds(t, ["source"])
+        lens = np.minimum(ends - starts, k)
+        flat = np.repeat(starts, lens) + (
+            np.arange(int(lens.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        return t.take(pa.array(flat))
+
+    ds = _read(sf_dir, "documents", columns=["source", "doc_id", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        g = g.sort_by(sort_spec).slice(0, k)
+        return g.append_column("rank", pa.array(np.arange(1, len(g) + 1), pa.int64()))
+
+    return merge_key_groups(ds, "source", group_fn)
+
+
+QUERIES["top_docs_per_source"] = q_top_docs_per_source
+ORACLES["top_docs_per_source"] = """
+    SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents)
+    WHERE rn <= 3
+"""
+
+
+def q_uniform_sample_docs(sf_dir: str, k: int = 100):
+    """Deterministic uniform corpus sample via hash-bottom-k (the
+    distributed, reproducible replacement for ``ORDER BY random()
+    LIMIT k``): every row gets the engine's (a·x+b)-wrap →
+    Mersenne-reduce key of its doc_id, blocks keep their own bottom-k
+    (``argpartition`` — the combiner), and one coalesced task takes
+    the global bottom-k from the k × blocks tail. No RNG state, no
+    shuffle, identical sample on every run/engine — the SQL oracle
+    reproduces the key arithmetic exactly."""
+    from raydedup.hashing import MERSENNE_PRIME
+
+    A = np.uint64(6364136223846793005)
+    B = np.uint64(1442695040888963407)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        v = A * ids.astype(np.uint64) + B
+        v = (v & MERSENNE_PRIME) + (v >> np.uint64(61))
+        v[v >= MERSENNE_PRIME] -= MERSENNE_PRIME
+        out = pa.table({"doc_id": t.column("doc_id"), "sample_key": pa.array(v, pa.uint64())})
+        if len(out) > k:
+            keep = np.argpartition(v, k)[:k]
+            out = out.take(pa.array(np.sort(keep)))
+        return out
+
+    tail = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def final(block: pa.Table) -> pa.Table:
+        return block.sort_by([("sample_key", "ascending"), ("doc_id", "ascending")]).slice(0, k)
+
+    return tail.repartition(1).map_batches(final, batch_size=None, batch_format="pyarrow")
+
+
+QUERIES["uniform_sample_docs"] = q_uniform_sample_docs
+ORACLES["uniform_sample_docs"] = """
+    WITH h AS (
+      SELECT doc_id,
+             ((6364136223846793005::HUGEINT * doc_id + 1442695040888963407)
+               % 18446744073709551616)::UBIGINT AS v
+      FROM documents
+    ),
+    m AS (SELECT doc_id, (v & 2305843009213693951) + (v >> 61) AS v2 FROM h)
+    SELECT doc_id,
+           CAST(CASE WHEN v2 >= 2305843009213693951
+                     THEN v2 - 2305843009213693951 ELSE v2 END AS UBIGINT) AS sample_key
+    FROM m ORDER BY sample_key, doc_id LIMIT 100
+"""
+
+
+def q_price_quantiles_sketch(sf_dir: str, qs: tuple = (0.01, 0.25, 0.5, 0.75, 0.99), k: int = 256):
+    """Approximate quantiles of ``l_extendedprice`` via the mergeable
+    KLL/MRL compactor sketch (``raydedup/quantile.py``) — the
+    bounded-memory path ``length_quantiles`` documents for unbounded /
+    continuous domains: partial sketch per block, pairwise merge, tiny
+    final state (~k·log(n/k) floats) on the driver.
+
+    Rows-only for the driver (retained values move WITHIN the error
+    bound with Ray's nondeterministic merge order); SELF-VERIFYING with
+    exact distributed rank counts: one counting pass computes
+    ``#rows < x`` / ``#rows ≤ x`` for every estimated quantile x (the
+    per-batch partials are 2·|qs| integers — nothing data-sized leaves
+    the workers), and the query asserts the true rank interval lies
+    within the sketch's provable per-state ``rank_error_bound()``
+    (+ the same bound again for retained-weight drift) of ``q·n``."""
+    import ray
+
+    from raydedup.quantile import KllSketch, kll_aggregate_fn
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    st = ds.aggregate(kll_aggregate_fn("l_extendedprice", k=k, alias_name="kll_price"))
+    sk = KllSketch.from_state(st["kll_price"])
+    est = sk.quantiles(qs)
+    bound = sk.rank_error_bound()
+
+    thr = ray.put(np.ascontiguousarray(est))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        x = np.sort(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        t = ray.get(thr)
+        return pa.table(
+            {
+                "i": pa.array(np.arange(len(t)), pa.int64()),
+                "le": pa.array(np.searchsorted(x, t, side="right"), pa.int64()),
+                "lt": pa.array(np.searchsorted(x, t, side="left"), pa.int64()),
+            }
+        )
+
+    partials = pa.concat_tables(
+        list(ds.map_batches(counts, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    )
+    idx = partials.column("i").to_numpy()
+    le = np.bincount(idx, weights=partials.column("le").to_numpy(), minlength=len(est)).astype(np.int64)
+    lt = np.bincount(idx, weights=partials.column("lt").to_numpy(), minlength=len(est)).astype(np.int64)
+    n = sk.n
+    slack = 2 * bound + 1  # rank error + retained-weight drift
+    for q, r_le, r_lt in zip(qs, le, lt):
+        target = q * n
+        assert r_le >= target - slack and r_lt <= target + slack, (
+            f"KLL rank error beyond bound at q={q}: lt={r_lt} le={r_le} "
+            f"target={target} slack={slack}"
+        )
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "est_price": pa.array(est, pa.float64()),
+            "rank_le": pa.array(le, pa.int64()),
+            "n": pa.array([n] * len(est), pa.int64()),
+            "rank_error_bound": pa.array([bound] * len(est), pa.int64()),
+        }
+    )
+
+
+QUERIES["price_quantiles_sketch"] = q_price_quantiles_sketch
+
+
 # ---------------------------------------------- generated sketch oracles
 # The md5-profile sketch queries are fully SQL-reproducible; their
 # oracle statements are generated with the permutation constants

@@ -647,3 +647,67 @@ def test_ensemble_candidates_match_reference(ray_session, reference_datasketch):
         len(ref_pairs - ours),
         sorted(ours ^ ref_pairs)[:5],
     )
+
+
+# ------------------------------------------------------- quantile sketch
+def test_kll_exact_below_capacity():
+    """n ≤ k → no compaction ever runs → quantiles are EXACT
+    percentile_disc values and the error bound is 0."""
+    from raydedup.quantile import KllSketch
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=200)
+    sk = KllSketch(k=256).update_many(v)
+    s = np.sort(v)
+    for q in (0.01, 0.25, 0.5, 0.9, 1.0):
+        assert sk.quantiles([q])[0] == s[int(np.ceil(q * len(s))) - 1]
+    assert sk.rank_error_bound() == 0 and sk.n == 200
+
+
+def test_kll_bound_holds_all_orders_and_merges():
+    """Measured rank error stays within rank_error_bound() (+ weight
+    drift) for sorted, reversed, shuffled and duplicate-heavy streams,
+    built block-wise and merged in two different orders."""
+    import functools
+
+    from raydedup.quantile import KllSketch
+
+    rng = np.random.default_rng(11)
+    base = np.concatenate([rng.normal(size=40_000), np.full(5_000, 1.5)])
+    for order in (np.sort(base), np.sort(base)[::-1], rng.permutation(base)):
+        chunks = np.array_split(order, 17)
+        sks = [KllSketch(k=128).update_many(c) for c in chunks]
+        for mix in (sks, sks[::-1]):
+            sk = functools.reduce(lambda a, b: a.merge(b), [KllSketch(k=128)] + list(mix))
+            assert sk.n == len(base)
+            slack = 2 * sk.rank_error_bound() + 1
+            s = np.sort(base)
+            for q in (0.1, 0.5, 0.9, 0.99):
+                x = sk.quantiles([q])[0]
+                r_le = np.searchsorted(s, x, side="right")
+                r_lt = np.searchsorted(s, x, side="left")
+                assert r_le >= q * len(s) - slack and r_lt <= q * len(s) + slack
+
+
+def test_kll_aggregate_fn_grouped(ray_session):
+    """The AggregateFn path (grouped) returns mergeable states whose
+    median is within the per-state bound of the true group median."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.quantile import KllSketch, kll_aggregate_fn
+
+    rng = np.random.default_rng(3)
+    g = np.repeat(np.arange(4), 25_000)
+    v = rng.normal(loc=g * 10.0, size=len(g))
+    ds = rd.from_arrow(pa.table({"g": g, "v": v})).repartition(8)
+    out = ds.groupby("g").aggregate(kll_aggregate_fn("v", k=128, alias_name="kll")).take_all()
+    assert len(out) == 4
+    for row in out:
+        sk = KllSketch.from_state(row["kll"])
+        sel = np.sort(v[g == row["g"]])
+        assert sk.n == len(sel)
+        x = sk.quantiles([0.5])[0]
+        slack = 2 * sk.rank_error_bound() + 1
+        r = np.searchsorted(sel, x, side="right")
+        assert abs(r - 0.5 * len(sel)) <= slack

@@ -173,3 +173,35 @@ def test_semantic_dedup_matches_independent_rule(ray_session):
 
     none = q_semantic_dedup(SF, threshold=1.01).to_pandas()
     assert none["is_dup"].sum() == 0
+
+
+def test_top_docs_per_source_bruteforce(ray_session):
+    """Grouped top-N == Python sort per source, ranks 1..k."""
+    from raydedup.queries import QUERIES
+
+    got = QUERIES["top_docs_per_source"](SF).to_pandas()
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["source", "doc_id", "n_chars"]).to_pandas()
+    for s, g in tbl.groupby("source"):
+        want = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+        mine = got[got["source"] == s].sort_values("rank")
+        assert list(mine["doc_id"]) == list(want["doc_id"]), s
+        assert list(mine["rank"]) == list(range(1, len(want) + 1)), s
+
+
+def test_uniform_sample_docs_bruteforce(ray_session):
+    """Hash-bottom-k sample == numpy evaluation of the same key; two
+    runs identical (determinism is the operator's point)."""
+    from raydedup.hashing import MERSENNE_PRIME
+    from raydedup.queries import QUERIES
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = tbl.column("doc_id").to_numpy()
+    v = np.uint64(6364136223846793005) * ids.astype(np.uint64) + np.uint64(1442695040888963407)
+    v = (v & MERSENNE_PRIME) + (v >> np.uint64(61))
+    v[v >= MERSENNE_PRIME] -= MERSENNE_PRIME
+    order = np.lexsort((ids, v))[:100]
+    want = list(zip(ids[order].tolist(), v[order].tolist()))
+    g1 = QUERIES["uniform_sample_docs"](SF).to_pandas()
+    g2 = QUERIES["uniform_sample_docs"](SF).to_pandas()
+    got1 = list(zip(g1["doc_id"], g1["sample_key"]))
+    assert got1 == want and got1 == list(zip(g2["doc_id"], g2["sample_key"]))
