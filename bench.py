@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "top_docs_per_source",
     "uniform_sample_docs",
     "price_quantiles_sketch",
+    "source_similarity",
 ]
 
 

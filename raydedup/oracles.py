@@ -99,6 +99,25 @@ SELECT source,
 FROM by_source GROUP BY source"""
 
 
+def source_similarity_sql(num_perm: int = 128, seed: int = 1) -> str:
+    """Pairwise corpus-level Jaccard estimates between per-source union
+    signatures: slot-equality count over the ``source < source`` upper
+    triangle (reference ``MinHash.jaccard`` over ``MinHash.union`` —
+    minhash.py:299-324, 411-462 — lifted to source granularity)."""
+    return f"""WITH {_sig_cte(num_perm, seed)},
+by_source AS (
+  SELECT d.source, s.j, min(s.hv) AS hv
+  FROM sig s JOIN documents d USING (doc_id)
+  GROUP BY d.source, s.j
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) FILTER (WHERE a.hv = b.hv) AS BIGINT) AS n_equal_slots,
+       CAST(count(*) FILTER (WHERE a.hv = b.hv) AS DOUBLE) / {float(num_perm)}
+         AS jaccard_est
+FROM by_source a JOIN by_source b ON a.j = b.j AND a.source < b.source
+GROUP BY a.source, b.source"""
+
+
 def topk_similar_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10, num_perm: int = 128, seed: int = 1) -> str:
     """Estimated-Jaccard top-k per query id: slot-equality count / P,
     ties broken by doc_id (self-matches kept, as in the engine)."""

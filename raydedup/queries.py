@@ -3104,6 +3104,57 @@ def q_price_quantiles_sketch(sf_dir: str, qs: tuple = (0.01, 0.25, 0.5, 0.75, 0.
 QUERIES["price_quantiles_sketch"] = q_price_quantiles_sketch
 
 
+def q_source_similarity(sf_dir: str):
+    """Corpus-level similarity matrix between sources — the data-mixing
+    question ('how much do two collections overlap?') answered with
+    mergeable sketches: per-source union MinHash signatures (elementwise
+    min AggregateFn, reference ``MinHash.union`` minhash.py:411-462)
+    shuffle ONLY (source, 128×uint32) rows, and the pairwise
+    slot-equality Jaccard estimates (reference ``MinHash.jaccard``
+    minhash.py:299-324) run on the driver over the groups×128 result —
+    groups are few BY CONSTRUCTION (one row per source, any corpus
+    size). Integer slot counts + one exact division → hash-oracled via
+    the generated md5-profile SQL."""
+    from raydedup.minhash import minhash_union_aggregate
+    from raydedup.stages.signatures import SignatureStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    sig_ds = ds.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs=dict(
+            num_perm=128, seed=1, shingle="word3", text_col="text", phash_col=None, hashfunc="md5"
+        ),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        num_cpus=1,
+        max_restarts=0,
+    )
+    agg = (
+        sig_ds.groupby("source", num_partitions=4)
+        .aggregate(minhash_union_aggregate("minhash", 128, alias_name="u"))
+        .take_all()
+    )
+    srcs = [r["source"] for r in agg]
+    sigs = np.array([r["u"] for r in agg], dtype=np.uint64)
+    order = np.argsort(np.asarray(srcs))
+    srcs = [srcs[i] for i in order]
+    sigs = sigs[order]
+    eq = (sigs[:, None, :] == sigs[None, :, :]).sum(axis=2)
+    ia, ib = np.triu_indices(len(srcs), k=1)
+    return pa.table(
+        {
+            "src_a": pa.array([srcs[i] for i in ia], pa.string()),
+            "src_b": pa.array([srcs[j] for j in ib], pa.string()),
+            "n_equal_slots": pa.array(eq[ia, ib].astype(np.int64), pa.int64()),
+            "jaccard_est": pa.array(eq[ia, ib] / 128.0, pa.float64()),
+        }
+    )
+
+
+QUERIES["source_similarity"] = q_source_similarity
+
+
 # ---------------------------------------------- generated sketch oracles
 # The md5-profile sketch queries are fully SQL-reproducible; their
 # oracle statements are generated with the permutation constants
@@ -3120,6 +3171,7 @@ def _install_generated_oracles() -> None:
             "simhash_docs": og.simhash_sql(),
             "minhash_cardinality_docs": og.minhash_cardinality_sql(),
             "source_union_signatures": og.source_union_sql(),
+            "source_similarity": og.source_similarity_sql(),
             "topk_similar_docs": og.topk_similar_sql(),
             "lsh_candidate_pairs_docs": og.lsh_candidate_pairs_sql(b=b, r=r),
             "cross_source_neardup": og.cross_source_neardup_sql(b=b, r=r),

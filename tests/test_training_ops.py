@@ -205,3 +205,32 @@ def test_uniform_sample_docs_bruteforce(ray_session):
     g2 = QUERIES["uniform_sample_docs"](SF).to_pandas()
     got1 = list(zip(g1["doc_id"], g1["sample_key"]))
     assert got1 == want and got1 == list(zip(g2["doc_id"], g2["sample_key"]))
+
+
+def test_source_similarity_bruteforce(ray_session):
+    """Pairwise source Jaccard estimates == numpy union-then-compare of
+    the per-doc md5-profile signatures (same config as the query)."""
+    from raydedup.hashing import generate_permutations, word_ngram_shingles
+    from raydedup.minhash import minhash_batch
+    from raydedup.queries import QUERIES
+
+    got = QUERIES["source_similarity"](SF).to_pandas()
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "source"])
+    a, b = generate_permutations(128, seed=1)
+    uni: dict = {}
+    for txt, src in zip(tbl.column("text").to_pylist(), tbl.column("source").to_pylist()):
+        toks = word_ngram_shingles(txt, n=3)
+        if not toks:
+            continue
+        sig = minhash_batch([sorted(toks)], a, b, hashfunc="md5")[0]
+        uni[src] = sig if src not in uni else np.minimum(uni[src], sig)
+    srcs = sorted(uni)
+    want = {
+        (srcs[i], srcs[j]): int((uni[srcs[i]] == uni[srcs[j]]).sum())
+        for i in range(len(srcs))
+        for j in range(i + 1, len(srcs))
+    }
+    assert len(got) == len(want)
+    for row in got.itertuples(index=False):
+        assert want[(row.src_a, row.src_b)] == row.n_equal_slots, (row.src_a, row.src_b)
+        assert row.jaccard_est == row.n_equal_slots / 128.0
