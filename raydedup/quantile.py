@@ -129,26 +129,57 @@ class KllSketch:
         k, levels, compactions, n = st
         return cls(k, levels=levels, compactions=compactions, n=n)
 
+    def to_bytes(self) -> bytes:
+        """Flat wire form — a single ``bytes`` value, so aggregate
+        states ride the shuffle as an Arrow ``binary`` column instead
+        of tripping Ray's object-column pickle fallback (which logs a
+        conversion traceback per shuffle block). Layout: little-endian
+        int64 header ``(k, n, L, compactions[L], level_lens[L])`` then
+        the concatenated float64 level buffers."""
+        L = len(self.levels)
+        head = np.empty(3 + 2 * L, dtype="<i8")
+        head[0], head[1], head[2] = self.k, self.n, L
+        head[3 : 3 + L] = self.compactions
+        head[3 + L :] = [len(b) for b in self.levels]
+        body = (
+            np.concatenate(self.levels).astype("<f8")
+            if any(len(b) for b in self.levels)
+            else np.empty(0, "<f8")
+        )
+        return head.tobytes() + body.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "KllSketch":
+        k, n, L = np.frombuffer(blob[:24], "<i8")
+        head = np.frombuffer(blob[24 : 24 + 16 * L], "<i8")
+        flat = np.frombuffer(blob[24 + 16 * L :], "<f8")
+        lens = head[L:]
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        levels = [flat[offs[i] : offs[i + 1]].copy() for i in range(L)]
+        return cls(int(k), levels=levels, compactions=head[:L].tolist(), n=int(n))
+
 
 def kll_aggregate_fn(column: str, k: int = 256, alias_name: str | None = None):
     """``ray.data.aggregate.AggregateFn`` building a KLL state over
     ``column`` — partial sketch per block, pairwise merge, finalize
-    returns the raw state tuple (quantile extraction is a driver-side
-    O(k·L) call on the tiny final state). Works global and grouped."""
+    returns the wire-form ``bytes`` state (quantile extraction is a
+    driver-side O(k·L) ``KllSketch.from_bytes`` call on the tiny final
+    state). States travel as an Arrow ``binary`` column — never the
+    object-dtype pickle fallback. Works global and grouped."""
     from ray.data.aggregate import AggregateFn
 
     name = alias_name or f"kll({column})"
 
-    def accumulate_block(state: tuple, block) -> tuple:
-        sk = KllSketch.from_state(state)
+    def accumulate_block(state: bytes, block) -> bytes:
+        sk = KllSketch.from_bytes(state)
         col = block.column(column) if hasattr(block, "column") else block[column]
         sk.update_many(col.to_numpy(zero_copy_only=False))
-        return sk.state()
+        return sk.to_bytes()
 
     return AggregateFn(
-        init=lambda _k: KllSketch(k).state(),
+        init=lambda _k: KllSketch(k).to_bytes(),
         accumulate_block=accumulate_block,
-        merge=lambda a, b: KllSketch.from_state(a).merge(KllSketch.from_state(b)).state(),
+        merge=lambda a, b: KllSketch.from_bytes(a).merge(KllSketch.from_bytes(b)).to_bytes(),
         finalize=lambda st: st,
         name=name,
     )

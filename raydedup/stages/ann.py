@@ -374,6 +374,10 @@ def build_ivf_centroids(ds, emb_col: str = "embedding", n_centroids: int = 64, s
     assignment, mean re-center)."""
     sample = ds.select_columns([emb_col]).limit(sample_rows).take_all()
     m = _normalize(np.asarray([r[emb_col] for r in sample], dtype=np.float64))
+    # canonicalize the sample order: take_all's block order is an
+    # execution accident, and rng.choice picks INDICES — without this
+    # sort the "seeded" k-means differed run to run on identical data
+    m = m[np.lexsort(m.T[::-1])]
     rng = np.random.default_rng(seed)
     cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
     for _ in range(iters):

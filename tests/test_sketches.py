@@ -704,10 +704,24 @@ def test_kll_aggregate_fn_grouped(ray_session):
     out = ds.groupby("g").aggregate(kll_aggregate_fn("v", k=128, alias_name="kll")).take_all()
     assert len(out) == 4
     for row in out:
-        sk = KllSketch.from_state(row["kll"])
+        sk = KllSketch.from_bytes(row["kll"])
         sel = np.sort(v[g == row["g"]])
         assert sk.n == len(sel)
         x = sk.quantiles([0.5])[0]
         slack = 2 * sk.rank_error_bound() + 1
         r = np.searchsorted(sel, x, side="right")
         assert abs(r - 0.5 * len(sel)) <= slack
+
+
+def test_kll_bytes_round_trip():
+    """Wire form preserves every level, compaction count and n."""
+    from raydedup.quantile import KllSketch
+
+    rng = np.random.default_rng(5)
+    sk = KllSketch(k=64).update_many(rng.normal(size=10_000))
+    rt = KllSketch.from_bytes(sk.to_bytes())
+    assert rt.k == sk.k and rt.n == sk.n and rt.compactions == sk.compactions
+    assert all(np.array_equal(a, b) for a, b in zip(rt.levels, sk.levels))
+    assert np.array_equal(rt.quantiles([0.1, 0.5, 0.9]), sk.quantiles([0.1, 0.5, 0.9]))
+    empty = KllSketch.from_bytes(KllSketch(k=64).to_bytes())
+    assert empty.n == 0 and np.isnan(empty.quantiles([0.5])[0])
