@@ -2762,9 +2762,11 @@ def q_length_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
         g = t.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
         return g.rename_columns(["source", "n_chars", "c"])
 
-    hist = _read(sf_dir, "documents", columns=["source", "n_chars"]).map_batches(
-        pre, batch_format="pyarrow"
-    )
+    from raydedup.stages.grouped import meta_count
+
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    n_docs = meta_count(docs)  # histogram rows ≤ input rows: a valid upper bound
+    hist = docs.map_batches(pre, batch_format="pyarrow")
 
     def runs(block: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
         # rows arrive sorted by (source, n_chars); partial counts for
@@ -2796,9 +2798,10 @@ def q_length_quantiles(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99)):
         hist,
         "source",
         runs,
-        auto_partitions(hist, rows_per_partition=65536),
+        auto_partitions(n_docs or hist, rows_per_partition=65536),
         min_run=1,
         sort_extra=["n_chars"],
+        approx_rows=n_docs,
     )
 
 
@@ -2907,12 +2910,16 @@ def q_semantic_dedup(sf_dir: str, threshold: float = 0.45, n_centroids: int = 16
 
     # the run kernel emits EVERY block row (singleton cells ride along
     # with is_dup=0 — min_run only gates which runs get the gram matrix)
+    from raydedup.stages.grouped import meta_count
+
+    n_rows_in = meta_count(ds)  # cell-assign is row-preserving: exact bound
     res = map_key_runs(
         cds,
         "cell",
         runs,
-        auto_partitions(cds, rows_per_partition=65536),
+        auto_partitions(n_rows_in or cds, rows_per_partition=65536),
         min_run=2,
+        approx_rows=n_rows_in,
     )
 
     # self-verify: single-process evaluation of the identical rule
@@ -2920,10 +2927,7 @@ def q_semantic_dedup(sf_dir: str, threshold: float = 0.45, n_centroids: int = 16
     # Size-gated: the check is a test/bench-scale assertion — above the
     # gate the distributed result streams through untouched (same class
     # as the recall assertions in ivf_topk / hnsw_topk).
-    from raydedup.stages.grouped import meta_count
-
-    n_rows = meta_count(ds)
-    if not (n_rows is None or n_rows <= 50_000):
+    if not (n_rows_in is None or n_rows_in <= 50_000):
         return res
     out = pa.concat_tables(list(res.iter_batches(batch_format="pyarrow")))
     full = pa.concat_tables(list(cds.iter_batches(batch_format="pyarrow")))
