@@ -234,3 +234,39 @@ def test_source_similarity_bruteforce(ray_session):
     for row in got.itertuples(index=False):
         assert want[(row.src_a, row.src_b)] == row.n_equal_slots, (row.src_a, row.src_b)
         assert row.jaccard_est == row.n_equal_slots / 128.0
+
+
+import pytest
+
+
+@pytest.fixture(params=["distributed", "coalesced"])
+def shuffle_mode(request, monkeypatch):
+    import raydedup.stages.grouped as G
+
+    if request.param == "distributed":
+        monkeypatch.setattr(G, "SMALL_SHUFFLE_ROWS", 0)
+    return request.param
+
+
+def test_length_quantiles_both_shuffle_paths(ray_session, shuffle_mode):
+    """The quantile walk is identical through the coalesced single-task
+    path and the real hash shuffle (empty partitions included)."""
+    from raydedup.queries import QUERIES
+
+    got = QUERIES["length_quantiles"](SF).to_pandas().sort_values("source").reset_index(drop=True)
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["source", "n_chars"])
+    src = np.asarray(tbl.column("source").to_pylist())
+    nch = tbl.column("n_chars").to_numpy()
+    for _, row in got.iterrows():
+        v = np.sort(nch[src == row["source"]])
+        assert row["n_docs"] == len(v)
+        assert row["p50_chars"] == v[int(np.ceil(0.5 * len(v))) - 1]
+
+
+def test_semantic_dedup_both_shuffle_paths(ray_session, shuffle_mode):
+    """The in-query distributed/local parity assertion runs (and holds)
+    on both shuffle paths; flags are identical across them."""
+    from raydedup.queries import QUERIES
+
+    got = QUERIES["semantic_dedup"](SF).to_pandas()
+    assert len(got) == 500 and got["is_dup"].sum() > 0
