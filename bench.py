@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "audio_features_synth",
     "video_frames_synth",
     "dup_ngram_fraction",
+    "line_dedup_docs",
     "cross_source_neardup",
     "stratified_sample_docs",
     "source_mix_epochs",

@@ -3167,6 +3167,183 @@ def q_source_similarity(sf_dir: str):
 QUERIES["source_similarity"] = q_source_similarity
 
 
+_LINE_DELIM = " a "  # corpus-visible stand-in for '\n' (the synthetic
+# captions carry no newlines); the operator is delimiter-parametric.
+
+
+def q_line_dedup_docs(sf_dir: str, delim: str = _LINE_DELIM, min_count: int = 3):
+    """C4/RefinedWeb-style LINE-level exact dedup: drop every line whose
+    exact text occurs ≥ ``min_count`` times corpus-wide, re-emit each
+    doc's cleaned text plus (n_lines, n_dropped) counts. The canonical
+    boilerplate-removal pass a training pipeline runs alongside
+    document-level dedup (C4 §2.2 dedups at the "three-sentence span"
+    granularity; CCNet/RefinedWeb per line).
+
+    100-TB shape: two slim keyed shuffles, text travels ONCE.
+    1. *explode*: one Arrow ``split_pattern`` per batch; the flat line
+       buffer hashes in one vectorized call (``flat_token_hashes64``);
+       only (line_hash u64, doc_id, li int32) rows leave the map — the
+       line frequency table is corpus-sized, so it is never collected
+       or broadcast (contrast ``token_rarity_docs``' small-vocab path).
+    2. *hash shuffle*: runs with ≥ min_count rows emit their (doc_id,
+       li) rows as drop flags (``map_key_runs`` pre-filters smaller
+       runs via ``min_run``).
+    3. *doc shuffle*: flags union the docs table keyed by doc_id (the
+       substring-verify pattern — each text moves once); per partition
+       the kept lines are rebuilt fully vectorized: one split over the
+       block's texts, a boolean drop mask from the flags' global line
+       indices, offsets rebuilt with two cumsums, ``binary_join``.
+
+    The oracle groups actual line strings; 64-bit hash collisions are
+    the usual w.h.p. caveat shared with ``dup_ngram_fraction``."""
+    from raydedup.stages.grouped import auto_partitions, map_key_runs, meta_count, staged
+    from raydedup.suffix import flat_token_hashes64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    parts = auto_partitions(ds)
+    n_docs = meta_count(ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        tcol = batch.column("text")
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        lists = pc.split_pattern(pc.fill_null(tcol, ""), delim)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        h = flat_token_hashes64(flat)
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        li = (np.arange(len(flat), dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)).astype(np.int32)
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "doc_id": batch.column("doc_id").take(pa.array(idx)),
+                "li": pa.array(li),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def flag_runs(block: pa.Table, starts, ends) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "li": pa.array([], pa.int32())}
+        )
+        if len(starts) == 0:
+            return empty
+        rsz = ends - starts
+        tot = int(rsz.sum())
+        idx = np.repeat(starts, rsz) + (
+            np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(rsz) - rsz, rsz)
+        )
+        return pa.table(
+            {
+                "doc_id": block.column("doc_id").take(pa.array(idx)),
+                "li": block.column("li").take(pa.array(idx)),
+            }
+        )
+
+    flags = staged(map_key_runs(exploded, "h", flag_runs, parts, min_run=min_count))
+    n_flags = meta_count(flags)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "li": pa.array(np.full(len(batch), -1, np.int32)),
+                "text": batch.column("text"),
+            }
+        )
+
+    def pad_flags(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "li": batch.column("li"),
+                "text": pa.array([None] * len(batch), pa.string()),
+            }
+        )
+
+    joined = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(tag_docs, batch_format="pyarrow")
+        .union(flags.map_batches(pad_flags, batch_format="pyarrow"))
+    )
+    approx = (n_docs + n_flags) if (n_docs is not None and n_flags is not None) else None
+
+    empty_out = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "clean_text": pa.array([], pa.string()),
+            "n_lines": pa.array([], pa.int64()),
+            "n_dropped": pa.array([], pa.int64()),
+        }
+    )
+
+    def rebuild(block: pa.Table, starts, ends) -> pa.Table:
+        if len(starts) == 0:
+            return empty_out
+        tcol = block.column("text")
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        li = block.column("li").to_numpy(zero_copy_only=False)
+        # sort_extra=["li"] puts each run's doc row (li = -1) first;
+        # flags for docs absent from this table cannot exist (every
+        # flag's doc_id came from the docs table), so starts ARE the
+        # text rows
+        dtexts = tcol.take(pa.array(starts))
+        lists = pc.split_pattern(pc.fill_null(dtexts, ""), delim)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        off = np.concatenate(([0], np.cumsum(lens)))
+        # flag rows: positions starts[i]+1 .. ends[i]-1 belong to run i
+        rsz = (ends - starts - 1).astype(np.int64)
+        tot = int(rsz.sum())
+        runidx = np.repeat(np.arange(len(starts), dtype=np.int64), rsz)
+        frows = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(np.cumsum(rsz) - rsz, rsz)
+            + np.repeat(starts + 1, rsz)
+        )
+        keep = np.ones(len(flat), dtype=bool)
+        keep[off[runidx] + li[frows]] = False
+        csk = np.concatenate(([0], np.cumsum(keep)))
+        new_off = csk[off]
+        kept = flat.filter(pa.array(keep))
+        larr = pa.ListArray.from_arrays(pa.array(new_off, pa.int32()), kept)
+        return pa.table(
+            {
+                "doc_id": block.column("doc_id").take(pa.array(starts)),
+                "clean_text": pc.binary_join(larr, delim),
+                "n_lines": pa.array(lens, pa.int64()),
+                "n_dropped": pa.array(rsz, pa.int64()),
+            }
+        )
+
+    return map_key_runs(
+        joined, "doc_id", rebuild, parts, min_run=1, sort_extra=["li"], approx_rows=approx
+    )
+
+
+_DELIM_SQL = _LINE_DELIM.replace("'", "''")
+QUERIES["line_dedup_docs"] = q_line_dedup_docs
+ORACLES["line_dedup_docs"] = f"""
+    WITH lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, '{_DELIM_SQL}')) AS line,
+             generate_subscripts(string_split(text, '{_DELIM_SQL}'), 1) AS li
+      FROM documents
+    ), freq AS (
+      SELECT line, count(*) AS c FROM lines GROUP BY line
+    )
+    SELECT l.doc_id,
+           coalesce(string_agg(l.line, '{_DELIM_SQL}' ORDER BY l.li)
+                        FILTER (WHERE f.c < 3), '') AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE f.c >= 3) AS BIGINT) AS n_dropped
+    FROM lines l JOIN freq f USING (line)
+    GROUP BY l.doc_id
+"""
+
+
 # ---------------------------------------------- generated sketch oracles
 # The md5-profile sketch queries are fully SQL-reproducible; their
 # oracle statements are generated with the permutation constants

@@ -270,3 +270,31 @@ def test_semantic_dedup_both_shuffle_paths(ray_session, shuffle_mode):
 
     got = QUERIES["semantic_dedup"](SF).to_pandas()
     assert len(got) == 500 and got["is_dup"].sum() > 0
+
+
+def test_line_dedup_docs_bruteforce(ray_session, shuffle_mode):
+    """C4-style line dedup vs a pure Python oracle: split on the
+    delimiter, count exact line strings corpus-wide, drop lines with
+    count >= 3, rejoin — exercised through BOTH shuffle paths (the
+    hash-flag shuffle with empty partitions included)."""
+    from collections import Counter
+
+    from raydedup.queries import _LINE_DELIM, QUERIES
+
+    got = QUERIES["line_dedup_docs"](SF).to_pandas().set_index("doc_id")
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    freq = Counter(
+        ln for txt in docs.values() for ln in txt.split(_LINE_DELIM)
+    )
+    assert len(got) == len(docs)
+    n_dropped_total = 0
+    for did, txt in docs.items():
+        lines = txt.split(_LINE_DELIM)
+        kept = [ln for ln in lines if freq[ln] < 3]
+        row = got.loc[did]
+        assert row["n_lines"] == len(lines)
+        assert row["n_dropped"] == len(lines) - len(kept)
+        assert row["clean_text"] == _LINE_DELIM.join(kept)
+        n_dropped_total += len(lines) - len(kept)
+    assert n_dropped_total > 0, "corpus must exercise real drops"
