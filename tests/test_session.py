@@ -277,3 +277,50 @@ def test_phash_session_save_restore(ray_session, tmp_path):
         assert sorted(s2.query(int(ph[i]))) == sorted(s.query(int(ph[i])))
     s2.insert("fresh", 12345)  # restored index stays mutable
     assert "fresh" in s2.query(12345)
+
+
+def test_async_session_parity_and_concurrency(ray_session, corpus):
+    """The asyncio facade (reference ``datasketch.aio.AsyncMinHashLSH``
+    parity — aio/lsh.py:20-355): gather-concurrent inserts through the
+    async insertion session, async queries equal the sync session's,
+    buffered delete session removes, has_key/is_empty/get_counts work."""
+    import asyncio
+
+    from raydedup.aio import AsyncMinHashLshSession
+
+    token_sets, sigs, _, _ = corpus
+    sync = MinHashLshSession(threshold=0.5, num_perm=128, num_shards=2)
+    sync.insert_batch([f"k{i}" for i in range(len(sigs))], sigs)
+
+    async def main():
+        async with AsyncMinHashLshSession(
+            threshold=0.5, num_perm=128, num_shards=2
+        ) as lsh:
+            assert await lsh.is_empty()
+            # concurrent single inserts (first half) + buffered session
+            # (second half, small batch_size to force mid-stream flushes)
+            half = len(sigs) // 2
+            await asyncio.gather(
+                *(lsh.insert(f"k{i}", sigs[i]) for i in range(half))
+            )
+            async with lsh.insertion_session(batch_size=7) as ins:
+                for i in range(half, len(sigs)):
+                    await ins.insert(f"k{i}", sigs[i])
+            assert not await lsh.is_empty()
+            assert await lsh.count_keys() == len(sigs)
+            assert await lsh.has_key("k0") and not await lsh.has_key("nope")
+            got = await asyncio.gather(*(lsh.query(s) for s in sigs))
+            want = sync.query_batch(sigs)
+            for g, w in zip(got, want):
+                assert sorted(g) == sorted(w)
+            counts = await lsh.get_counts()
+            assert sum(sum(d.values()) for d in counts) == len(sigs) * sync.b
+            async with lsh.delete_session(batch_size=5) as dele:
+                for i in range(0, len(sigs), 3):
+                    await dele.remove(f"k{i}")
+            assert not await lsh.has_key("k0")
+            assert await lsh.count_keys() == len(sigs) - len(range(0, len(sigs), 3))
+            await lsh.shutdown()
+
+    asyncio.run(main())
+    sync.shutdown()
