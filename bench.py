@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "lineitem_agg",
     "window_counts",
     "sessionize_events",
+    "event_debounce",
     "asof_join_events",
     "overlapping_sessions",
     "json_field_stats",

@@ -3344,6 +3344,82 @@ ORACLES["line_dedup_docs"] = f"""
 """
 
 
+def q_event_debounce(sf_dir: str, ttl_us: int = 3_600_000_000):
+    """TTL-debounce dedup over the event stream: flag an event when the
+    PREVIOUS event with the same (user_id, event_type) is within
+    ``ttl_us`` (1 h) — the at-least-once-delivery / double-fire cleanup
+    every event pipeline runs before aggregation (LAG semantics, so it
+    is exactly SQL-expressible; the "since last kept" variant is the
+    same run kernel with a greedy scan).
+
+    100-TB shape: one slim keyed shuffle of (user_id, type_hash u64,
+    ts_us, event_id) rows — ~32 B/event, no payload; per-semantics the
+    key's full event order is needed so map-side pre-aggregation is
+    impossible (the sessionize concession). Per partition the flags are
+    one vectorized diff over runs sorted by (ts, event_id) — ties
+    deterministic on both sides."""
+    from raydedup.stages.grouped import auto_partitions, map_key_runs
+    from raydedup.suffix import flat_token_hashes64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+    parts = auto_partitions(ds)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "th": pa.array(flat_token_hashes64(et), pa.uint64()),
+                "us": pc.cast(batch.column("ts"), pa.int64()),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    slim = ds.map_batches(pre, batch_format="pyarrow")
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "is_debounced": pa.array([], pa.int32()),
+        }
+    )
+
+    def flag(block: pa.Table, starts, ends) -> pa.Table:
+        if len(block) == 0:
+            return empty
+        us = block.column("us").to_numpy(zero_copy_only=False)
+        n = len(us)
+        deb = np.zeros(n, dtype=bool)
+        # previous-row diff within each (user, type) run; run starts
+        # (and singleton rows outside starts/ends, which min_run=1
+        # includes) are never debounced
+        deb[1:] = (us[1:] - us[:-1]) < ttl_us
+        deb[starts] = False
+        return pa.table(
+            {
+                "event_id": block.column("event_id"),
+                "is_debounced": pa.array(deb.astype(np.int32), pa.int32()),
+            }
+        )
+
+    return map_key_runs(
+        slim, ["user_id", "th"], flag, parts, min_run=1, sort_extra=["us", "event_id"]
+    )
+
+
+QUERIES["event_debounce"] = q_event_debounce
+ORACLES["event_debounce"] = """
+    SELECT event_id,
+           CAST(CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) < 3600000000
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_debounced
+    FROM events
+"""
+
+
 # ---------------------------------------------- generated sketch oracles
 # The md5-profile sketch queries are fully SQL-reproducible; their
 # oracle statements are generated with the permutation constants

@@ -298,3 +298,39 @@ def test_line_dedup_docs_bruteforce(ray_session, shuffle_mode):
         assert row["clean_text"] == _LINE_DELIM.join(kept)
         n_dropped_total += len(lines) - len(kept)
     assert n_dropped_total > 0, "corpus must exercise real drops"
+
+
+def test_event_debounce_bruteforce(ray_session, shuffle_mode):
+    """TTL-debounce flags vs a pure Python LAG oracle over the event
+    stream (ties broken by event_id on both sides), through both
+    shuffle paths."""
+    from collections import defaultdict
+
+    from raydedup.queries import QUERIES
+
+    got = QUERIES["event_debounce"](SF).to_pandas().set_index("event_id")["is_debounced"]
+    tbl = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    rows = list(
+        zip(
+            tbl.column("event_id").to_pylist(),
+            tbl.column("user_id").to_pylist(),
+            tbl.column("event_type").to_pylist(),
+            tbl.column("ts").cast("int64").to_pylist(),
+        )
+    )
+    bykey = defaultdict(list)
+    for eid, uid, et, us in rows:
+        bykey[(uid, et)].append((us, eid))
+    want = {}
+    for evs in bykey.values():
+        evs.sort()
+        prev = None
+        for us, eid in evs:
+            want[eid] = int(prev is not None and us - prev < 3_600_000_000)
+            prev = us
+    assert len(got) == len(want)
+    assert sum(want.values()) > 0, "corpus must exercise real debounces"
+    for eid, w in want.items():
+        assert got.loc[eid] == w, eid
