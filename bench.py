@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "top_docs_per_source",
     "uniform_sample_docs",
     "price_quantiles_sketch",
+    "heavy_hitter_terms",
     "source_similarity",
 ]
 

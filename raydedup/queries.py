@@ -3420,6 +3420,102 @@ ORACLES["event_debounce"] = """
 """
 
 
+def q_heavy_hitter_terms(sf_dir: str, k: int = 64, topm: int = 10):
+    """Corpus heavy hitters via the mergeable Misra–Gries summary
+    (``raydedup/heavyhitters.py``) — the bounded-memory path
+    ``top_terms`` documents for open vocabularies: map-side
+    ``value_counts`` partials feed an AggregateFn whose state is ≤ k
+    counters, merged pairwise; only the tiny final state reaches the
+    driver.
+
+    Rows-only for the driver (retained-counter values depend on Ray's
+    merge order WITHIN the tracked bound); SELF-VERIFYING twice over:
+    (1) one broadcast counting pass computes the EXACT count of every
+    reported term and asserts the MG guarantee stored ≤ exact ≤ stored
+    + dec per item; (2) the exact global top terms (computed from the
+    same staged partials) with count > dec are asserted present in the
+    summary — the frequent-items completeness guarantee."""
+    import ray
+
+    from raydedup.heavyhitters import MisraGries, mg_aggregate_fn
+    from raydedup.stages.grouped import staged
+
+    def explode_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch.column("text")))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field(0), "n_part": vc.field(1)})
+
+    pre = staged(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            explode_counts, batch_format="pyarrow"
+        )
+    )
+    st = pre.aggregate(mg_aggregate_fn("token", "n_part", k=k, alias_name="mg_terms"))
+    sk = MisraGries.from_bytes(st["mg_terms"])
+    cand = sk.top(topm)
+    terms = [tb.decode("utf-8") for tb, _ in cand]
+    stored = np.array([c for _, c in cand], dtype=np.int64)
+
+    # (1) exact counts of the reported terms: broadcast the candidate
+    # list once, sum aligned per-block partials (|terms| ints per block)
+    tref = ray.put(pa.array(terms, pa.string()))
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        tl = ray.get(tref)
+        code = (
+            pc.fill_null(pc.index_in(batch.column("token"), value_set=tl), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        w = batch.column("n_part").to_numpy(zero_copy_only=False)
+        m = code >= 0
+        cnt = np.bincount(code[m], weights=w[m], minlength=len(tl)).astype(np.int64)
+        return pa.table({"i": pa.array(np.arange(len(tl)), pa.int64()), "c": pa.array(cnt)})
+
+    parts = pa.concat_tables(
+        list(pre.map_batches(exact_counts, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    )
+    exact = np.bincount(
+        parts.column("i").to_numpy(), weights=parts.column("c").to_numpy(), minlength=len(terms)
+    ).astype(np.int64)
+    assert np.all(stored <= exact) and np.all(exact <= stored + sk.dec), (
+        "Misra-Gries per-item guarantee violated",
+        terms,
+        stored.tolist(),
+        exact.tolist(),
+        sk.dec,
+    )
+
+    # (2) completeness: every exact top term with count > dec must be
+    # retained in the summary (dropped items have true count ≤ dec)
+    exact_top = _sum_by_keys(pre, ["token"], "n_part", "n")
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"), ("token", "ascending")])
+        return t.take(order[:topm])
+
+    heads = exact_top.map_batches(block_topk, batch_format="pyarrow").take_all()
+    retained = set(sk.items.keys())
+    for r in heads:
+        if r["n"] > sk.dec:
+            assert r["token"].encode("utf-8") in retained, (r, sk.dec)
+
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "est_count": pa.array(stored, pa.int64()),
+            "upper_bound": pa.array(stored + sk.dec, pa.int64()),
+            "exact_count": pa.array(exact, pa.int64()),
+            "dec_total": pa.array(np.full(len(terms), sk.dec), pa.int64()),
+            "n_tokens": pa.array(np.full(len(terms), sk.n), pa.int64()),
+        }
+    )
+
+
+QUERIES["heavy_hitter_terms"] = q_heavy_hitter_terms
+
+
 # ---------------------------------------------- generated sketch oracles
 # The md5-profile sketch queries are fully SQL-reproducible; their
 # oracle statements are generated with the permutation constants

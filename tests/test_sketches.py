@@ -725,3 +725,54 @@ def test_kll_bytes_round_trip():
     assert np.array_equal(rt.quantiles([0.1, 0.5, 0.9]), sk.quantiles([0.1, 0.5, 0.9]))
     empty = KllSketch.from_bytes(KllSketch(k=64).to_bytes())
     assert empty.n == 0 and np.isnan(empty.quantiles([0.5])[0])
+
+
+def test_misra_gries_guarantees_and_wire():
+    """Misra-Gries property test: random weighted streams split into
+    random chunks, built per-chunk and merged in random order (the
+    PODS'12 mergeable rule), must satisfy per-item guarantees vs an
+    exact Counter — stored <= true <= stored + dec for retained items,
+    true <= dec for dropped ones, dec <= n/(k+1) — and the Arrow-binary
+    wire format round-trips exactly."""
+    import numpy as np
+
+    from collections import Counter
+
+    from raydedup.heavyhitters import MisraGries
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        k = int(rng.integers(4, 40))
+        vocab = [f"t{j}" for j in range(int(rng.integers(10, 300)))]
+        # zipf-ish weights so real heavy hitters exist
+        n_items = int(rng.integers(50, 4000))
+        toks = rng.choice(vocab, size=n_items, p=None)
+        w = (rng.zipf(1.7, size=n_items) % 50 + 1).astype(np.int64)
+        exact = Counter()
+        for t, c in zip(toks, w):
+            exact[t] += int(c)
+        # random chunking + random-order pairwise merges
+        n_chunks = int(rng.integers(1, 8))
+        bounds = sorted(rng.integers(0, n_items, size=n_chunks - 1).tolist()) + [n_items]
+        sks = []
+        lo = 0
+        for hi in bounds:
+            sk = MisraGries(k)
+            sk.update_counts(toks[lo:hi].tolist(), w[lo:hi])
+            sks.append(MisraGries.from_bytes(sk.to_bytes()))  # wire round-trip
+            lo = hi
+        while len(sks) > 1:
+            i = int(rng.integers(0, len(sks) - 1))
+            sks[i] = sks.pop(i + 1).merge(sks[i])
+        sk = sks[0]
+        n = sum(exact.values())
+        assert sk.n == n
+        assert sk.dec <= n // (k + 1)
+        assert len(sk.items) <= k
+        for tb, stored in sk.items.items():
+            true = exact[tb.decode()]
+            assert stored <= true <= stored + sk.dec, (trial, tb, stored, true, sk.dec)
+        retained = {tb.decode() for tb in sk.items}
+        for t, true in exact.items():
+            if t not in retained:
+                assert true <= sk.dec, (trial, t, true, sk.dec)

@@ -334,3 +334,17 @@ def test_event_debounce_bruteforce(ray_session, shuffle_mode):
     assert sum(want.values()) > 0, "corpus must exercise real debounces"
     for eid, w in want.items():
         assert got.loc[eid] == w, eid
+
+
+def test_heavy_hitter_terms_forced_compression(ray_session):
+    """The heavy-hitters query at k smaller than the corpus vocabulary,
+    so Misra-Gries compression (dec > 0) actually fires distributively
+    — the query's two in-query guarantees (per-item bounds vs exact
+    counts, completeness of exact top terms above dec) must hold."""
+    from raydedup.queries import q_heavy_hitter_terms
+
+    got = q_heavy_hitter_terms(SF, k=4, topm=3).to_pandas()
+    assert len(got) == 3
+    assert (got["dec_total"] > 0).all(), "k=4 must force compression on this corpus"
+    assert (got["est_count"] <= got["exact_count"]).all()
+    assert (got["exact_count"] <= got["upper_bound"]).all()
