@@ -776,3 +776,64 @@ def test_misra_gries_guarantees_and_wire():
         for t, true in exact.items():
             if t not in retained:
                 assert true <= sk.dec, (trial, t, true, sk.dec)
+
+
+def test_misra_gries_grouped_aggregate(ray_session):
+    """MG as a grouped Ray aggregate (heavy hitters per source) — the
+    same distributed shape the KLL grouped test pins: per-group states
+    build/merge across blocks and each group's summary satisfies the
+    per-item guarantee vs exact per-group counts."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from collections import Counter, defaultdict
+
+    from raydedup.heavyhitters import MisraGries, mg_aggregate_fn
+
+    sf = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["source", "text"])
+    exact = defaultdict(Counter)
+    for s, t in zip(tbl.column("source").to_pylist(), tbl.column("text").to_pylist()):
+        exact[s].update(t.split())
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_s, out_t, out_c = [], [], []
+        for s in pc.unique(batch.column("source")).to_pylist():
+            sub = batch.filter(pc.equal(batch.column("source"), s))
+            toks = pc.list_flatten(pc.utf8_split_whitespace(sub.column("text")))
+            toks = toks.filter(pc.not_equal(toks, ""))
+            vc = toks.value_counts()
+            out_s.append(pa.array([s] * len(vc), pa.string()))
+            out_t.append(vc.field(0))
+            out_c.append(vc.field(1))
+        return pa.table(
+            {
+                "source": pa.concat_arrays(out_s),
+                "token": pa.concat_arrays([a.cast(pa.string()) for a in out_t]),
+                "n_part": pa.concat_arrays([a.cast(pa.int64()) for a in out_c]),
+            }
+        )
+
+    pre = rd.read_parquet(f"{sf}/documents.parquet", columns=["source", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    rows = (
+        pre.groupby("source", num_partitions=4)
+        .aggregate(mg_aggregate_fn("token", "n_part", k=8, alias_name="mg"))
+        .take_all()
+    )
+    assert len(rows) == len(exact)
+    saw_compression = False
+    for r in rows:
+        sk = MisraGries.from_bytes(r["mg"])
+        ex = exact[r["source"]]
+        assert sk.n == sum(ex.values())
+        saw_compression |= sk.dec > 0
+        for tb, stored in sk.items.items():
+            true = ex[tb.decode()]
+            assert stored <= true <= stored + sk.dec
+    assert saw_compression, "k=8 must force compression per group"
