@@ -86,6 +86,10 @@ from raydedup.hnsw import HnswIndex
 from raydedup.session import MinHashLshSession
 from raydedup.cms import CountMinSketch
 from raydedup.minhash import cardinality_estimate, cardinality_estimate_exact, minhash_union_aggregate
+from raydedup.quantile import KllSketch, kll_aggregate_fn
+from raydedup.heavyhitters import MisraGries, mg_aggregate_fn
+from raydedup.session import PhashSession
+from raydedup.aio import AsyncMinHashLshSession
 from raydedup.weighted import (
     WeightedMinHashGenerator,
     bbit_compress,
@@ -126,7 +130,13 @@ __all__ = [
     "hllpp_aggregate_fn",
     "HnswIndex",
     "MinHashLshSession",
+    "PhashSession",
+    "AsyncMinHashLshSession",
     "CountMinSketch",
+    "KllSketch",
+    "kll_aggregate_fn",
+    "MisraGries",
+    "mg_aggregate_fn",
     "WeightedMinHashGenerator",
     "bbit_compress",
     "bbit_jaccard",
